@@ -1,0 +1,55 @@
+#!/usr/bin/env python
+"""Benchmark: run every declared query at $SPARK_GRAFT_SF_DIR and print
+one JSON line {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced with a noop-format write (full computation, no
+driver collect). First a warmup pass of the flagship query pays JVM /
+codegen startup so per-query numbers reflect steady state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bbdc20_submission_spark import registry
+from bbdc20_submission_spark.session import get_spark
+
+registry.load_all()
+
+
+def force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("bench")
+
+    force(registry.QUERIES["w6_sessionize_rle"](spark, sf_dir))  # warmup
+
+    timings: dict[str, float] = {}
+    for name in sorted(registry.QUERIES):
+        t0 = time.perf_counter()
+        force(registry.QUERIES[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "total_declared_query_time",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
