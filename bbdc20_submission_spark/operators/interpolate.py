@@ -1,0 +1,54 @@
+"""Linear interpolation of missing values (SURVEY.md §2.5 W7).
+
+Reference: ``df.interpolate(method="linear", axis=0).fillna(0)`` at
+``/root/reference/load_data.py:95,171`` (pandas 1.0 semantics):
+- interior nulls: linear in ROW POSITION between nearest valid rows;
+- trailing nulls: carry the last valid value forward (pandas default
+  forward fill inside interpolate);
+- leading nulls: left as NaN by interpolate, then the chained
+  ``fillna(0)`` turns them into 0.
+
+Pure window-function composition — no Python UDF, one shuffle on the
+group keys shared by all four windows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def interpolate_linear(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    value_cols: Sequence[str],
+    leading_fill: float = 0.0,
+) -> DataFrame:
+    """Interpolate nulls in each of ``value_cols`` per key group."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    pos = F.row_number().over(w)
+    df = df.withColumn("_pos", pos)
+
+    prev_w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    next_w = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    for c in value_cols:
+        v = F.col(c)
+        valid_pos = F.when(v.isNotNull(), F.col("_pos"))
+        prev_val = F.last(v, ignorenulls=True).over(prev_w)
+        prev_pos = F.last(valid_pos, ignorenulls=True).over(prev_w)
+        next_val = F.first(v, ignorenulls=True).over(next_w)
+        next_pos = F.first(valid_pos, ignorenulls=True).over(next_w)
+        frac = (F.col("_pos") - prev_pos) / (next_pos - prev_pos)
+        interp = prev_val + (next_val - prev_val) * frac
+        df = df.withColumn(
+            c,
+            F.when(v.isNotNull(), v)
+            .when(prev_pos.isNull(), F.lit(leading_fill))  # leading: fillna(0)
+            .when(next_pos.isNull(), prev_val)  # trailing: ffill
+            .otherwise(interp),
+        )
+    return df.drop("_pos")

@@ -1,0 +1,113 @@
+"""Join operators (SURVEY.md §2.3).
+
+Strategy notes for 100 TB: dimension joins are explicitly broadcast;
+the interval->grid expansion is a generator (explode) not a join, so it
+never shuffles the big side; the as-of join is a union + window trick —
+one shuffle on the partition key instead of a non-equi nested loop.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def broadcast_dim_join(
+    fact: DataFrame, dim: DataFrame, on: Sequence[str] | Column, how: str = "inner"
+) -> DataFrame:
+    """Equi join with the dimension side broadcast (SURVEY J4).
+
+    Ref analog: label-code inverse lookup at
+    ``generate_submission.py:508-509``.
+    """
+    return fact.join(F.broadcast(dim), on, how)
+
+
+def interval_grid_expand(
+    intervals: DataFrame,
+    start_col: str,
+    end_col: str,
+    step: Column,
+    out_col: str = "grid_ts",
+) -> DataFrame:
+    """Expand [start, end] intervals onto a regular grid (SURVEY J2).
+
+    Ref: ``load_data.py:34-42`` walks each interval emitting every
+    200 ms grid point. Spark-first form: ``explode(sequence(...))`` —
+    a narrow per-row generator, no shuffle, distributes perfectly.
+    ``step`` e.g. ``F.expr("interval 1 hour")`` for timestamps or a
+    numeric literal for numeric grids. Bounds inclusive (as sequence()).
+    """
+    return intervals.withColumn(
+        out_col, F.explode(F.sequence(F.col(start_col), F.col(end_col), step))
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+    strict: bool = False,
+) -> DataFrame:
+    """As-of join: each left row takes the latest right row with
+    ``right_ts <= left_ts`` (``<`` when strict) within its key group.
+
+    Spark-first: instead of a non-equi join (nested-loop at scale),
+    union both sides tagged, sort once per key on (ts, side), and
+    carry the right payload forward with ``last(..., ignorenulls)``.
+    One shuffle on ``keys``, linear work — survives 100x scale-up
+    where a range join would not. Ref analog: grid-point -> interval
+    alignment in ``load_data.py:34-42`` (SURVEY J2/J5).
+    """
+    lcols = left.columns
+    # side flag orders right rows BEFORE left rows at equal ts unless strict
+    side = 0 if not strict else 2
+    l_tag = left.select(
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_cols],
+        F.col(left_ts).alias("_ats"),
+        F.lit(1).alias("_side"),
+    )
+    r_tag = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in keys],
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        F.col(right_ts).alias("_ats"),
+        F.lit(side).alias("_side"),
+    )
+    unioned = l_tag.unionByName(r_tag)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_ats", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *lcols,
+        "_side",
+        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{c}_asof") for c in right_cols],
+    )
+    return filled.filter(F.col("_side") == 1).drop("_side")
+
+
+def range_join_bucketed(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_val: str,
+    lo_col: str,
+    hi_col: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Join fact rows to dim rows where lo <= val < hi (SURVEY §2.3 note).
+
+    The dim side (bins) is small by contract -> broadcast nested loop
+    with the range predicate; Catalyst picks BroadcastNestedLoopJoin.
+    For a big-big range join, pre-bucketize both sides on
+    floor(val/width) and equi-join on the bucket first.
+    """
+    cond = (F.col(fact_val) >= F.col(lo_col)) & (F.col(fact_val) < F.col(hi_col))
+    return fact.join(F.broadcast(dim), cond, how)
