@@ -11,9 +11,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from bbdc20_submission_spark.operators.interpolate import interpolate_linear
+from bbdc20_submission_spark.operators.joins import asof_join, interval_grid_expand
 from bbdc20_submission_spark.operators.sessionize import sessionize
+from bbdc20_submission_spark.operators.windows import (
+    context_gather_stats,
+    frame_id,
+    grid_pad,
+    trailing_moving_average,
+)
 from bbdc20_submission_spark.registry import query
 from bbdc20_submission_spark.sources.harness import load_table
+
+HOUR_MS = 3_600_000
 
 
 # --- W6: gaps-and-islands RLE (flagship; ref generate_submission.py:522-562)
@@ -63,4 +73,295 @@ def w6_sessionize_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis("start_ts").alias("start_ms"),
         F.unix_millis("end_ts").alias("end_ms"),
         F.col("n_rows").cast("long").alias("n_rows"),
+    )
+
+
+# --- W1: tumbling event-time window (ref load_data.py:122-129)
+@query(
+    "w1_tumbling_window",
+    oracle="""
+    SELECT (epoch_ms(ts) // 3600000) * 3600000 AS win_ms,
+           event_type,
+           count(*) AS n_events,
+           round(avg(value), 6) AS avg_value
+    FROM events
+    GROUP BY win_ms, event_type
+    """,
+)
+def w1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/P8: floor-key tumbling window (1 h here; 200 ms in the
+    reference) + per-window aggregation. Single shuffle on the window
+    key; map-side partial aggregation halves shuffle volume."""
+    e = load_table(spark, "events", sf_dir)
+    win = (F.floor(F.unix_millis("ts") / HOUR_MS) * HOUR_MS).alias("win_ms")
+    return e.groupBy(win, "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+
+
+# --- J2: interval -> grid expansion (ref load_data.py:34-42)
+@query(
+    "j2_interval_grid",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN event_type IS DISTINCT FROM
+                    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    THEN 1 ELSE 0 END AS chg
+        FROM events
+    ), islands AS (
+        SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS island
+        FROM flagged
+    ), runs AS (
+        SELECT user_id, island, event_type,
+               date_trunc('hour', min(ts)) AS run_start,
+               date_trunc('hour', max(ts)) AS run_end
+        FROM islands GROUP BY user_id, island, event_type
+    )
+    SELECT user_id, island, event_type,
+           epoch_ms(unnest(generate_series(run_start, run_end, INTERVAL 1 HOUR))) AS grid_ms
+    FROM runs
+    """,
+)
+def j2_interval_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: expand each RLE run onto an hourly grid via
+    explode(sequence(...)) — a narrow generator, no shuffle beyond the
+    runs' own (ref: label-interval -> 200 ms grid expansion). Bounds
+    inclusive on both engines."""
+    e = load_table(spark, "events", sf_dir)
+    runs = sessionize(
+        e, keys=["user_id"], ts_col="ts", value_col="event_type",
+        order_by=["ts", "event_id"],
+    ).select(
+        "user_id",
+        F.col("island").cast("long").alias("island"),
+        "event_type",
+        F.date_trunc("hour", "start_ts").alias("run_start"),
+        F.date_trunc("hour", "end_ts").alias("run_end"),
+    )
+    grid = interval_grid_expand(
+        runs, "run_start", "run_end", F.expr("interval 1 hour"), out_col="grid_ts"
+    )
+    return grid.select(
+        "user_id", "island", "event_type",
+        F.unix_millis("grid_ts").alias("grid_ms"),
+    )
+
+
+# --- J3/W9: multi-resolution context gathers (ref utils.py:56-76 + stats)
+@query(
+    "w9_j3_context_stats",
+    oracle="""
+    SELECT event_id,
+           round(avg(value) OVER past,  6) AS past_mean,
+           round(min(value) OVER past,  6) AS past_min,
+           round(max(value) OVER past,  6) AS past_max,
+           round(avg(value) OVER fut,   6) AS fut_mean,
+           round(min(value) OVER fut,   6) AS fut_min,
+           round(max(value) OVER fut,   6) AS fut_max
+    FROM (SELECT event_id, user_id, value, epoch_ms(ts) AS ms FROM events)
+    WINDOW
+      past AS (PARTITION BY user_id ORDER BY ms
+               RANGE BETWEEN 7200000 PRECEDING AND 1 PRECEDING),
+      fut  AS (PARTITION BY user_id ORDER BY ms
+               RANGE BETWEEN CURRENT ROW AND 7199999 FOLLOWING)
+    """,
+)
+def w9_j3_context_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/W9: per-anchor context-frame stats over value-range windows
+    [t-2h, t) and [t, t+2h). All frames share one partitionBy/orderBy
+    -> a single Window exchange (the reference's 8-resolution gather
+    runs as one shuffle the same way). Empty frames -> null."""
+    e = load_table(spark, "events", sf_dir).withColumn(
+        "ms", F.unix_millis("ts")
+    )
+    out = context_gather_stats(
+        e, keys=["user_id"], range_col="ms", value_col="value",
+        offsets=[(-2 * HOUR_MS, 0), (0, 2 * HOUR_MS)], prefix="c",
+    )
+    lo, hi = -2 * HOUR_MS, 2 * HOUR_MS
+    pt = f"c_{lo}_0".replace("-", "m")
+    ft = f"c_0_{hi}"
+    return out.select(
+        "event_id",
+        F.round(f"{pt}_mean", 6).alias("past_mean"),
+        F.round(f"{pt}_min", 6).alias("past_min"),
+        F.round(f"{pt}_max", 6).alias("past_max"),
+        F.round(f"{ft}_mean", 6).alias("fut_mean"),
+        F.round(f"{ft}_min", 6).alias("fut_min"),
+        F.round(f"{ft}_max", 6).alias("fut_max"),
+    )
+
+
+# --- J5: as-of join (ref sample<->window-label alignment)
+@query(
+    "j5_asof_join",
+    oracle="""
+    SELECT c.event_id,
+           epoch_ms(c.ts) AS ts_ms,
+           epoch_ms(e.ts) AS err_ts_ms,
+           round(e.value, 6) AS err_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON c.user_id = e.user_id AND c.ts >= e.ts
+    """,
+)
+def j5_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: as-of join — each click takes the latest error at ts <= its
+    own, per user. Implemented as union + ordered last(ignorenulls)
+    carry-forward: one shuffle, linear work; survives scale where a
+    non-equi nested-loop join would not (SURVEY J5/J2)."""
+    e = load_table(spark, "events", sf_dir)
+    clicks = e.filter(F.col("event_type") == "click")
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("err_ts"), F.col("value").alias("err_value")
+    )
+    joined = asof_join(
+        clicks, errors, keys=["user_id"], left_ts="ts", right_ts="err_ts",
+        right_cols=["err_ts", "err_value"],
+    )
+    return joined.select(
+        "event_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.unix_millis("err_ts_asof").alias("err_ts_ms"),
+        F.round("err_value_asof", 6).alias("err_value"),
+    )
+
+
+# --- W2: frame extraction (ref utils.py:10-16)
+@query(
+    "w2_frames",
+    oracle="""
+    WITH tagged AS (
+        SELECT user_id, value,
+               CAST((row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1)
+                    // 10 AS BIGINT) AS frame
+        FROM events
+    )
+    SELECT user_id, frame, count(*) AS n_rows, round(avg(value), 6) AS frame_mean
+    FROM tagged GROUP BY user_id, frame
+    """,
+)
+def w2_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2+A5: non-overlapping 10-row frames per user (win=shift, cut=0
+    keeps the ragged tail — the main-path configuration at
+    generate_submission.py:374) + per-frame mean."""
+    e = load_table(spark, "events", sf_dir)
+    framed = frame_id(
+        e, keys=["user_id"], order_by=["ts", "event_id"], win_size=10, cut=0
+    )
+    return framed.groupBy("user_id", "frame").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.avg("value"), 6).alias("frame_mean"),
+    )
+
+
+# --- W3: trailing moving average (ref utils.py:4-7)
+@query(
+    "w3_moving_average",
+    oracle="""
+    WITH m AS (
+        SELECT event_id,
+               avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS mavg,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    )
+    SELECT event_id, round(mavg, 6) AS mavg FROM m WHERE rn >= 5
+    """,
+)
+def w3_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: trailing 5-row moving average, numpy-'valid' semantics
+    (first n-1 rows dropped). The built-in window agg is already
+    incremental — the reference's cumsum trick is the engine's job."""
+    e = load_table(spark, "events", sf_dir)
+    out = trailing_moving_average(
+        e, keys=["user_id"], order_by=["ts", "event_id"], value_col="value", n=5
+    )
+    return out.select("event_id", F.round("mavg", 6).alias("mavg"))
+
+
+# --- W7: linear interpolation of nulls (ref load_data.py:95)
+@query(
+    "w7_interpolate",
+    oracle="""
+    WITH base AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
+        FROM events
+    ), filled AS (
+        SELECT event_id, v, pos,
+               last_value(v IGNORE NULLS) OVER wp AS pv,
+               last_value(CASE WHEN v IS NOT NULL THEN pos END IGNORE NULLS) OVER wp AS pp,
+               first_value(v IGNORE NULLS) OVER wf AS nv,
+               first_value(CASE WHEN v IS NOT NULL THEN pos END IGNORE NULLS) OVER wf AS np
+        FROM base
+        WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_id,
+           round(CASE WHEN v IS NOT NULL THEN v
+                      WHEN pp IS NULL THEN 0.0
+                      WHEN np IS NULL THEN pv
+                      ELSE pv + (nv - pv) * (pos - pp) / (np - pp)
+                 END, 6) AS value_interp
+    FROM filled
+    """,
+)
+def w7_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7: pandas-1.0 ``interpolate(linear).fillna(0)`` semantics —
+    interior nulls linear in row position, trailing nulls ffilled,
+    leading nulls -> 0 (ref load_data.py:95). Nulls synthesized by
+    masking 'error' rows. Pure window composition, no UDF."""
+    e = load_table(spark, "events", sf_dir).withColumn(
+        "v", F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value"))
+    )
+    out = interpolate_linear(
+        e, keys=["user_id"], order_by=["ts", "event_id"], value_cols=["v"]
+    )
+    return out.select("event_id", F.round("v", 6).alias("value_interp"))
+
+
+# --- W8: dense grid + padding (ref utils.py:66-73)
+@query(
+    "w8_grid_pad",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, date_trunc('day', ts) AS day,
+               sum(value) AS total
+        FROM events GROUP BY user_id, day
+    ), spans AS (
+        SELECT user_id, min(day) AS lo, max(day) AS hi FROM daily GROUP BY user_id
+    ), grid AS (
+        SELECT user_id,
+               unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+        FROM spans
+    )
+    SELECT g.user_id, epoch_ms(g.day) AS day_ms,
+           round(coalesce(d.total, 0.0), 6) AS total
+    FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+    """,
+)
+def w8_grid_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8: per-key dense daily grid; missing slots padded with 0
+    (ref missing-window padding). Grid generated per key from its own
+    span (sequence+explode) — no global grid materialization."""
+    e = load_table(spark, "events", sf_dir)
+    daily = (
+        e.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.sum("value").alias("total"))
+    )
+    padded = grid_pad(
+        daily, keys=["user_id"], ts_col="day",
+        step=F.expr("interval 1 day"), value_cols=["total"], pad_value=0.0,
+    )
+    return padded.select(
+        "user_id",
+        F.unix_millis("day").alias("day_ms"),
+        F.round("total", 6).alias("total"),
     )
