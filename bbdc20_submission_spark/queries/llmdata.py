@@ -1,0 +1,307 @@
+"""LLM-training-data pipeline declared queries (SURVEY §7 M4 /
+BASELINE.json north star): dedup, similarity search, text analysis,
+multimodal plumbing — over `documents` and `embeddings`.
+
+Engine-specific hash functions (xxhash64) make MinHash/SimHash/LSH
+non-SQL-expressible -> rows-only checks + property tests in
+tests/test_dedup.py; everything else is oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bbdc20_submission_spark.operators.dedup import (
+    exact_dedup_groups,
+    jaccard_pairs,
+    minhash_lsh_candidates,
+    simhash_near_dups,
+    word_shingles,
+)
+from bbdc20_submission_spark.operators.multimodal import (
+    extract_features,
+    frame_sample_stub,
+    synthetic_media,
+)
+from bbdc20_submission_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    embedding_near_dups,
+)
+from bbdc20_submission_spark.operators.text import (
+    STOPWORDS,
+    TOKEN_PATTERN,
+    language_id,
+    quality_score,
+    rolling_fingerprint,
+    text_stats,
+    ws_tokens,
+)
+from bbdc20_submission_spark.registry import query
+from bbdc20_submission_spark.sources.harness import load_table
+
+
+# ------------------------------------------------------------------- dedup
+
+@query(
+    "d1_exact_dedup",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           count(*) AS n_copies,
+           min(doc_id) AS keep_id
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: shuffle 16-byte content hashes, never text."""
+    d = load_table(spark, "documents", sf_dir)
+    return exact_dedup_groups(d)
+
+
+@query("d8_minhash_lsh")
+def d8_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates verified by exact shingle
+    Jaccard. Rows-only (xxhash64 is engine-specific); accuracy is
+    property-tested on planted near-dups in tests/test_dedup.py."""
+    d = load_table(spark, "documents", sf_dir)
+    cands = minhash_lsh_candidates(d, shingle_k=3, num_hashes=16, bands=4)
+    return jaccard_pairs(d, cands, shingle_k=3).filter(F.col("jaccard") >= 0.5)
+
+
+@query("d9_simhash_near_dups")
+def d9_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 64-bit near-dup pairs (banded hamming<=6). Rows-only."""
+    d = load_table(spark, "documents", sf_dir)
+    return simhash_near_dups(d, max_hamming=6, bands=4)
+
+
+@query(
+    "d7_ngram_jaccard",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_distinct(str_split(text, ' ')) AS ws FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_filter(a.ws, x -> list_contains(b.ws, x)))
+                 / len(list_distinct(list_concat(a.ws, b.ws))), 6) AS jaccard
+    FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def d7_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-set Jaccard similarity for consecutive-id pairs (linear
+    candidate generation; the LSH operators generate real candidates)."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select(
+        "doc_id", F.array_distinct(ws_tokens("text")).alias("ws")
+    )
+    a = toks.select(F.col("doc_id").alias("id_a"), F.col("ws").alias("wa"))
+    b = toks.select(F.col("doc_id").alias("id_b"), F.col("ws").alias("wb"))
+    inter = F.size(F.array_intersect("wa", "wb"))
+    union = F.size(F.array_union("wa", "wb"))
+    return (
+        a.join(b, F.col("id_b") == F.col("id_a") + 1)
+        .select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------- text ops
+
+@query(
+    "d2_text_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS stat_n_chars,
+           CAST(len(str_split(text, ' ')) AS BIGINT) AS stat_n_tokens,
+           round(length(text) / len(str_split(text, ' ')), 6) AS stat_avg_token_len,
+           round((length(text)
+                  - length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                  - length(regexp_replace(text, '[^0-9]', '', 'g'))
+                  - length(regexp_replace(text, '[^ ]', '', 'g')))
+                 / length(text), 6) AS stat_punct_ratio,
+           round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                 / length(text), 6) AS stat_digit_ratio,
+           round(len(list_filter(str_split(text, ' '),
+                     x -> x IN ('the','a','of','and','is','to','in','that')))
+                 / len(str_split(text, ' ')), 6) AS stat_stopword_ratio
+    FROM documents
+    """,
+)
+def d2_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring stats block (lengths, ratios, stopwords)."""
+    d = load_table(spark, "documents", sf_dir)
+    return text_stats(d).select(
+        "doc_id",
+        "stat_n_chars",
+        "stat_n_tokens",
+        "stat_avg_token_len",
+        "stat_punct_ratio",
+        "stat_digit_ratio",
+        "stat_stopword_ratio",
+    )
+
+
+@query(
+    "d3_quality_score",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id,
+               len(str_split(text, ' ')) AS n_tokens,
+               length(text) AS n_chars,
+               length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
+               length(text)
+                 - length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                 - length(regexp_replace(text, '[^0-9]', '', 'g'))
+                 - length(regexp_replace(text, '[^ ]', '', 'g')) AS punct,
+               len(list_filter(str_split(text, ' '),
+                   x -> x IN ('the','a','of','and','is','to','in','that'))) AS sw
+        FROM documents
+    )
+    SELECT doc_id,
+           round(least(n_tokens / 32.0, 1.0) * 0.4
+                 + least(sw / n_tokens * 4.0, 1.0) * 0.3
+                 + (1.0 - least(punct / n_chars * 4.0, 1.0)) * 0.2
+                 + (1.0 - least(digits / n_chars * 4.0, 1.0)) * 0.1, 6) AS quality
+    FROM s
+    """,
+)
+def d3_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document quality score in [0,1]."""
+    d = load_table(spark, "documents", sf_dir)
+    # quality_score rounds stat ratios first; recompute here unrounded
+    # to match the oracle's single-rounding formula.
+    stats = text_stats(d)
+    score = (
+        F.least(F.col("stat_n_tokens") / 32.0, F.lit(1.0)) * 0.4
+        + F.least(F.col("stat_stopword_ratio") * 4.0, F.lit(1.0)) * 0.3
+        + (1.0 - F.least(F.col("stat_punct_ratio") * 4.0, F.lit(1.0))) * 0.2
+        + (1.0 - F.least(F.col("stat_digit_ratio") * 4.0, F.lit(1.0))) * 0.1
+    )
+    return stats.select("doc_id", F.round(score, 6).alias("quality"))
+
+
+@query(
+    "d4_language_id",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id,
+               len(list_filter(str_split(text,' '), x -> x IN {tuple(STOPWORDS['de'])})) AS h_de,
+               len(list_filter(str_split(text,' '), x -> x IN {tuple(STOPWORDS['en'])})) AS h_en,
+               len(list_filter(str_split(text,' '), x -> x IN {tuple(STOPWORDS['es'])})) AS h_es,
+               len(list_filter(str_split(text,' '), x -> x IN {tuple(STOPWORDS['fr'])})) AS h_fr,
+               len(list_filter(str_split(text,' '), x -> x IN {tuple(STOPWORDS['zh'])})) AS h_zh
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN h_de = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'de'
+                WHEN h_en = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
+                WHEN h_es = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
+                WHEN h_fr = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
+                ELSE 'zh' END AS lang_pred
+    FROM h
+    """,
+)
+def d4_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic stopword-vote language ID; ties -> alphabetical."""
+    d = load_table(spark, "documents", sf_dir)
+    return language_id(d).select("doc_id", "lang_pred")
+
+
+@query(
+    "d5_token_count_bpe",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(str_split(text, ' ')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS BIGINT) AS bpe_tokens
+    FROM documents
+    """,
+)
+def d5_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish regex modes."""
+    d = load_table(spark, "documents", sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(ws_tokens("text")).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(TOKEN_PATTERN), 0))
+        .cast("long")
+        .alias("bpe_tokens"),
+    )
+
+
+@query("d6_fingerprint")
+def d6_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial hash fingerprint per document (rows-only:
+    xxhash64 is engine-specific; determinism property-tested)."""
+    d = load_table(spark, "documents", sf_dir)
+    return d.select(
+        "doc_id", rolling_fingerprint(ws_tokens("text")).alias("fingerprint")
+    )
+
+
+# ------------------------------------------------------------- similarity
+
+@query(
+    "s1_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS match_id,
+               list_cosine_similarity(q.qv, c.embedding) AS sim
+        FROM embeddings c, q
+        WHERE c.vec_id <> q.query_id
+    ), ranked AS (
+        SELECT query_id, match_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, match_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, match_id, round(sim, 6) AS cosine_sim, rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def s1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 for query vectors (vec_id < 5) —
+    the exact baseline; broadcast queries, one corpus pass."""
+    em = load_table(spark, "embeddings", sf_dir)
+    return cosine_topk_bruteforce(em, em.filter(F.col("vec_id") < 5), k=3)
+
+
+@query("s2_cosine_topk_lsh")
+def s2_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (scale path). Rows-only; recall
+    vs brute force is asserted in tests/test_similarity.py."""
+    em = load_table(spark, "embeddings", sf_dir)
+    return cosine_topk_lsh(em, em.filter(F.col("vec_id") < 5), dim=64, k=3, n_planes=6)
+
+
+@query("s3_embedding_near_dups")
+def s3_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (LSH + exact verify)."""
+    em = load_table(spark, "embeddings", sf_dir)
+    return embedding_near_dups(em, threshold=0.9, n_planes=10, dim=64)
+
+
+# ------------------------------------------------------------- multimodal
+
+@query("m1_media_features")
+def m1_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column feature extraction via mapInPandas (decode stubbed
+    with a deterministic fake; Spark plumbing real). Emits scalarized
+    digest per media blob."""
+    media = synthetic_media(spark, n=64)
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6).alias(
+            "feature_sum"
+        ),
+        F.round(F.element_at("feature", 1), 6).alias("feature_0"),
+    )
+
+
+@query("m2_video_frame_sample")
+def m2_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-offset sampling (sequence+explode generator)."""
+    media = synthetic_media(spark, n=64)
+    return frame_sample_stub(media, every_ms=500)

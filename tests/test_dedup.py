@@ -1,0 +1,72 @@
+"""Property tests for the non-SQL-expressible dedup operators:
+planted near-duplicates must be found; unrelated docs must not be."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from bbdc20_submission_spark.operators.dedup import (
+    exact_dedup_groups,
+    jaccard_pairs,
+    minhash_lsh_candidates,
+    simhash_near_dups,
+)
+
+VOCAB = [f"word{i}" for i in range(500)]
+
+
+def _mk_docs(spark, n=60, words=60, mutate=3, seed=11):
+    """n base docs + one near-dup per base (mutate words changed)."""
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        toks = [rng.choice(VOCAB) for _ in range(words)]
+        rows.append((i, " ".join(toks)))
+        near = list(toks)
+        for _ in range(mutate):
+            near[rng.randrange(words)] = rng.choice(VOCAB)
+        rows.append((i + 10_000, " ".join(near)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y z")], "doc_id long, text string"
+    )
+    out = {r["keep_id"]: r["n_copies"] for r in exact_dedup_groups(df).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark):
+    docs = _mk_docs(spark)
+    cands = minhash_lsh_candidates(docs, shingle_k=3, num_hashes=16, bands=8)
+    verified = jaccard_pairs(docs, cands, shingle_k=3).filter(
+        F.col("jaccard") >= 0.5
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in verified.collect()}
+    planted = {(i, i + 10_000) for i in range(60)}
+    recall = len(pairs & planted) / len(planted)
+    assert recall >= 0.9, f"minhash recall {recall}"
+    # verified pairs are near-dups only: no cross-base false positives
+    assert all(b - a == 10_000 for a, b in pairs)
+
+
+def test_simhash_finds_planted_near_dups(spark):
+    docs = _mk_docs(spark, n=30, words=80, mutate=2)
+    out = simhash_near_dups(docs, max_hamming=12, bands=4)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    planted = {(i, i + 10_000) for i in range(30)}
+    recall = len(pairs & planted) / len(planted)
+    assert recall >= 0.7, f"simhash recall {recall}"
+
+
+def test_minhash_no_false_positives_on_disjoint_docs(spark):
+    rows = [
+        (i, " ".join(f"w{i}_{j}" for j in range(40))) for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cands = minhash_lsh_candidates(docs, num_hashes=16, bands=4)
+    verified = jaccard_pairs(docs, cands).filter(F.col("jaccard") >= 0.5)
+    assert verified.count() == 0

@@ -1,0 +1,68 @@
+"""Property tests for similarity search: LSH recall vs the exact
+baseline, and planted embedding near-dups."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from bbdc20_submission_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    embedding_near_dups,
+)
+
+DIM = 16
+
+
+def _clustered_vectors(n_clusters=8, per_cluster=12, noise=0.05, seed=3):
+    rng = random.Random(seed)
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        center = [rng.gauss(0, 1) for _ in range(DIM)]
+        norm = math.sqrt(sum(x * x for x in center))
+        center = [x / norm for x in center]
+        for _ in range(per_cluster):
+            v = [x + rng.gauss(0, noise) for x in center]
+            rows.append((vid, [float(x) for x in v], c))
+            vid += 1
+    return rows
+
+
+def test_bruteforce_topk_is_same_cluster(spark):
+    rows = _clustered_vectors()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = cosine_topk_bruteforce(df, df.filter("vec_id < 5"), k=3)
+    labels = {r["vec_id"]: r["label"] for r in df.collect()}
+    for r in out.collect():
+        assert labels[r["match_id"]] == labels[r["query_id"]]
+        assert r["cosine_sim"] > 0.9
+
+
+def test_lsh_topk_recall(spark):
+    rows = _clustered_vectors(per_cluster=20)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    queries = df.filter("vec_id < 8")
+    exact = cosine_topk_bruteforce(df, queries, k=3)
+    approx = cosine_topk_lsh(df, queries, dim=DIM, k=3, n_planes=4)
+    e = {(r["query_id"], r["match_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["match_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, f"lsh recall {recall}"
+
+
+def test_embedding_near_dups_planted(spark):
+    rng = random.Random(5)
+    base = []
+    for i in range(20):
+        v = [rng.gauss(0, 1) for _ in range(DIM)]
+        base.append((i, [float(x) for x in v], 0))
+        # planted near-duplicate: tiny perturbation
+        base.append((i + 1000, [float(x + rng.gauss(0, 0.01)) for x in v], 0))
+    df = spark.createDataFrame(base, "vec_id long, embedding array<float>, label int")
+    out = embedding_near_dups(df, threshold=0.98, n_planes=6, dim=DIM)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    planted = {(i, i + 1000) for i in range(20)}
+    recall = len(pairs & planted) / len(planted)
+    assert recall >= 0.7, f"near-dup recall {recall}"
