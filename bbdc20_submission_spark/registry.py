@@ -31,7 +31,17 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register a declared query; ``oracle=None`` -> rows-only check."""
 
     def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # Python-UDF queries need the package importable on workers
+            # regardless of the driver process's cwd/sys.path.
+            from bbdc20_submission_spark.session import ensure_package_shipped
+
+            ensure_package_shipped(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLE[name] = " ".join(oracle.split())
         return fn

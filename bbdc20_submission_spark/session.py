@@ -9,8 +9,34 @@ session timezone so timestamp semantics match the DuckDB oracle.
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import SparkSession
+
+_PKG_DIR = os.path.dirname(os.path.abspath(__file__))
+
+
+def ensure_package_shipped(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    Pandas-UDF closures reference module-level symbols, which
+    cloudpickle serializes BY REFERENCE — workers must import the
+    package. When the driver imports us from an arbitrary cwd (the
+    harness does), the repo dir is not on the workers' PYTHONPATH, so
+    ship the package as a zip via addPyFile (idempotent per session).
+    """
+    jsc = spark.sparkContext
+    if getattr(jsc, "_bbdc_pkg_shipped", False):
+        return
+    staging = tempfile.mkdtemp(prefix="bbdc_pkg_")
+    zip_base = os.path.join(staging, "bbdc20_submission_spark_pkg")
+    archive = shutil.make_archive(
+        zip_base, "zip", root_dir=os.path.dirname(_PKG_DIR),
+        base_dir=os.path.basename(_PKG_DIR),
+    )
+    jsc.addPyFile(archive)
+    jsc._bbdc_pkg_shipped = True
 
 
 def get_spark(app_name: str = "bbdc20_submission_spark") -> SparkSession:
@@ -25,7 +51,10 @@ def get_spark(app_name: str = "bbdc20_submission_spark") -> SparkSession:
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", "32")
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"),
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

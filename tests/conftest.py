@@ -13,6 +13,7 @@ def spark():
     from bbdc20_submission_spark.session import get_spark
 
     os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+    os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8")
     spark = get_spark("tests")
     yield spark
 
