@@ -1,0 +1,103 @@
+"""Streaming operators driven by a file source into a memory sink;
+results cross-checked against the equivalent batch computation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bbdc20_submission_spark.sources.harness import load_table
+from bbdc20_submission_spark.streaming.windows import (
+    stream_rle_islands,
+    stream_session_windows,
+    stream_tumbling_agg,
+)
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark, sf_dir, tmp_path_factory):
+    # re-stage events as a timestamp-typed parquet dir for readStream
+    staged = str(tmp_path_factory.mktemp("events_stream"))
+    batch = load_table(spark, "events", sf_dir)
+    batch.write.mode("overwrite").parquet(staged)
+    schema = spark.read.parquet(staged).schema
+    return (
+        spark.readStream.schema(schema).parquet(staged),
+        spark.read.parquet(staged),
+    )
+
+
+def _run_to_memory(df, name):
+    q = (
+        df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_stream_tumbling_matches_batch(spark, events_stream):
+    stream, batch = events_stream
+    _run_to_memory(stream_tumbling_agg(stream), "t_tumbling")
+    got = {
+        (r["win_start"], r["event_type"]): (r["n_events"], r["avg_value"])
+        for r in spark.sql("SELECT * FROM t_tumbling").collect()
+    }
+    want = {
+        (r["win_start"], r["event_type"]): (r["n_events"], r["avg_value"])
+        for r in (
+            batch.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.avg("value"), 6).alias("avg_value"),
+            )
+            .select(F.col("win.start").alias("win_start"), "event_type", "n_events", "avg_value")
+            .collect()
+        )
+    }
+    # watermark may hold back the open tail; everything emitted must match
+    assert len(got) > 0
+    for k, v in got.items():
+        assert want[k] == v
+
+
+def test_stream_sessions_nonempty_and_bounded(spark, events_stream):
+    stream, batch = events_stream
+    _run_to_memory(stream_session_windows(stream), "t_sessions")
+    rows = spark.sql("SELECT * FROM t_sessions").collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["sess_end"] >= r["sess_start"]
+        assert r["n_events"] >= 1
+
+
+def test_stream_rle_matches_batch_islands(spark, events_stream):
+    stream, batch = events_stream
+    _run_to_memory(stream_rle_islands(stream), "t_rle")
+    got = {
+        (r["user_id"], r["start_ts"], r["end_ts"], r["event_type"], r["n_rows"])
+        for r in spark.sql("SELECT * FROM t_rle").collect()
+    }
+    from bbdc20_submission_spark.operators.sessionize import sessionize
+
+    want_all = {
+        (r["user_id"], r["start_ts"], r["end_ts"], r["event_type"], r["n_rows"])
+        for r in sessionize(
+            batch, ["user_id"], "ts", "event_type", order_by=["ts", "event_id"]
+        ).collect()
+    }
+    # stream emits only FINISHED runs (the last run per key stays open)
+    assert len(got) > 0
+    assert got <= want_all
+    # every batch run except each key's final one must be emitted
+    finals = {}
+    for uid, s, e, et, n in want_all:
+        if uid not in finals or s > finals[uid][1]:
+            finals[uid] = (uid, s, e, et, n)
+    expected_closed = want_all - {
+        (u, s, e, et, n) for (u, (u2, s, e, et, n)) in finals.items()
+    }
+    assert got == expected_closed
