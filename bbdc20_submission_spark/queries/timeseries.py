@@ -365,3 +365,139 @@ def w8_grid_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis("day").alias("day_ms"),
         F.round("total", 6).alias("total"),
     )
+
+
+# --- W4/A5/A6: downsample-by-frame-aggregate family (ref utils.py:19-45)
+@query(
+    "w4_downsample_frames",
+    oracle="""
+    WITH tagged AS (
+        SELECT user_id, value,
+               CAST((row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1)
+                    // 10 AS BIGINT) AS frame
+        FROM events
+    )
+    SELECT user_id, frame,
+           round(avg(value), 6)                          AS mean_v,
+           round(avg(abs(value - 100.0)), 6)             AS abs_mean_v,
+           round(max(abs(value - 100.0)), 6)             AS abs_max_v,
+           round(arg_max(value - 100.0, abs(value - 100.0)), 6) AS signed_abs_max_v
+    FROM tagged GROUP BY user_id, frame
+    """,
+)
+def w4_downsample_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 dispatch (utils.py:19-35): mean / abs-mean / abs-max /
+    signed-abs-max per 10-row frame — covers A5 (mean-abs) and A6
+    (signed abs-max, _abs_max_orig utils.py:38-45). Values centered at
+    100 so both signs occur."""
+    from bbdc20_submission_spark.operators.aggregates import signed_abs_max
+
+    e = load_table(spark, "events", sf_dir)
+    framed = frame_id(
+        e, keys=["user_id"], order_by=["ts", "event_id"], win_size=10, cut=0
+    )
+    centered = F.col("value") - 100.0
+    return framed.groupBy("user_id", "frame").agg(
+        F.round(F.avg("value"), 6).alias("mean_v"),
+        F.round(F.avg(F.abs(centered)), 6).alias("abs_mean_v"),
+        F.round(F.max(F.abs(centered)), 6).alias("abs_max_v"),
+        F.round(signed_abs_max(centered), 6).alias("signed_abs_max_v"),
+    )
+
+
+# --- O3: first-k / last-k rows per group (ref seqs[:k], seqs[-k:])
+@query(
+    "o3_head_tail",
+    oracle="""
+    WITH tagged AS (
+        SELECT user_id, event_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts ASC,  event_id ASC)  AS rn_a,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events
+    )
+    SELECT user_id, event_id, round(value, 6) AS value,
+           CASE WHEN rn_a <= 3 THEN 'head' ELSE 'tail' END AS part
+    FROM tagged WHERE rn_a <= 3 OR rn_d <= 3
+    """,
+)
+def o3_head_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: first-3/last-3 rows per key (generate_submission.py:18 head/
+    tail slicing). A row in both sets (short groups) is tagged 'head'
+    in both engines by the same CASE priority."""
+    e = load_table(spark, "events", sf_dir)
+    asc = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    desc = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    tagged = e.withColumn("rn_a", F.row_number().over(asc)).withColumn(
+        "rn_d", F.row_number().over(desc)
+    )
+    return (
+        tagged.filter((F.col("rn_a") <= 3) | (F.col("rn_d") <= 3))
+        .select(
+            "user_id",
+            "event_id",
+            F.round("value", 6).alias("value"),
+            F.when(F.col("rn_a") <= 3, "head").otherwise("tail").alias("part"),
+        )
+    )
+
+
+# --- A1/§2.6: dropDuplicates certification
+@query(
+    "a1_drop_duplicates",
+    oracle="""
+    SELECT user_id, event_type, min(event_id) AS first_event
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def a1_drop_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicates with a deterministic representative: min event_id
+    per (user, type) — the order-stable form of keep-first dedup."""
+    e = load_table(spark, "events", sf_dir)
+    return e.groupBy("user_id", "event_type").agg(
+        F.min("event_id").alias("first_event")
+    )
+
+
+# --- A7/A8: the four scaler modes in one query (load_data.py:98-114)
+@query(
+    "a8_scaler_modes",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, event_id, value,
+               avg(value)        OVER (PARTITION BY user_id) AS mu,
+               stddev_pop(value) OVER (PARTITION BY user_id) AS sigma,
+               min(value)        OVER (PARTITION BY user_id) AS lo,
+               max(value)        OVER (PARTITION BY user_id) AS hi,
+               quantile_cont(value, 0.5)  OVER (PARTITION BY user_id) AS med,
+               quantile_cont(value, 0.15) OVER (PARTITION BY user_id) AS q15,
+               quantile_cont(value, 0.85) OVER (PARTITION BY user_id) AS q85
+        FROM events
+    )
+    SELECT event_id,
+           round((value - mu) / sigma, 6)      AS standard,
+           round(value - mu, 6)                AS zero_mean,
+           round((value - lo) / (hi - lo), 6)  AS minmax,
+           round((value - med) / (q85 - q15), 6) AS robust
+    FROM s
+    """,
+)
+def a8_scaler_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: per-trial standard/zero-mean/minmax/robust(15-85) scaling
+    (load_data.py:98-114); one shared partition window, exact
+    percentiles."""
+    from bbdc20_submission_spark.operators.scalers import scale_group
+
+    e = load_table(spark, "events", sf_dir)
+    out = scale_group(e, ["user_id"], ["value"], mode="standard", suffix="_std")
+    out = scale_group(out, ["user_id"], ["value"], mode="zero_mean", suffix="_zm")
+    out = scale_group(out, ["user_id"], ["value"], mode="minmax", suffix="_mm")
+    out = scale_group(
+        out, ["user_id"], ["value"], mode="robust", q_low=0.15, q_high=0.85, suffix="_rb"
+    )
+    return out.select(
+        "event_id",
+        F.round("value_std", 6).alias("standard"),
+        F.round("value_zm", 6).alias("zero_mean"),
+        F.round("value_mm", 6).alias("minmax"),
+        F.round("value_rb", 6).alias("robust"),
+    )
