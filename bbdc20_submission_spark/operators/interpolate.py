@@ -35,7 +35,7 @@ def interpolate_linear(
     prev_w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     next_w = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
 
-    for c in value_cols:
+    def interp_expr(c: str):
         v = F.col(c)
         valid_pos = F.when(v.isNotNull(), F.col("_pos"))
         prev_val = F.last(v, ignorenulls=True).over(prev_w)
@@ -44,11 +44,18 @@ def interpolate_linear(
         next_pos = F.first(valid_pos, ignorenulls=True).over(next_w)
         frac = (F.col("_pos") - prev_pos) / (next_pos - prev_pos)
         interp = prev_val + (next_val - prev_val) * frac
-        df = df.withColumn(
-            c,
+        return (
             F.when(v.isNotNull(), v)
             .when(prev_pos.isNull(), F.lit(leading_fill))  # leading: fillna(0)
             .when(next_pos.isNull(), prev_val)  # trailing: ffill
-            .otherwise(interp),
+            .otherwise(interp)
+            .alias(c)
         )
-    return df.drop("_pos")
+
+    # single select: all columns interpolated in one projection so the
+    # shared windows are planned once (withColumn chains re-analyze
+    # the plan per column)
+    out_cols = [
+        interp_expr(c) if c in value_cols else F.col(c) for c in df.columns
+    ]
+    return df.select(*out_cols).drop("_pos")

@@ -181,17 +181,19 @@ def _onehot_label_cols(df: DataFrame, left_dim, right_dim) -> tuple[DataFrame, l
     la_action/ra_action (LabelBinarizer semantics, :163-168)."""
     left_classes = [r["action"] for r in left_dim.orderBy("code").collect()]
     right_classes = [r["action"] for r in right_dim.orderBy("code").collect()]
-    cols = []
-    out = df
-    for i, c in enumerate(left_classes):
-        name = f"oh_l{i}"
-        out = out.withColumn(name, (F.col("la_action") == c).cast("double"))
-        cols.append(name)
-    for i, c in enumerate(right_classes):
-        name = f"oh_r{i}"
-        out = out.withColumn(name, (F.col("ra_action") == c).cast("double"))
-        cols.append(name)
-    return out, cols
+    # one select, not a withColumn chain (each withColumn re-analyzes
+    # the whole plan — quadratic in column count)
+    exprs = [
+        (F.col("la_action") == c).cast("double").alias(f"oh_l{i}")
+        for i, c in enumerate(left_classes)
+    ] + [
+        (F.col("ra_action") == c).cast("double").alias(f"oh_r{i}")
+        for i, c in enumerate(right_classes)
+    ]
+    cols = [f"oh_l{i}" for i in range(len(left_classes))] + [
+        f"oh_r{i}" for i in range(len(right_classes))
+    ]
+    return df.select("*", *exprs), cols
 
 
 def _fit_ols(df: DataFrame, feature_cols: list[str], target_col: str):
@@ -422,40 +424,50 @@ def mocap_gather_features(
         ],
     )
 
-    def stat_cols(gi: int):
-        zero = F.col("_padded") == 1
-        cols = []
-        # reference stat order: mean, mean_diff, start_end_diff, max, min
-        for stat in ("mean", "meandiff", "sediff", "max", "min"):
-            for c in value_cols:
-                if stat == "mean":
-                    e = F.col(f"{c}_sum") / F.col("_n")
-                elif stat == "meandiff":
-                    e = (F.col(f"{c}_last") - F.col(f"{c}_first")) / (F.col("_n") - 1)
-                elif stat == "sediff":
-                    e = F.col(f"{c}_tail7") - F.col(f"{c}_head7")
-                elif stat == "max":
-                    e = F.col(f"{c}_max")
-                else:
-                    e = F.col(f"{c}_min")
-                # NaN-pad + nan_to_num: zero the whole gather when padded
-                # or when the stat itself is NaN/null (e.g. n=1 meandiff)
-                e = F.when(zero, 0.0).otherwise(
-                    F.coalesce(F.nanvl(e, F.lit(0.0)), F.lit(0.0))
-                )
-                cols.append(e.alias(f"g{gi}_{stat}_{c}"))
-        return cols
+    # pack the 5x|channels| stats of a (anchor, gather) row into one
+    # array, then ONE conditional aggregation per gather — no 8-way
+    # self-join (which would recompute the upstream agg per branch).
+    zero = F.col("_padded") == 1
+    stat_exprs = []
+    stat_names = []
+    # reference stat order: mean, mean_diff, start_end_diff, max, min
+    for stat in ("mean", "meandiff", "sediff", "max", "min"):
+        for c in value_cols:
+            if stat == "mean":
+                e = F.col(f"{c}_sum") / F.col("_n")
+            elif stat == "meandiff":
+                e = (F.col(f"{c}_last") - F.col(f"{c}_first")) / (F.col("_n") - 1)
+            elif stat == "sediff":
+                e = F.col(f"{c}_tail7") - F.col(f"{c}_head7")
+            elif stat == "max":
+                e = F.col(f"{c}_max")
+            else:
+                e = F.col(f"{c}_min")
+            # NaN-pad + nan_to_num: zero the whole gather when padded or
+            # when the stat itself is NaN/null (e.g. n=1 meandiff)
+            e = F.when(zero, 0.0).otherwise(
+                F.coalesce(F.nanvl(e, F.lit(0.0)), F.lit(0.0))
+            )
+            stat_exprs.append(e)
+            stat_names.append(f"{stat}_{c}")
 
-    per_gather = [
-        grp.filter(F.col("g") == gi).select(
-            "subject", "trial", "win_end", *stat_cols(gi)
-        )
-        for gi in range(len(gathers))
-    ]
-    out = per_gather[0]
-    for p in per_gather[1:]:
-        out = out.join(p, ["subject", "trial", "win_end"], "inner")
-    return out
+    packed = grp.select(
+        "subject", "trial", "win_end", "g", F.array(*stat_exprs).alias("_st")
+    )
+    agg = packed.groupBy("subject", "trial", "win_end").agg(
+        *[
+            F.max(F.when(F.col("g") == gi, F.col("_st"))).alias(f"_st{gi}")
+            for gi in range(len(gathers))
+        ]
+    )
+    return agg.select(
+        "subject", "trial", "win_end",
+        *[
+            F.element_at(f"_st{gi}", j + 1).alias(f"g{gi}_{n}")
+            for gi in range(len(gathers))
+            for j, n in enumerate(stat_names)
+        ],
+    )
 
 
 def emg_frame_features(

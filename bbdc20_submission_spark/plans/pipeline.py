@@ -39,8 +39,10 @@ def run_pipeline(
     emg_p = bbdc.prepare_emg(emg)
     mocap_p = bbdc.prepare_mocap(mocap)
 
-    # stage 5: channel repair (train side only, as in the reference)
-    emg_r = bbdc.repair_channels(emg_p, targets, left_dim, right_dim)
+    # stage 5: channel repair (train side only, as in the reference);
+    # cached — consumed by the scaler fit, the feature stage and the
+    # training collect
+    emg_r = bbdc.repair_channels(emg_p, targets, left_dim, right_dim).cache()
 
     # stage 6: per-subject robust scaler stats
     scaler_stats = bbdc.subject_scaler_stats(emg_r)
