@@ -1,0 +1,71 @@
+"""Source/sink certification: the native CSV contracts plus the other
+format connectors the engine ships (json/orc/parquet roundtrips).
+JDBC/Kafka/Delta need jars not present in this environment — their
+absence is intentional (import-gated at deployment)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from bbdc20_submission_spark.sources.native import (
+    load_labels,
+    load_sensor_csv_dir,
+    write_submission_csv,
+)
+
+
+def test_label_csv_roundtrip(spark, tmp_path):
+    p = tmp_path / "labels.csv"
+    p.write_text(
+        "s01t01.la,0.0,1.2,la-lift\n"
+        "s01t01.la,1.2,3.4,la-nothing\n"
+        "s02t03.ra,0.0,2.0,ra-stir\n"
+    )
+    out = load_labels(spark, str(p)).collect()
+    rows = {(r["subject"], r["trial"], r["arm"], r["start"], r["end"], r["action"]) for r in out}
+    assert ("s01", "t01", "la", 0.0, 1.2, "la-lift") in rows
+    assert ("s02", "t03", "ra", 0.0, 2.0, "ra-stir") in rows
+
+
+def test_sensor_dir_scan_keys_from_filenames(spark, tmp_path):
+    d = tmp_path / "emg"
+    d.mkdir()
+    for key in ["s01t01", "s02t05"]:
+        (d / f"{key}.csv").write_text("ts,c0,c1\n0.0,1.0,2.0\n0.1,3.0,4.0\n")
+    df = load_sensor_csv_dir(spark, str(d))
+    got = {(r["subject"], r["trial"]) for r in df.select("subject", "trial").distinct().collect()}
+    assert got == {("s01", "t01"), ("s02", "t05")}
+    assert df.count() == 4
+
+
+def test_submission_sink_headerless(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("s06t01.la", 0.0, 1.2, "la-lift")],
+        "key string, start double, end double, action string",
+    )
+    out = str(tmp_path / "sub")
+    write_submission_csv(df, out)
+    parts = [f for f in os.listdir(out) if f.startswith("part-")]
+    assert len(parts) == 1
+    content = open(os.path.join(out, parts[0])).read().strip()
+    assert content == "s06t01.la,0.0,1.2,la-lift"
+
+
+def test_json_orc_parquet_roundtrip(spark, tmp_path):
+    df = spark.range(100).select(
+        F.col("id"),
+        (F.col("id") * 1.5).alias("v"),
+        F.concat(F.lit("k"), F.col("id")).alias("k"),
+    )
+    want = sorted(map(tuple, df.collect()))
+    for fmt in ["json", "orc", "parquet"]:
+        path = str(tmp_path / fmt)
+        df.write.format(fmt).mode("overwrite").save(path)
+        back = spark.read.format(fmt).load(path)
+        if fmt == "json":  # schema inference reorders/types; align
+            back = back.select(
+                F.col("id").cast("long"), F.col("v").cast("double"), "k"
+            )
+        assert sorted(map(tuple, back.collect())) == want
