@@ -41,34 +41,40 @@ def frame_id(
     cut: int = 0,
     out_col: str = "frame",
 ) -> DataFrame:
-    """Non-overlapping / strided frame ids over row position (SURVEY W2).
+    """Frame ids over row position, overlapping or strided (SURVEY W2).
 
     Ref: ``get_windows`` at ``utils.py:10-16`` — frames of ``win_size``
-    rows every ``shift`` rows; ``cut=k`` drops the last k (partial)
-    frames, ``cut=0`` keeps the ragged tail. The main path uses
-    win_size == shift (non-overlapping, ``generate_submission.py:374``),
-    which is a plain integer-division frame key. Overlapping frames
-    (shift < win_size) would need explode(sequence) row multiplication —
-    not implemented here because the reference never executes it.
+    rows starting every ``shift`` rows; ``cut=k`` drops the last k
+    frames, ``cut=0`` keeps the ragged tail. The reference main path
+    uses win_size == shift (non-overlapping,
+    ``generate_submission.py:374``) — a plain integer-division key;
+    shift != win_size frames come from a bounded explode(sequence)
+    (each row lands in at most ceil(win/shift) frames, a query-time
+    constant, so the op stays narrow at any scale).
     """
     shift = win_size if shift is None else shift
-    if shift != win_size:
-        raise NotImplementedError("overlapping frames: use explode-based variant")
     w = Window.partitionBy(*keys).orderBy(*order_by)
-    out = df.withColumn(
-        out_col, F.floor((F.row_number().over(w) - 1) / F.lit(shift)).cast("long")
-    )
-    if cut > 0:
-        nmax = Window.partitionBy(*keys)
-        out = (
-            out.withColumn("_nrows", F.count(F.lit(1)).over(nmax))
-            .filter(
-                F.col(out_col)
-                < (F.floor((F.col("_nrows") - win_size) / F.lit(shift)) + 1 - cut)
-            )
-            .drop("_nrows")
+    nmax = Window.partitionBy(*keys)
+    pos = F.row_number().over(w) - 1
+    # frame count per reference: one frame per start in range(0, n, shift)
+    keep_below = F.ceil(F.count(F.lit(1)).over(nmax) / F.lit(shift)) - cut
+    tagged = df.withColumn("_pos", pos).withColumn("_keep_below", keep_below)
+    if shift == win_size:
+        out = tagged.withColumn(
+            out_col, F.floor(F.col("_pos") / F.lit(shift)).cast("long")
         )
-    return out
+    else:
+        # row p belongs to every frame f with f*shift <= p < f*shift+win
+        lo = F.greatest(
+            F.ceil((F.col("_pos") - win_size + 1) / F.lit(shift)), F.lit(0)
+        )
+        hi = F.floor(F.col("_pos") / F.lit(shift))
+        out = tagged.withColumn(
+            out_col, F.explode(F.sequence(lo.cast("long"), hi.cast("long")))
+        )
+    if cut > 0:
+        out = out.filter(F.col(out_col) < F.col("_keep_below"))
+    return out.drop("_pos", "_keep_below")
 
 
 def trailing_moving_average(

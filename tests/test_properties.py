@@ -1,0 +1,120 @@
+"""Hypothesis property tests for the semantics SURVEY §5.3 flags as
+risky: A3 telescoping identity, W2 frame/cut rules, J2 grid-expansion
+coverage. Each example packs many random groups into one DataFrame so
+a Spark roundtrip amortizes over the whole batch."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from bbdc20_submission_spark.operators.aggregates import telescoping_mean_diff
+from bbdc20_submission_spark.operators.windows import frame_id
+from bbdc20_submission_spark.plans.bbdc import expand_targets
+
+SLOW = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@SLOW
+@given(
+    groups=st.lists(
+        st.lists(st.floats(-1e3, 1e3, allow_nan=False), min_size=2, max_size=30),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_telescoping_identity(spark, groups):
+    """(last-first)/(n-1) == mean(diff(x)) for every ordered group."""
+    rows = [
+        (g, i, float(v)) for g, vals in enumerate(groups) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "g long, i long, v double")
+    got = {
+        r["g"]: r["md"]
+        for r in df.groupBy("g")
+        .agg(telescoping_mean_diff("v", F.col("i")).alias("md"))
+        .collect()
+    }
+    for g, vals in enumerate(groups):
+        diffs = [b - a for a, b in zip(vals, vals[1:])]
+        want = sum(diffs) / len(diffs)
+        assert math.isclose(got[g], want, rel_tol=1e-9, abs_tol=1e-9)
+
+
+def _reference_frames(n_rows: int, win: int, shift: int, cut: int) -> list[list[int]]:
+    """utils.py:10-16 semantics on row indices."""
+    frames = [
+        list(range(start, min(start + win, n_rows)))
+        for start in range(0, n_rows, shift)
+    ]
+    return frames[:-cut] if cut else frames
+
+
+@SLOW
+@given(
+    n_rows=st.integers(1, 60),
+    win=st.integers(1, 12),
+    shift=st.integers(1, 12),
+    cut=st.integers(0, 2),
+)
+def test_frame_id_matches_reference_get_windows(spark, n_rows, win, shift, cut):
+    """Frame ids + cut rule == reference get_windows row partitioning,
+    for non-overlapping, overlapping (shift < win) and gapped
+    (shift > win) configurations."""
+    df = spark.createDataFrame(
+        [("k", i) for i in range(n_rows)], "k string, i long"
+    )
+    out = frame_id(df, ["k"], ["i"], win_size=win, shift=shift, cut=cut)
+    got: dict[int, list[int]] = {}
+    for r in out.collect():
+        got.setdefault(r["frame"], []).append(r["i"])
+    want_frames = _reference_frames(n_rows, win, shift, cut)
+    want = {fi: rows for fi, rows in enumerate(want_frames) if rows}
+    assert {k: sorted(v) for k, v in got.items()} == want
+
+
+@SLOW
+@given(
+    n_intervals=st.integers(1, 6),
+    widths=st.lists(st.floats(0.05, 3.0, allow_nan=False), min_size=6, max_size=6),
+)
+def test_expand_targets_covers_every_grid_point_once(spark, n_intervals, widths):
+    """Every 200 ms grid point strictly below the final interval end is
+    labeled exactly once; labels follow the running cursor."""
+    edges = [0.0]
+    for w in widths[:n_intervals]:
+        edges.append(edges[-1] + w)
+    rows = [
+        ("s01", "t01", "la", edges[i], edges[i + 1], f"a{i}")
+        for i in range(n_intervals)
+    ]
+    df = spark.createDataFrame(
+        rows, "subject string, trial string, arm string, start double, end double, action string"
+    )
+    out = expand_targets(df).collect()
+    seen = {}
+    for r in out:
+        assert r["win_end"] not in seen, "grid point labeled twice"
+        seen[r["win_end"]] = r["action"]
+    # exact coverage: every grid point < last end * 1000
+    expected_points = []
+    w = 200
+    while w < edges[-1] * 1000:
+        expected_points.append(w)
+        w += 200
+    assert sorted(seen) == expected_points
+    # cursor rule: each point takes the first interval whose end*1000
+    # exceeds it
+    for w, action in seen.items():
+        for i in range(n_intervals):
+            if w < edges[i + 1] * 1000:
+                assert action == f"a{i}"
+                break
