@@ -67,11 +67,15 @@ def frame_id(
         # row p belongs to every frame f with f*shift <= p < f*shift+win
         lo = F.greatest(
             F.ceil((F.col("_pos") - win_size + 1) / F.lit(shift)), F.lit(0)
+        ).cast("long")
+        hi = F.floor(F.col("_pos") / F.lit(shift)).cast("long")
+        # lo > hi means the row falls in a gap (shift > win) — sequence()
+        # would auto-step DOWNWARD there, so emit an empty list instead
+        # (explode then drops the row, matching the reference)
+        frames = F.when(lo <= hi, F.sequence(lo, hi)).otherwise(
+            F.array().cast("array<long>")
         )
-        hi = F.floor(F.col("_pos") / F.lit(shift))
-        out = tagged.withColumn(
-            out_col, F.explode(F.sequence(lo.cast("long"), hi.cast("long")))
-        )
+        out = tagged.withColumn(out_col, F.explode(frames))
     if cut > 0:
         out = out.filter(F.col(out_col) < F.col("_keep_below"))
     return out.drop("_pos", "_keep_below")
