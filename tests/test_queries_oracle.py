@@ -24,3 +24,24 @@ def test_oracle_match(spark, sf_dir, name):
 def test_rows_only_queries_run(spark, sf_dir, name):
     df = registry.QUERIES[name](spark, sf_dir)
     assert df.count() >= 0
+
+
+def test_asof_join_strict_excludes_equal_ts(spark):
+    """asof_join strict=True must not match a right row at the exact
+    same timestamp (ties visible only in non-strict mode)."""
+    from bbdc20_submission_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 10.0), (1, 20.0)], "k long, ts double")
+    right = spark.createDataFrame(
+        [(1, 10.0, "at10"), (1, 15.0, "at15")], "k long, rts double, tag string"
+    )
+    loose = {
+        (r["ts"], r["tag_asof"])
+        for r in asof_join(left, right, ["k"], "ts", "rts", ["tag"]).collect()
+    }
+    strict = {
+        (r["ts"], r["tag_asof"])
+        for r in asof_join(left, right, ["k"], "ts", "rts", ["tag"], strict=True).collect()
+    }
+    assert loose == {(10.0, "at10"), (20.0, "at15")}
+    assert strict == {(10.0, None), (20.0, "at15")}
