@@ -33,7 +33,13 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     spark = get_spark("bench")
 
-    force(registry.QUERIES["w6_sessionize_rle"](spark, sf_dir))  # warmup
+    # warmup: JVM/codegen via the flagship, plus one scan of every
+    # table so per-query timings measure compute, not first-touch I/O
+    from bbdc20_submission_spark.sources.harness import HARNESS_TABLES, load_table
+
+    force(registry.QUERIES["w6_sessionize_rle"](spark, sf_dir))
+    for t in HARNESS_TABLES:
+        load_table(spark, t, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name in sorted(registry.QUERIES):
