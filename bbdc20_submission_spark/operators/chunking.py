@@ -1,0 +1,156 @@
+"""Document chunking + scrubbing operators for training-data prep.
+
+- ``chunk_by_tokens``: split documents into fixed-size token chunks
+  with optional overlap — sequence+explode (narrow generator, no
+  shuffle), the same pattern as the interval-grid expansion.
+- ``scrub_text``: normalization / PII-masking pass as a chain of
+  regexp_replace (JVM regex, codegen).
+- ``connected_components``: collapse near-duplicate PAIRS (from
+  MinHash/SimHash/embedding LSH) into duplicate CLUSTERS via
+  alternating small-star/large-star style min-label propagation —
+  the finishing step of large-scale dedup. Iterative DataFrame
+  algorithm with a fixed-point check; every iteration is one
+  shuffle on the edge key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bbdc20_submission_spark.operators.text import ws_tokens
+
+
+def chunk_by_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 32,
+    overlap: int = 0,
+) -> DataFrame:
+    """Emit one row per chunk: [id, chunk_id, chunk_text, n_tokens].
+
+    Chunk i covers tokens [i*stride, i*stride + chunk_tokens) with
+    stride = chunk_tokens - overlap; the ragged tail chunk is kept.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = ws_tokens(text_col)
+    n = F.size(toks)
+    # chunk starts: 0, stride, 2*stride, ... < n (the reference
+    # get_windows convention, utils.py:10-16)
+    n_chunks = F.greatest(F.ceil(n / F.lit(stride)), F.lit(1))
+    out = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_text"),
+        toks.alias("_toks"),
+        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("long"))).alias("chunk_id"),
+    )
+    chunk = F.slice(
+        F.col("_toks"), (F.col("chunk_id") * stride + 1).cast("int"), chunk_tokens
+    )
+    return out.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+    )
+
+
+SCRUB_RULES: list[tuple[str, str]] = [
+    # (pattern, replacement) — applied in order
+    (r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\b\+?\d[\d\s().-]{7,}\d\b", "<PHONE>"),
+    (r"https?://[^\s]+", "<URL>"),
+]
+
+
+def scrub_text(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_scrubbed"
+) -> DataFrame:
+    """PII/noise scrubbing as chained regexp_replace (single narrow
+    projection; rules applied in SCRUB_RULES order)."""
+    expr = F.col(text_col)
+    for pattern, repl in SCRUB_RULES:
+        expr = F.regexp_replace(expr, pattern, repl)
+    return df.withColumn(out_col, expr)
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Minimum-label propagation over an undirected edge list.
+
+    Output: [id, component] where component = min id reachable.
+    Each iteration: every node adopts the min label among itself and
+    its neighbors (one groupBy shuffle over the symmetrized edges);
+    converged when no label changes. Iterations are O(graph diameter)
+    — near-dup graphs are shallow (clusters are cliques-ish), so this
+    terminates in 2-3 rounds in practice; ``max_iterations`` bounds
+    pathological chains.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.id)
+            .groupBy("a")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        new_labels = new_labels.cache()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist() if hasattr(labels, "unpersist") else None
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign every document its dedup cluster representative: docs in
+    a near-dup component share its min id; singletons keep their own.
+    Output: [id_col, keep_id, is_duplicate]."""
+    comp = connected_components(pairs)
+    return (
+        df.select(id_col)
+        .join(comp.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("keep_id"),
+            (F.coalesce("component", F.col(id_col)) != F.col(id_col)).alias(
+                "is_duplicate"
+            ),
+        )
+    )

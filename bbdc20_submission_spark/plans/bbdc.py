@@ -297,7 +297,7 @@ def repair_channels(
             F.col("subject").isin("s02", "s04"),
             _apply_linear(repaired, ch4_feats, b0_4, coefs_4),
         ).otherwise(F.col("c4")),
-    )
+    ).cache()  # consumed by the ch0 fit, the ch0 apply and the output
 
     # ---- ch0 model: trained on the ch4-REPAIRED data (order matters)
     aligned2 = _sample_label_alignment(

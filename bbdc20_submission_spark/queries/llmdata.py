@@ -305,3 +305,72 @@ def m2_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-offset sampling (sequence+explode generator)."""
     media = synthetic_media(spark, n=64)
     return frame_sample_stub(media, every_ms=500)
+
+
+# ------------------------------------------------------- chunking/scrubbing
+
+@query(
+    "d10_chunk_by_tokens",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, str_split(text, ' ') AS t FROM documents
+    ), chunks AS (
+        SELECT doc_id, t,
+               unnest(generate_series(0, CAST(greatest(ceil(len(t) / 32.0), 1) AS BIGINT) - 1)) AS chunk_id
+        FROM toks
+    )
+    SELECT doc_id, chunk_id,
+           array_to_string(t[(chunk_id * 32 + 1):(chunk_id * 32 + 32)], ' ') AS chunk_text,
+           CAST(least(len(t) - chunk_id * 32, 32) AS BIGINT) AS n_tokens
+    FROM chunks
+    """,
+)
+def d10_chunk_by_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking (32 tokens, no overlap): one row per
+    chunk via sequence+explode — a narrow generator, the same shape at
+    100 TB."""
+    from bbdc20_submission_spark.operators.chunking import chunk_by_tokens
+
+    d = load_table(spark, "documents", sf_dir)
+    return chunk_by_tokens(d, chunk_tokens=32, overlap=0)
+
+
+@query(
+    "d11_scrub_text",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text,
+                   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+                 '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+               '\\b\\+?\\d[\\d\\s().-]{7,}\\d\\b', '<PHONE>', 'g'),
+             'https?://[^\\s]+', '<URL>', 'g') AS text_scrubbed
+    FROM documents
+    """,
+)
+def d11_scrub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: chained regexp_replace (email/IP/phone/URL ->
+    typed placeholders), single narrow projection."""
+    from bbdc20_submission_spark.operators.chunking import scrub_text
+
+    d = load_table(spark, "documents", sf_dir)
+    return scrub_text(d).select("doc_id", "text_scrubbed")
+
+
+@query("d12_dedup_clusters")
+def d12_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> duplicate clusters via iterative min-label
+    connected components (rows-only: iterative, non-SQL). Pairs come
+    from the MinHash LSH candidates verified at jaccard >= 0.5."""
+    from bbdc20_submission_spark.operators.chunking import dedup_clusters
+    from bbdc20_submission_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_lsh_candidates,
+    )
+
+    d = load_table(spark, "documents", sf_dir)
+    cands = minhash_lsh_candidates(d, shingle_k=3, num_hashes=16, bands=4)
+    pairs = jaccard_pairs(d, cands, shingle_k=3).filter(F.col("jaccard") >= 0.5)
+    return dedup_clusters(d, pairs)

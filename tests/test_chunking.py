@@ -1,0 +1,67 @@
+"""Chunking / scrubbing / connected-components property tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bbdc20_submission_spark.operators.chunking import (
+    chunk_by_tokens,
+    connected_components,
+    dedup_clusters,
+    scrub_text,
+)
+
+
+def test_chunks_reassemble_to_document(spark):
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(75))), (2, "a b"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    chunks = chunk_by_tokens(docs, chunk_tokens=10, overlap=0).collect()
+    by_doc = {}
+    for r in sorted(chunks, key=lambda r: (r["doc_id"], r["chunk_id"])):
+        by_doc.setdefault(r["doc_id"], []).append(r["chunk_text"])
+    assert " ".join(by_doc[1]) == " ".join(f"w{i}" for i in range(75))
+    assert by_doc[2] == ["a b"]
+    assert by_doc[3] == ["solo"]
+    # chunk sizes: all 10 except ragged tail (75 = 7*10 + 5)
+    sizes = [r["n_tokens"] for r in chunks if r["doc_id"] == 1]
+    assert sorted(sizes, reverse=True) == [10] * 7 + [5]
+
+
+def test_overlapping_chunks_cover_with_stride(spark):
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(20)))], "doc_id long, text string"
+    )
+    chunks = chunk_by_tokens(docs, chunk_tokens=8, overlap=4).collect()
+    texts = [r["chunk_text"].split(" ") for r in sorted(chunks, key=lambda r: r["chunk_id"])]
+    # stride 4: starts at 0,4,8,12,16
+    assert [t[0] for t in texts] == ["w0", "w4", "w8", "w12", "w16"]
+    assert all(len(t) <= 8 for t in texts)
+
+
+def test_scrub_text_masks_pii(spark):
+    docs = spark.createDataFrame(
+        [(1, "mail bob@example.com ip 10.1.2.3 call +1 (555) 123-4567 see https://x.io/a?b=1 end")],
+        "doc_id long, text string",
+    )
+    out = scrub_text(docs).collect()[0]["text_scrubbed"]
+    assert "<EMAIL>" in out and "<IP>" in out and "<PHONE>" in out and "<URL>" in out
+    assert "example.com" not in out and "555" not in out
+
+
+def test_connected_components_clusters(spark):
+    # two chains + a triangle: {1,2,3}, {10,11}, {20,21,22}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_dedup_clusters_marks_duplicates(spark):
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 99]], "doc_id long")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    out = {r["doc_id"]: (r["keep_id"], r["is_duplicate"]) for r in dedup_clusters(docs, pairs).collect()}
+    assert out == {1: (1, False), 2: (1, True), 3: (1, True), 10: (10, False), 99: (99, False)}
