@@ -1,0 +1,80 @@
+"""Embedding clustering via Spark ML (IVF-style coarse quantization).
+
+KMeans over the embedding column serves two roles in a training-data
+pipeline: (a) corpus analysis/stratification, (b) the coarse quantizer
+of an IVF ANN index — cluster centroids become the inverted-file
+buckets that `similarity.cosine_topk_lsh` style pruning searches
+within. Seeded -> deterministic assignments for a fixed partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def kmeans_assign(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Assign each vector a cluster id. Output: [id_col, cluster]."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.select(
+        F.col(id_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feats)
+    return (
+        model.transform(feats)
+        .select(id_col, F.col("prediction").cast("long").alias("cluster"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_clusters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """IVF approximate top-k: exact cosine re-rank restricted to the
+    query's KMeans cell (single-probe). The clustered variant of the
+    LSH path — higher recall per candidate at the cost of training the
+    quantizer."""
+    from bbdc20_submission_spark.operators.similarity import cosine
+
+    from pyspark.sql import Window
+
+    assign = kmeans_assign(
+        corpus.unionByName(queries).distinct(), k=n_clusters,
+        id_col=id_col, vec_col=vec_col, seed=seed,
+    )
+    c = corpus.join(assign, id_col).select(
+        F.col(id_col).alias("match_id"), F.col(vec_col).alias("_cv"), "cluster"
+    )
+    q = queries.join(assign, id_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), "cluster"
+    )
+    scored = (
+        c.join(F.broadcast(q), "cluster")
+        .filter(F.col("match_id") != F.col("query_id"))
+        .select("query_id", "match_id", cosine(F.col("_qv"), F.col("_cv")).alias("_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("match_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "match_id",
+            F.round("_sim", 6).alias("cosine_sim"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -374,3 +374,23 @@ def d12_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = minhash_lsh_candidates(d, shingle_k=3, num_hashes=16, bands=4)
     pairs = jaccard_pairs(d, cands, shingle_k=3).filter(F.col("jaccard") >= 0.5)
     return dedup_clusters(d, pairs)
+
+
+@query("s4_kmeans_clusters")
+def s4_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark ML KMeans over embeddings: corpus stratification / IVF
+    coarse quantizer (rows-only: iterative ML, engine-specific)."""
+    from bbdc20_submission_spark.operators.clustering import kmeans_assign
+
+    em = load_table(spark, "embeddings", sf_dir)
+    return kmeans_assign(em, k=8)
+
+
+@query("s5_ivf_topk")
+def s5_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (KMeans-cell) approximate cosine top-k — the clustered scale
+    path beside the LSH one (rows-only; recall property-tested)."""
+    from bbdc20_submission_spark.operators.clustering import ivf_topk
+
+    em = load_table(spark, "embeddings", sf_dir)
+    return ivf_topk(em, em.filter(F.col("vec_id") < 5), k=3)

@@ -146,3 +146,17 @@ def stream_rle_islands(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_dedup(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: dropDuplicates over the key columns with
+    a watermark bounding the dedup state — the streaming form of the
+    exact-dedup operator (state evicts keys older than the watermark,
+    so memory is bounded at any stream length)."""
+    keys = keys or ["user_id", "event_type"]
+    return events.withWatermark(ts_col, watermark).dropDuplicates(keys)

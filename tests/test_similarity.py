@@ -66,3 +66,34 @@ def test_embedding_near_dups_planted(spark):
     planted = {(i, i + 1000) for i in range(20)}
     recall = len(pairs & planted) / len(planted)
     assert recall >= 0.7, f"near-dup recall {recall}"
+
+
+def test_ivf_topk_recall(spark):
+    from bbdc20_submission_spark.operators.clustering import ivf_topk
+
+    rows = _clustered_vectors(per_cluster=20)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    queries = df.filter("vec_id < 8")
+    exact = cosine_topk_bruteforce(df, queries, k=3)
+    approx = ivf_topk(df, queries, k=3, n_clusters=8)
+    e = {(r["query_id"], r["match_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["match_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.7, f"ivf recall {recall}"
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    from bbdc20_submission_spark.operators.clustering import kmeans_assign
+
+    rows = _clustered_vectors(n_clusters=4, per_cluster=15, noise=0.03)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    assign = kmeans_assign(df, k=4)
+    joined = df.join(assign, "vec_id").select("label", "cluster").collect()
+    # purity: each true label maps to one dominant kmeans cluster
+    from collections import Counter, defaultdict
+
+    by_label = defaultdict(Counter)
+    for r in joined:
+        by_label[r["label"]][r["cluster"]] += 1
+    purity = sum(c.most_common(1)[0][1] for c in by_label.values()) / len(joined)
+    assert purity >= 0.9, f"purity {purity}"

@@ -101,3 +101,13 @@ def test_stream_rle_matches_batch_islands(spark, events_stream):
         (u, s, e, et, n) for (u, (u2, s, e, et, n)) in finals.items()
     }
     assert got == expected_closed
+
+
+def test_stream_dedup_bounded_state(spark, events_stream):
+    from bbdc20_submission_spark.streaming.windows import stream_dedup
+
+    stream, batch = events_stream
+    _run_to_memory(stream_dedup(stream), "t_dedup")
+    got = spark.sql("SELECT count(*) AS n FROM t_dedup").collect()[0]["n"]
+    want = batch.dropDuplicates(["user_id", "event_type"]).count()
+    assert got == want
