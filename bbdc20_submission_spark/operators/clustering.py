@@ -20,16 +20,25 @@ def kmeans_assign(
     vec_col: str = "embedding",
     seed: int = 7,
     max_iter: int = 20,
+    fit_fraction: float = 1.0,
 ) -> DataFrame:
-    """Assign each vector a cluster id. Output: [id_col, cluster]."""
+    """Assign each vector a cluster id. Output: [id_col, cluster].
+
+    ``fit_fraction`` < 1 trains the quantizer on a seeded sample and
+    then assigns the full corpus — the standard IVF trick at scale
+    (centroid quality needs a fraction of the data; assignment is one
+    cheap pass). Random init avoids the extra kmeans|| passes."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    # cache the converted vectors: the fit re-reads them every
+    # iteration and the final assignment pass reads them once more
     feats = df.select(
         F.col(id_col),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
-    )
-    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feats)
+    ).cache()
+    fit_on = feats if fit_fraction >= 1.0 else feats.sample(fit_fraction, seed=seed)
+    model = KMeans(k=k, seed=seed, maxIter=max_iter, initMode="random").fit(fit_on)
     return (
         model.transform(feats)
         .select(id_col, F.col("prediction").cast("long").alias("cluster"))
@@ -44,6 +53,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7,
+    max_iter: int = 20,
 ) -> DataFrame:
     """IVF approximate top-k: exact cosine re-rank restricted to the
     query's KMeans cell (single-probe). The clustered variant of the
@@ -55,7 +65,7 @@ def ivf_topk(
 
     assign = kmeans_assign(
         corpus.unionByName(queries).distinct(), k=n_clusters,
-        id_col=id_col, vec_col=vec_col, seed=seed,
+        id_col=id_col, vec_col=vec_col, seed=seed, max_iter=max_iter,
     )
     c = corpus.join(assign, id_col).select(
         F.col(id_col).alias("match_id"), F.col(vec_col).alias("_cv"), "cluster"

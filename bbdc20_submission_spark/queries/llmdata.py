@@ -383,7 +383,9 @@ def s4_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bbdc20_submission_spark.operators.clustering import kmeans_assign
 
     em = load_table(spark, "embeddings", sf_dir)
-    return kmeans_assign(em, k=8)
+    # bounded for the per-round bench: sampled quantizer fit + few
+    # iterations (assignment still covers the full corpus)
+    return kmeans_assign(em, k=8, max_iter=5, fit_fraction=0.2)
 
 
 @query("s5_ivf_topk")
@@ -393,4 +395,4 @@ def s5_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bbdc20_submission_spark.operators.clustering import ivf_topk
 
     em = load_table(spark, "embeddings", sf_dir)
-    return ivf_topk(em, em.filter(F.col("vec_id") < 5), k=3)
+    return ivf_topk(em, em.filter(F.col("vec_id") < 5), k=3, max_iter=5)
