@@ -861,3 +861,47 @@ def a_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", 0.5, 1000).alias("median_approx")
     )
+
+
+@query(
+    "sql_top_spender_per_nation",
+    oracle="""
+    WITH spend AS (
+        SELECT c_custkey, c_name, c_nationkey,
+               sum(o_totalprice) AS total_spend
+        FROM customer JOIN orders ON o_custkey = c_custkey
+        GROUP BY c_custkey, c_name, c_nationkey
+    ), ranked AS (
+        SELECT n_name, c_custkey, c_name,
+               round(total_spend, 4) AS total_spend,
+               row_number() OVER (PARTITION BY n_name
+                                  ORDER BY total_spend DESC, c_custkey ASC) AS rn
+        FROM spend JOIN nation ON n_nationkey = c_nationkey
+    )
+    SELECT n_name, c_custkey, c_name, total_spend FROM ranked WHERE rn = 1
+    """,
+)
+def sql_top_spender_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-API certification: the same engine surface via spark.sql
+    text over temp views (Catalyst produces the identical plan as the
+    DataFrame form — both front-ends are first-class)."""
+    load_table(spark, "customer", sf_dir).createOrReplaceTempView("v_customer")
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("v_orders")
+    load_table(spark, "nation", sf_dir).createOrReplaceTempView("v_nation")
+    return spark.sql(
+        """
+        WITH spend AS (
+            SELECT c_custkey, c_name, c_nationkey,
+                   sum(o_totalprice) AS total_spend
+            FROM v_customer JOIN v_orders ON o_custkey = c_custkey
+            GROUP BY c_custkey, c_name, c_nationkey
+        ), ranked AS (
+            SELECT n_name, c_custkey, c_name,
+                   round(total_spend, 4) AS total_spend,
+                   row_number() OVER (PARTITION BY n_name
+                                      ORDER BY total_spend DESC, c_custkey ASC) AS rn
+            FROM spend JOIN v_nation ON n_nationkey = c_nationkey
+        )
+        SELECT n_name, c_custkey, c_name, total_spend FROM ranked WHERE rn = 1
+        """
+    )

@@ -177,3 +177,59 @@ def test_pipeline_deterministic(spark, submission):
         labels_df, emg_df, mocap_df, emg_t, mocap_t, n_models=3
     ).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, submission))
+
+
+def test_pipeline_from_csv_sources(spark, tmp_path):
+    """S1-S5 integration: fixture written as reference-native CSVs,
+    loaded through sources/native.py, run through the pipeline, sunk
+    as a headerless submission CSV."""
+    import glob
+    import os
+
+    from bbdc20_submission_spark.sources.native import (
+        load_labels,
+        load_sensor_csv_dir,
+        write_submission_csv,
+    )
+    from tests.fixture_bbdc import MOCAP_COLS, make_fixture
+
+    def dump(rows, cols, d):
+        os.makedirs(d, exist_ok=True)
+        by_key = {}
+        for row in rows:
+            by_key.setdefault((row[0], row[1]), []).append(row[2:])
+        for (s, t), rs in by_key.items():
+            with open(os.path.join(d, f"{s}{t}.csv"), "w") as f:
+                f.write(",".join(cols) + "\n")
+                for r in rs:
+                    f.write(",".join("" if v is None else repr(v) for v in r) + "\n")
+
+    labels, emg, mocap = make_fixture(subjects=("s01", "s02", "s03", "s04", "s05"), span_s=1.6)
+    with open(tmp_path / "labels.csv", "w") as f:
+        for k, s, e, a in labels:
+            f.write(f"{k},{s},{e},{a}\n")
+    dump(emg, ["ts", *[f"c{i}" for i in range(8)]], str(tmp_path / "emg"))
+    dump(mocap, ["ts", *MOCAP_COLS], str(tmp_path / "mocap"))
+    _, emg_t, mocap_t = make_fixture(subjects=("s06",), seed=9, span_s=1.6)
+    dump(emg_t, ["ts", *[f"c{i}" for i in range(8)]], str(tmp_path / "emg_t"))
+    dump(mocap_t, ["ts", *MOCAP_COLS], str(tmp_path / "mocap_t"))
+
+    labels_df = load_labels(spark, str(tmp_path / "labels.csv"))
+    emg_df = load_sensor_csv_dir(spark, str(tmp_path / "emg"))
+    mocap_df = load_sensor_csv_dir(spark, str(tmp_path / "mocap"))
+    emg_t_df = load_sensor_csv_dir(spark, str(tmp_path / "emg_t"))
+    mocap_t_df = load_sensor_csv_dir(spark, str(tmp_path / "mocap_t"))
+
+    from bbdc20_submission_spark.plans.pipeline import run_pipeline
+
+    sub = run_pipeline(labels_df, emg_df, mocap_df, emg_t_df, mocap_t_df, n_models=2)
+    out = str(tmp_path / "submission")
+    write_submission_csv(sub, out)
+    part = glob.glob(os.path.join(out, "part-*.csv"))
+    assert len(part) == 1
+    lines = open(part[0]).read().strip().splitlines()
+    assert len(lines) > 0
+    for line in lines:
+        key, start, end, action = line.split(",")
+        assert key.startswith("s06t01.")
+        assert float(end) > float(start)
