@@ -17,7 +17,6 @@ from bbdc20_submission_spark.operators.dedup import (
     jaccard_pairs,
     minhash_lsh_candidates,
     simhash_near_dups,
-    word_shingles,
 )
 from bbdc20_submission_spark.operators.multimodal import (
     extract_features,
@@ -33,7 +32,6 @@ from bbdc20_submission_spark.operators.text import (
     STOPWORDS,
     TOKEN_PATTERN,
     language_id,
-    quality_score,
     rolling_fingerprint,
     text_stats,
     ws_tokens,
