@@ -905,3 +905,82 @@ def sql_top_spender_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT n_name, c_custkey, c_name, total_spend FROM ranked WHERE rn = 1
         """
     )
+
+
+@query(
+    "sq_correlated_scalar",
+    oracle="""
+    SELECT p_partkey, p_name, round(p_retailprice, 6) AS price
+    FROM part p
+    WHERE p_retailprice > (SELECT avg(p2.p_retailprice) FROM part p2
+                           WHERE p2.p_brand = p.p_brand)
+    """,
+)
+def sq_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (parts above their brand's average
+    price) — Catalyst decorrelates it into an aggregate + join; written
+    in SQL to exercise exactly that rewrite path."""
+    load_table(spark, "part", sf_dir).createOrReplaceTempView("v_part")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name, round(p_retailprice, 6) AS price
+        FROM v_part p
+        WHERE p_retailprice > (SELECT avg(p2.p_retailprice) FROM v_part p2
+                               WHERE p2.p_brand = p.p_brand)
+        """
+    )
+
+
+@query(
+    "sq_exists_daterange",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+      AND o_orderdate < TIMESTAMP '2000-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    """,
+)
+def sq_exists_daterange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS with a non-equi condition
+    inside -> decorrelated to a left-semi join with the extra
+    predicate."""
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("v_orders")
+    load_table(spark, "lineitem", sf_dir).createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_orderpriority
+        FROM v_orders
+        WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+          AND o_orderdate < TIMESTAMP '2000-01-01'
+          AND EXISTS (SELECT 1 FROM v_lineitem
+                      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        """
+    )
+
+
+@query(
+    "sq_in_having",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (
+        SELECT o_custkey FROM orders
+        GROUP BY o_custkey HAVING count(*) >= 15
+    )
+    """,
+)
+def sq_in_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN over a grouped-HAVING subquery -> semi join
+    against the aggregate."""
+    load_table(spark, "customer", sf_dir).createOrReplaceTempView("v_customer")
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM v_customer
+        WHERE c_custkey IN (
+            SELECT o_custkey FROM v_orders
+            GROUP BY o_custkey HAVING count(*) >= 15
+        )
+        """
+    )
