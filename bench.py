@@ -42,10 +42,14 @@ def main() -> None:
         load_table(spark, t, sf_dir).count()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in sorted(registry.QUERIES):
         t0 = time.perf_counter()
-        force(registry.QUERIES[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            force(registry.QUERIES[name](spark, sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # one bad query must not kill the run
+            errors[name] = str(exc).splitlines()[0][:200]
 
     out = {
         "metric": "total_declared_query_time",
@@ -54,6 +58,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
 
 
