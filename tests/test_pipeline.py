@@ -233,3 +233,35 @@ def test_pipeline_from_csv_sources(spark, tmp_path):
         key, start, end, action = line.split(",")
         assert key.startswith("s06t01.")
         assert float(end) > float(start)
+
+
+def test_fit_ols_matches_spark_ml_normal_solver(spark):
+    """_fit_ols (distributed normal equations) == pyspark.ml
+    LinearRegression(solver='normal', regParam=0) == sklearn OLS."""
+    import random
+
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import LinearRegression
+
+    from bbdc20_submission_spark.plans.bbdc import _fit_ols
+
+    rng = random.Random(3)
+    rows = []
+    true_w = [2.0, -1.5, 0.5]
+    for _ in range(300):
+        x = [rng.gauss(0, 1) for _ in range(3)]
+        y = 4.0 + sum(w * v for w, v in zip(true_w, x)) + rng.gauss(0, 0.1)
+        rows.append((*x, y))
+    df = spark.createDataFrame(rows, "x1 double, x2 double, x3 double, y double")
+
+    b0, coefs = _fit_ols(df, ["x1", "x2", "x3"], "y")
+
+    assembled = VectorAssembler(
+        inputCols=["x1", "x2", "x3"], outputCol="features"
+    ).transform(df)
+    model = LinearRegression(
+        featuresCol="features", labelCol="y", solver="normal", regParam=0.0
+    ).fit(assembled)
+    assert b0 == pytest.approx(model.intercept, abs=1e-8)
+    for got, want in zip(coefs, model.coefficients):
+        assert got == pytest.approx(want, abs=1e-8)
