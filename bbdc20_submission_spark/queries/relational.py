@@ -984,3 +984,33 @@ def sq_in_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@query(
+    "p_string_functions",
+    oracle="""
+    SELECT p_partkey,
+           lower(p_name) AS lowered,
+           upper(p_brand) AS uppered,
+           trim(p_type) AS trimmed,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS padded,
+           replace(p_name, ' ', '_') AS replaced,
+           levenshtein(p_name, p_brand) AS edit_dist,
+           CAST(length(p_name) AS BIGINT) AS name_len
+    FROM part
+    """,
+)
+def p_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2 breadth: string-function battery (case, trim, pad, replace,
+    edit distance) — all JVM built-ins."""
+    p = load_table(spark, "part", sf_dir)
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("lowered"),
+        F.upper("p_brand").alias("uppered"),
+        F.trim("p_type").alias("trimmed"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("padded"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("replaced"),
+        F.levenshtein("p_name", "p_brand").cast("long").alias("edit_dist"),
+        F.length("p_name").cast("long").alias("name_len"),
+    )
