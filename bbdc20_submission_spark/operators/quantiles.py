@@ -1,0 +1,86 @@
+"""Distributed EXACT percentiles at scale (SURVEY A7-A9 support).
+
+Spark's built-in exact ``percentile`` aggregate materializes a
+value->count map per partition — fine at millions of rows, hostile at
+100 TB. This operator computes the same linear-interpolated quantile
+(quantile_cont semantics, bit-equal to the builtin) in two passes that
+never hold more than a narrow bracket of values:
+
+1. pass 1: total count + a high-accuracy ``percentile_approx`` sketch
+   brackets the target order statistics;
+2. pass 2: count rows strictly below the bracket, collect the (tiny)
+   in-bracket value set, and pick the exact order statistics k and k+1
+   locally, interpolating by the fractional rank.
+
+Cost: two scans, shuffle of O(bracket) values. The bracket is widened
+and retried in the (approx-sketch-violating) corner case where the
+target ranks fall outside it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_percentile(
+    df: DataFrame, col: str, p: float, accuracy: int = 10_000
+) -> float:
+    """Exact linear-interpolated percentile of a double column.
+
+    Returns the same value as ``F.expr(f"percentile({col}, {p})")``.
+    Nulls are ignored (as the builtin does).
+    """
+    base = df.select(F.col(col).alias("v")).filter(F.col("v").isNotNull())
+    first = base.agg(
+        F.count("v").alias("n"),
+        F.min("v").alias("lo_all"),
+        F.max("v").alias("hi_all"),
+        F.percentile_approx(
+            "v", [max(0.0, p - 0.01), min(1.0, p + 0.01)], accuracy
+        ).alias("bracket"),
+    ).collect()[0]
+    n = first["n"]
+    if n == 0:
+        return None
+    if n == 1:
+        return base.collect()[0]["v"]
+    rank = (n - 1) * p  # fractional rank, quantile_cont semantics
+    k = int(rank)
+    frac = rank - k
+
+    lo, hi = first["bracket"][0], first["bracket"][1]
+    while True:
+        row = base.agg(
+            F.sum(F.when(F.col("v") < lo, 1).otherwise(0)).alias("below"),
+            F.sort_array(
+                F.collect_list(F.when((F.col("v") >= lo) & (F.col("v") <= hi), F.col("v")))
+            ).alias("bracket_vals"),
+        ).collect()[0]
+        below, vals = row["below"], row["bracket_vals"]
+        # need order stats k and k+frac>0; both inside [below, below+len)
+        last_needed = k + (1 if frac > 0 else 0)
+        if below <= k and last_needed < below + len(vals):
+            vk = vals[k - below]
+            if frac == 0:
+                return float(vk)
+            vk1 = vals[last_needed - below]
+            # lower*(1-frac) + higher*frac — the exact evaluation order
+            # Spark's Percentile and DuckDB's quantile_cont use; the
+            # algebraically-equal lower+(higher-lower)*frac rounds
+            # differently in the last ulp
+            return float(vk * (1 - frac) + vk1 * frac)
+        # approx bracket missed (pathological); widen to the full range
+        lo, hi = first["lo_all"], first["hi_all"]
+
+
+def exact_percentiles_by_group(
+    df: DataFrame, keys: list[str], col: str, ps: list[float]
+) -> DataFrame:
+    """Grouped exact percentiles via the builtin (appropriate when
+    per-group cardinality is bounded — the per-subject/trial case);
+    ``exact_percentile`` is the global-scan variant for when it isn't."""
+    aggs = [
+        F.expr(f"percentile({col}, {p})").alias(f"p{int(p * 100)}") for p in ps
+    ]
+    return df.groupBy(*keys).agg(*aggs)
