@@ -38,8 +38,8 @@ HOUR_MS = 3_600_000
         FROM events
     ), islands AS (
         SELECT user_id, event_id, ts, event_type,
-               sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS UNBOUNDED PRECEDING) AS island
+               CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
         FROM flagged
     )
     SELECT user_id,
@@ -111,8 +111,8 @@ def w1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN 1 ELSE 0 END AS chg
         FROM events
     ), islands AS (
-        SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS island
+        SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
         FROM flagged
     ), runs AS (
         SELECT user_id, island, event_type,
