@@ -591,13 +591,39 @@ def a_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("a_approx_count_distinct")
+@query(
+    "a_approx_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           CAST(1 AS BIGINT) AS approx_within_tol
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def a_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.4 note: HLL sketch — rows-only (approx values are
-    engine-specific, so no cross-engine hash)."""
+    """§2.4 note: HLL sketch, self-validating. The sketch estimate is
+    engine-specific (no DuckDB HLL with identical seeds), so the hashed
+    output carries the exact distinct count plus a deterministic
+    bounded-error flag (|approx-exact|/exact <= 0.15 at rsd=0.02,
+    ~7.5 sigma) — the flag certifies the sketch without hashing it."""
     li = load_table(spark, "lineitem", sf_dir)
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.approx_count_distinct("l_partkey", 0.02).alias("_approx"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("_approx") - F.col("exact_parts"))
+                / F.col("exact_parts")
+                <= F.lit(0.15)
+            )
+            .cast("long")
+            .alias("approx_within_tol"),
+        )
     )
 
 
@@ -853,13 +879,41 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("a_approx_quantile")
+@query(
+    "a_approx_quantile",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 6) AS median_exact,
+           CAST(1 AS BIGINT) AS approx_within_tol
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def a_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.4 note: quantile sketch (approx values engine-specific ->
-    rows-only; the exact-percentile path is the hash-matched one)."""
+    """§2.4 note: quantile sketch, self-validating. The KLL/GK estimate
+    is engine-specific, so the hashed output carries the exact
+    interpolated median plus a deterministic bounded-error flag
+    (|approx-exact|/exact <= 0.01 at accuracy=10000) — certifies the
+    sketch without hashing its raw value."""
     li = load_table(spark, "lineitem", sf_dir)
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("median_approx")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias(
+                "median_exact"
+            ),
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("_approx"),
+        )
+        .select(
+            "l_returnflag",
+            "median_exact",
+            (
+                F.abs(F.col("_approx") - F.col("median_exact"))
+                / F.col("median_exact")
+                <= F.lit(0.01)
+            )
+            .cast("long")
+            .alias("approx_within_tol"),
+        )
     )
 
 
