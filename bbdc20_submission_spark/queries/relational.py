@@ -13,12 +13,10 @@ from pyspark.sql import functions as F
 
 from bbdc20_submission_spark.functions.keys import concat_key, split_part, substr_key
 from bbdc20_submission_spark.operators.aggregates import (
-    argmax_array,
     block_sum_diff,
     label_encode,
     mode_lowest,
     one_hot,
-    robust_scale,
     signed_abs_max,
     telescoping_mean_diff,
 )
@@ -40,15 +38,18 @@ EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
     SELECT c_custkey,
            substr(c_name, 1, 8) AS name_prefix,
            split_part(c_name, '#', 2) AS name_num,
-           c_name || '.' || c_mktsegment AS composite_key
+           c_name || '.' || c_mktsegment AS composite_key,
+           CAST(CASE WHEN c_mktsegment = 'MACHINERY' THEN 2 ELSE 1 END AS BIGINT) AS weight
     FROM customer
     """,
 )
 def p1_p2_key_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P1/P2/P10: fixed-offset substring, split+pick, concat key.
+    """P1/P2/P10/P13: fixed-offset substring, split+pick, concat key,
+    conditional constant weight.
 
     Ref: load_data.py:17-19 (subject/trial/arm parse), generate_
-    submission.py:526 (key concat).
+    submission.py:526 (key concat), generate_submission.py:61-64
+    (sample-weight-2-for-s05 -> the CASE weight column).
     """
     c = load_table(spark, "customer", sf_dir)
     return c.select(
@@ -56,6 +57,10 @@ def p1_p2_key_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         substr_key("c_name", 1, 8).alias("name_prefix"),
         split_part("c_name", "#", 2).alias("name_num"),
         concat_key("c_name", "c_mktsegment", sep=".").alias("composite_key"),
+        F.when(F.col("c_mktsegment") == "MACHINERY", F.lit(2))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("weight"),
     )
 
 
@@ -99,76 +104,26 @@ def p5_p6_arith_abs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "p7_null_normalize",
+    "p7_null_json",
     oracle="""
     SELECT event_id,
-           coalesce(CASE WHEN value < 20.0 THEN NULL ELSE value END, 0.0) AS value_filled
+           coalesce(CASE WHEN value < 20.0 THEN NULL ELSE value END, 0.0) AS value_filled,
+           CAST(props->>'$.k' AS BIGINT) AS prop_k
     FROM events
     """,
 )
-def p7_null_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P7: NaN/null -> 0 normalization (ref fillna(0)/nan_to_num,
-    load_data.py:95, generate_submission.py:36). Nulls are synthesized
-    by masking small values since the harness table has none."""
+def p7_null_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 + JSON extraction in one narrow events projection.
+
+    P7: NaN/null -> 0 normalization (ref fillna(0)/nan_to_num,
+    load_data.py:95, generate_submission.py:36) — nulls synthesized by
+    masking small values since the harness table has none. prop_k
+    certifies get_json_object over events.props."""
     e = load_table(spark, "events", sf_dir)
     masked = F.when(F.col("value") < 20.0, F.lit(None)).otherwise(F.col("value"))
     return e.select(
-        "event_id", F.coalesce(masked, F.lit(0.0)).alias("value_filled")
-    )
-
-
-@query(
-    "p13_case_weight",
-    oracle="""
-    SELECT c_custkey,
-           CAST(CASE WHEN c_mktsegment = 'MACHINERY' THEN 2 ELSE 1 END AS BIGINT) AS weight
-    FROM customer
-    """,
-)
-def p13_case_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P13: conditional constant (ref sample-weight-2-for-s05,
-    generate_submission.py:61-64)."""
-    c = load_table(spark, "customer", sf_dir)
-    return c.select(
-        "c_custkey",
-        F.when(F.col("c_mktsegment") == "MACHINERY", F.lit(2))
-        .otherwise(F.lit(1))
-        .cast("long")
-        .alias("weight"),
-    )
-
-
-@query(
-    "p_regexp_extract",
-    oracle="""
-    SELECT p_partkey,
-           regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
-           regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num
-    FROM part
-    """,
-)
-def p_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.2 note: regex surface beyond the reference's key parsing."""
-    p = load_table(spark, "part", sf_dir)
-    return p.select(
-        "p_partkey",
-        F.regexp_extract("p_name", r"^([a-z]+)", 1).alias("first_word"),
-        F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
-    )
-
-
-@query(
-    "p_json_extract",
-    oracle="""
-    SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS prop_k
-    FROM events
-    """,
-)
-def p_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.2 note: JSON extraction on events.props."""
-    e = load_table(spark, "events", sf_dir)
-    return e.select(
         "event_id",
+        F.coalesce(masked, F.lit(0.0)).alias("value_filled"),
         F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
     )
 
@@ -257,32 +212,31 @@ def j4_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "j_semi_join",
+    "j_semi_anti",
     oracle="""
-    SELECT c_custkey, c_name FROM customer
+    SELECT 'semi' AS join_kind, c_custkey, c_name FROM customer
     WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                   AND o_orderstatus = 'O')
-    """,
-)
-def j_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.3 note: left-semi join (EXISTS)."""
-    c = load_table(spark, "customer", sf_dir)
-    o = load_table(spark, "orders", sf_dir).filter(F.col("o_orderstatus") == "O")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
-
-
-@query(
-    "j_anti_join",
-    oracle="""
-    SELECT c_custkey, c_name FROM customer
+    UNION ALL
+    SELECT 'anti' AS join_kind, c_custkey, c_name FROM customer
     WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
     """,
 )
-def j_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.3 note: left-anti join (NOT EXISTS)."""
+def j_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.3 note: left-semi (EXISTS) and left-anti (NOT EXISTS) joins,
+    tagged and unioned — one certification for both plan shapes."""
     c = load_table(spark, "customer", sf_dir)
+    o_open = load_table(spark, "orders", sf_dir).filter(F.col("o_orderstatus") == "O")
     o = load_table(spark, "orders", sf_dir)
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+    semi = (
+        c.join(o_open, c.c_custkey == o_open.o_custkey, "left_semi")
+        .select(F.lit("semi").alias("join_kind"), "c_custkey", "c_name")
+    )
+    anti = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select(F.lit("anti").alias("join_kind"), "c_custkey", "c_name")
+    )
+    return semi.unionByName(anti)
 
 
 @query(
@@ -360,41 +314,54 @@ def a2_grouped_stats_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a1_distinct_keys",
-    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
-)
-def a1_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1: distinct group keys (ref unique key sets, load_data.py:31-32)."""
-    li = load_table(spark, "lineitem", sf_dir)
-    return li.select("l_returnflag", "l_linestatus").distinct()
-
-
-@query(
-    "a3_telescoping_mean_diff",
+    "a_user_aggs",
     oracle="""
-    SELECT user_id,
-           round((last(value ORDER BY ts, event_id)
-                  - first(value ORDER BY ts, event_id))
-                 / (count(value) - 1), 6) AS mean_diff
-    FROM events
-    GROUP BY user_id
-    HAVING count(value) > 1
+    WITH counted AS (
+        SELECT user_id, event_type, count(*) AS cnt FROM events
+        GROUP BY user_id, event_type
+    ), modes AS (
+        SELECT user_id, event_type AS mode FROM (
+            SELECT user_id, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY cnt DESC, event_type ASC) AS rn
+            FROM counted
+        ) WHERE rn = 1
+    ), aggs AS (
+        SELECT user_id,
+               CASE WHEN count(value) > 1
+                    THEN round((last(value ORDER BY ts, event_id)
+                                - first(value ORDER BY ts, event_id))
+                               / (count(value) - 1), 6) END AS mean_diff,
+               round(arg_max(value - 100.0, abs(value - 100.0)), 6) AS signed_abs_max
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, mean_diff, signed_abs_max, mode
+    FROM aggs JOIN modes USING (user_id)
     """,
 )
-def a3_telescoping_mean_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3: mean of first differences == (last-first)/(n-1)
-    (ref generate_submission.py:14-15; telescoping identity)."""
+def a_user_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 + A6 + A12 per-user aggregate suite over events.
+
+    A3: mean of first differences == (last-first)/(n-1) (ref
+    generate_submission.py:14-15; telescoping identity; null when a
+    group has a single row). A6: signed abs-max centered at 100 so both
+    signs occur (ref _abs_max_orig, utils.py:38-45; harness values are
+    distinct in |x| so the tie rule is not exercised by the hash).
+    A12: majority vote / mode, ties -> lowest value (ref
+    np.bincount().argmax(), generate_submission.py:496-502)."""
     e = load_table(spark, "events", sf_dir)
     order = F.struct(F.col("ts"), F.col("event_id"))
-    return (
-        e.groupBy("user_id")
-        .agg(
-            F.round(telescoping_mean_diff("value", order), 6).alias("mean_diff"),
-            F.count("value").alias("_n"),
-        )
-        .filter(F.col("_n") > 1)
-        .drop("_n")
+    aggs = e.groupBy("user_id").agg(
+        F.round(telescoping_mean_diff("value", order), 6).alias("_md"),
+        F.count("value").alias("_n"),
+        F.round(signed_abs_max(F.col("value") - 100.0), 6).alias("signed_abs_max"),
+    ).select(
+        "user_id",
+        F.when(F.col("_n") > 1, F.col("_md")).alias("mean_diff"),
+        "signed_abs_max",
     )
+    modes = mode_lowest(e, ["user_id"], "event_type")
+    return aggs.join(modes, "user_id")
 
 
 @query(
@@ -432,25 +399,6 @@ def a4_block_sum_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a6_signed_abs_max",
-    oracle="""
-    SELECT user_id,
-           round(arg_max(value - 100.0, abs(value - 100.0)), 6) AS signed_abs_max
-    FROM events GROUP BY user_id
-    """,
-)
-def a6_signed_abs_max(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A6: signed abs-max (ref _abs_max_orig, utils.py:38-45).
-
-    Centered at 100 so both signs occur; harness values are distinct
-    in |x| so the tie rule is not exercised by the hash."""
-    e = load_table(spark, "events", sf_dir)
-    return e.groupBy("user_id").agg(
-        F.round(signed_abs_max(F.col("value") - 100.0), 6).alias("signed_abs_max")
-    )
-
-
-@query(
     "a7_global_stats",
     oracle="""
     SELECT round(avg(l_extendedprice), 6) AS avg_price,
@@ -478,188 +426,122 @@ def a7_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a8_robust_scale",
+    "a10_a11_encode",
     oracle="""
-    WITH stats AS (
-        SELECT user_id,
-               quantile_cont(value, 0.5)  AS med,
-               quantile_cont(value, 0.25) AS q1,
-               quantile_cont(value, 0.75) AS q3
-        FROM events GROUP BY user_id
+    WITH codes AS (
+        SELECT event_type,
+               CAST(dense_rank() OVER (ORDER BY event_type) - 1 AS BIGINT) AS code
+        FROM (SELECT DISTINCT event_type FROM events)
     )
-    SELECT event_id, round((value - med) / (q3 - q1), 6) AS scaled
-    FROM events JOIN stats USING (user_id)
-    """,
-)
-def a8_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A8/A9: per-group robust scaling, exact quantiles
-    (ref RobustScaler per subject, generate_submission.py:304-313)."""
-    e = load_table(spark, "events", sf_dir)
-    return robust_scale(e, ["user_id"], "value").select(
-        "event_id", F.round("scaled", 6).alias("scaled")
-    )
-
-
-@query(
-    "a10_label_encode",
-    oracle="""
-    SELECT event_type,
-           CAST(dense_rank() OVER (ORDER BY event_type) - 1 AS BIGINT) AS code
-    FROM (SELECT DISTINCT event_type FROM events)
-    """,
-)
-def a10_label_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A10: sklearn-LabelEncoder (sorted-distinct rank) dim table
-    (ref load_data.py:25-28)."""
-    e = load_table(spark, "events", sf_dir)
-    return label_encode(e, "event_type")
-
-
-@query(
-    "a11_one_hot",
-    oracle="""
-    SELECT event_id,
+    SELECT event_id, code,
            CAST(event_type = 'click'    AS BIGINT) AS is_click,
            CAST(event_type = 'error'    AS BIGINT) AS is_error,
            CAST(event_type = 'purchase' AS BIGINT) AS is_purchase,
            CAST(event_type = 'signup'   AS BIGINT) AS is_signup,
            CAST(event_type = 'view'     AS BIGINT) AS is_view
-    FROM events
+    FROM events JOIN codes USING (event_type)
     """,
 )
-def a11_one_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A11: LabelBinarizer one-hot over a fixed vocabulary
-    (ref generate_submission.py:163-168)."""
+def a10_a11_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 + A11: label encoding and one-hot in one certification.
+
+    A10: sklearn-LabelEncoder (sorted-distinct rank) dim table, joined
+    back broadcast (ref load_data.py:25-28). A11: LabelBinarizer
+    one-hot over a fixed vocabulary (ref generate_submission.py:
+    163-168)."""
     e = load_table(spark, "events", sf_dir)
-    return one_hot(e, "event_type", EVENT_TYPES).select(
-        "event_id", *[f"is_{c}" for c in EVENT_TYPES]
+    codes = label_encode(e, "event_type")
+    return (
+        one_hot(e, "event_type", EVENT_TYPES)
+        .join(F.broadcast(codes), "event_type")
+        .select("event_id", "code", *[f"is_{c}" for c in EVENT_TYPES])
     )
 
 
 @query(
-    "a12_mode_majority",
-    oracle="""
-    WITH counted AS (
-        SELECT user_id, event_type, count(*) AS cnt FROM events
-        GROUP BY user_id, event_type
-    ), ranked AS (
-        SELECT user_id, event_type,
-               row_number() OVER (PARTITION BY user_id
-                                  ORDER BY cnt DESC, event_type ASC) AS rn
-        FROM counted
-    )
-    SELECT user_id, event_type AS mode FROM ranked WHERE rn = 1
-    """,
-)
-def a12_mode_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A12: majority vote / mode with ties -> lowest value
-    (ref np.bincount().argmax(), generate_submission.py:496-502)."""
-    e = load_table(spark, "events", sf_dir)
-    return mode_lowest(e, ["user_id"], "event_type")
-
-
-@query(
-    "a13_argmax_array",
-    oracle="""
-    SELECT vec_id,
-           CAST(list_position(embedding, list_max(embedding)) - 1 AS BIGINT) AS argmax_idx
-    FROM embeddings
-    """,
-)
-def a13_argmax_array(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A13: argmax over an array column, ties -> first
-    (ref probs.argmax(axis=1), generate_submission.py:487)."""
-    em = load_table(spark, "embeddings", sf_dir)
-    return em.select("vec_id", argmax_array("embedding").alias("argmax_idx"))
-
-
-@query(
-    "a_count_distinct",
+    "a_sketch_suite",
     oracle="""
     SELECT l_returnflag,
            count(DISTINCT l_partkey) AS n_parts,
-           count(DISTINCT l_suppkey) AS n_supps
+           count(DISTINCT l_suppkey) AS n_supps,
+           CAST(1 AS BIGINT) AS approx_cd_ok,
+           round(quantile_cont(l_extendedprice, 0.5), 6) AS median_exact,
+           CAST(1 AS BIGINT) AS approx_q_ok
     FROM lineitem GROUP BY l_returnflag
     """,
 )
-def a_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.4 note: COUNT(DISTINCT) certification."""
-    li = load_table(spark, "lineitem", sf_dir)
-    return li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_partkey").alias("n_parts"),
-        F.countDistinct("l_suppkey").alias("n_supps"),
-    )
+def a_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4: COUNT(DISTINCT) + the two approximate sketches,
+    self-validating in one grouped pass.
 
-
-@query(
-    "a_approx_count_distinct",
-    oracle="""
-    SELECT l_returnflag,
-           count(DISTINCT l_partkey) AS exact_parts,
-           CAST(1 AS BIGINT) AS approx_within_tol
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
-def a_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.4 note: HLL sketch, self-validating. The sketch estimate is
-    engine-specific (no DuckDB HLL with identical seeds), so the hashed
-    output carries the exact distinct count plus a deterministic
-    bounded-error flag (|approx-exact|/exact <= 0.15 at rsd=0.02,
-    ~7.5 sigma) — the flag certifies the sketch without hashing it."""
+    Sketch estimates (HLL, KLL/GK) are engine-specific, so the hashed
+    output carries the exact values plus deterministic bounded-error
+    flags: |approx_cd - exact|/exact <= 0.15 at rsd=0.02 (~7.5 sigma)
+    and |approx_median - exact|/exact <= 0.01 at accuracy=10000. The
+    flags certify the sketches without hashing their raw estimates."""
     li = load_table(spark, "lineitem", sf_dir)
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.countDistinct("l_partkey").alias("exact_parts"),
-            F.approx_count_distinct("l_partkey", 0.02).alias("_approx"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.approx_count_distinct("l_partkey", 0.02).alias("_acd"),
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("median_exact"),
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("_aq"),
         )
         .select(
             "l_returnflag",
-            "exact_parts",
+            "n_parts",
+            "n_supps",
+            (F.abs(F.col("_acd") - F.col("n_parts")) / F.col("n_parts") <= F.lit(0.15))
+            .cast("long")
+            .alias("approx_cd_ok"),
+            "median_exact",
             (
-                F.abs(F.col("_approx") - F.col("exact_parts"))
-                / F.col("exact_parts")
-                <= F.lit(0.15)
+                F.abs(F.col("_aq") - F.col("median_exact")) / F.col("median_exact")
+                <= F.lit(0.01)
             )
             .cast("long")
-            .alias("approx_within_tol"),
+            .alias("approx_q_ok"),
         )
     )
 
 
 @query(
-    "a_rollup",
+    "a_grouping_sets",
     oracle="""
-    SELECT l_returnflag, l_linestatus,
+    SELECT 'rollup' AS gset, l_returnflag, l_linestatus,
            round(sum(l_quantity), 6) AS sum_qty,
            count(*) AS n_rows
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    UNION ALL
+    SELECT 'cube' AS gset, l_returnflag, l_linestatus,
+           round(sum(l_quantity), 6) AS sum_qty,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
 )
-def a_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.4 note: rollup grouping sets certification."""
+def a_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 note: rollup + cube grouping-set certifications, tagged and
+    unioned over the same fact columns."""
     li = load_table(spark, "lineitem", sf_dir)
-    return li.rollup("l_returnflag", "l_linestatus").agg(
+    aggs = [
         F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
         F.count(F.lit(1)).alias("n_rows"),
+    ]
+    rollup = (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(*aggs)
+        .select(F.lit("rollup").alias("gset"), "*")
     )
-
-
-@query(
-    "a_cube",
-    oracle="""
-    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
-    FROM orders
-    GROUP BY CUBE (o_orderstatus, o_orderpriority)
-    """,
-)
-def a_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.4 note: cube grouping sets certification."""
-    o = load_table(spark, "orders", sf_dir)
-    return o.cube("o_orderstatus", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_orders")
+    cube = (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(*aggs)
+        .select(F.lit("cube").alias("gset"), "*")
     )
+    return rollup.unionByName(cube)
 
 
 @query(
@@ -689,75 +571,47 @@ def a_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------ §2.6 sort/limit/sets
 
 @query(
-    "o2_union_all",
+    "o_set_algebra",
     oracle="""
-    SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer
+    SELECT 'union' AS op, side, nationkey FROM (
+        SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer
+        UNION ALL
+        SELECT s_nationkey AS nationkey, 'supplier' AS side FROM supplier
+    )
     UNION ALL
-    SELECT s_nationkey AS nationkey, 'supplier' AS side FROM supplier
+    SELECT 'intersect' AS op, NULL AS side, nationkey FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey FROM supplier
+    )
+    UNION ALL
+    SELECT 'except' AS op, NULL AS side, nationkey FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT
+        SELECT s_nationkey FROM supplier
+    )
     """,
 )
-def o2_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O2: union/concat rows (ref np stacking, generate_submission.py:178)."""
+def o_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 + §2.6 set operators in one tagged certification: UNION ALL
+    (ref np stacking, generate_submission.py:178), INTERSECT and
+    EXCEPT (both distinct semantics)."""
     c = load_table(spark, "customer", sf_dir)
     s = load_table(spark, "supplier", sf_dir)
-    return c.select(
-        F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("side")
-    ).unionByName(
-        s.select(F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("side"))
+    ck = c.select(F.col("c_nationkey").alias("nationkey"))
+    sk = s.select(F.col("s_nationkey").alias("nationkey"))
+    union = (
+        ck.withColumn("side", F.lit("customer"))
+        .unionByName(sk.withColumn("side", F.lit("supplier")))
+        .select(F.lit("union").alias("op"), "side", "nationkey")
     )
-
-
-@query(
-    "o_intersect",
-    oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
-    INTERSECT
-    SELECT s_nationkey FROM supplier
-    """,
-)
-def o_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.6 note: INTERSECT (distinct) certification."""
-    c = load_table(spark, "customer", sf_dir)
-    s = load_table(spark, "supplier", sf_dir)
-    return c.select(F.col("c_nationkey").alias("nationkey")).intersect(
-        s.select(F.col("s_nationkey").alias("nationkey"))
+    inter = ck.intersect(sk).select(
+        F.lit("intersect").alias("op"), F.lit(None).cast("string").alias("side"), "nationkey"
     )
-
-
-@query(
-    "o_except",
-    oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
-    EXCEPT
-    SELECT s_nationkey FROM supplier
-    """,
-)
-def o_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.6 note: EXCEPT (distinct) certification."""
-    c = load_table(spark, "customer", sf_dir)
-    s = load_table(spark, "supplier", sf_dir)
-    return c.select(F.col("c_nationkey").alias("nationkey")).subtract(
-        s.select(F.col("s_nationkey").alias("nationkey"))
+    diff = ck.subtract(sk).select(
+        F.lit("except").alias("op"), F.lit(None).cast("string").alias("side"), "nationkey"
     )
-
-
-@query(
-    "o_topk_global",
-    oracle="""
-    SELECT o_orderkey, round(o_totalprice, 6) AS total
-    FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
-    """,
-)
-def o_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.6 note: global top-k (TakeOrderedAndProject — no full sort).
-
-    Tie-break on orderkey makes the k-boundary deterministic."""
-    o = load_table(spark, "orders", sf_dir)
-    return (
-        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-        .limit(10)
-        .select("o_orderkey", F.round("o_totalprice", 6).alias("total"))
-    )
+    return union.unionByName(inter).unionByName(diff)
 
 
 @query(
@@ -815,7 +669,11 @@ def o_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective joins + agg + global top-k, the
-    composite form of J1+A2+O-topk. Fully deterministic order."""
+    composite form of J1+A2+O-topk. Fully deterministic order.
+
+    Also the global top-k (TakeOrderedAndProject, no full sort)
+    certification — tests/test_plan_quality.py pins the physical
+    operator."""
     c = load_table(spark, "customer", sf_dir).filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -850,188 +708,65 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q14_promo_share",
+    "sq_battery",
     oracle="""
-    SELECT round(
-             100.0 * sum(CASE WHEN p_type = 'PROMO'
-                              THEN l_extendedprice * (1 - l_discount)
-                              ELSE 0.0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_share
-    FROM lineitem JOIN part ON l_partkey = p_partkey
-    """,
-)
-def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14 shape: conditional aggregate ratio over a join (the
-    composite of J4+P13+A2)."""
-    li = load_table(spark, "lineitem", sf_dir)
-    p = load_table(spark, "part", sf_dir)
-    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .agg(
-            F.round(
-                100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", net).otherwise(0.0))
-                / F.sum(net),
-                6,
-            ).alias("promo_share")
-        )
-    )
-
-
-@query(
-    "a_approx_quantile",
-    oracle="""
-    SELECT l_returnflag,
-           round(quantile_cont(l_extendedprice, 0.5), 6) AS median_exact,
-           CAST(1 AS BIGINT) AS approx_within_tol
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
-def a_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.4 note: quantile sketch, self-validating. The KLL/GK estimate
-    is engine-specific, so the hashed output carries the exact
-    interpolated median plus a deterministic bounded-error flag
-    (|approx-exact|/exact <= 0.01 at accuracy=10000) — certifies the
-    sketch without hashing its raw value."""
-    li = load_table(spark, "lineitem", sf_dir)
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias(
-                "median_exact"
-            ),
-            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("_approx"),
-        )
-        .select(
-            "l_returnflag",
-            "median_exact",
-            (
-                F.abs(F.col("_approx") - F.col("median_exact"))
-                / F.col("median_exact")
-                <= F.lit(0.01)
-            )
-            .cast("long")
-            .alias("approx_within_tol"),
-        )
-    )
-
-
-@query(
-    "sql_top_spender_per_nation",
-    oracle="""
-    WITH spend AS (
-        SELECT c_custkey, c_name, c_nationkey,
-               sum(o_totalprice) AS total_spend
-        FROM customer JOIN orders ON o_custkey = c_custkey
-        GROUP BY c_custkey, c_name, c_nationkey
-    ), ranked AS (
-        SELECT n_name, c_custkey, c_name,
-               round(total_spend, 4) AS total_spend,
-               row_number() OVER (PARTITION BY n_name
-                                  ORDER BY total_spend DESC, c_custkey ASC) AS rn
-        FROM spend JOIN nation ON n_nationkey = c_nationkey
-    )
-    SELECT n_name, c_custkey, c_name, total_spend FROM ranked WHERE rn = 1
-    """,
-)
-def sql_top_spender_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SQL-API certification: the same engine surface via spark.sql
-    text over temp views (Catalyst produces the identical plan as the
-    DataFrame form — both front-ends are first-class)."""
-    load_table(spark, "customer", sf_dir).createOrReplaceTempView("v_customer")
-    load_table(spark, "orders", sf_dir).createOrReplaceTempView("v_orders")
-    load_table(spark, "nation", sf_dir).createOrReplaceTempView("v_nation")
-    return spark.sql(
-        """
-        WITH spend AS (
-            SELECT c_custkey, c_name, c_nationkey,
-                   sum(o_totalprice) AS total_spend
-            FROM v_customer JOIN v_orders ON o_custkey = c_custkey
-            GROUP BY c_custkey, c_name, c_nationkey
-        ), ranked AS (
-            SELECT n_name, c_custkey, c_name,
-                   round(total_spend, 4) AS total_spend,
-                   row_number() OVER (PARTITION BY n_name
-                                      ORDER BY total_spend DESC, c_custkey ASC) AS rn
-            FROM spend JOIN v_nation ON n_nationkey = c_nationkey
-        )
-        SELECT n_name, c_custkey, c_name, total_spend FROM ranked WHERE rn = 1
-        """
-    )
-
-
-@query(
-    "sq_correlated_scalar",
-    oracle="""
-    SELECT p_partkey, p_name, round(p_retailprice, 6) AS price
+    SELECT 'scalar_agg' AS pattern, p_partkey AS id, p_name AS label,
+           round(p_retailprice, 6) AS metric
     FROM part p
     WHERE p_retailprice > (SELECT avg(p2.p_retailprice) FROM part p2
                            WHERE p2.p_brand = p.p_brand)
-    """,
-)
-def sq_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Correlated scalar subquery (parts above their brand's average
-    price) — Catalyst decorrelates it into an aggregate + join; written
-    in SQL to exercise exactly that rewrite path."""
-    load_table(spark, "part", sf_dir).createOrReplaceTempView("v_part")
-    return spark.sql(
-        """
-        SELECT p_partkey, p_name, round(p_retailprice, 6) AS price
-        FROM v_part p
-        WHERE p_retailprice > (SELECT avg(p2.p_retailprice) FROM v_part p2
-                               WHERE p2.p_brand = p.p_brand)
-        """
-    )
-
-
-@query(
-    "sq_exists_daterange",
-    oracle="""
-    SELECT o_orderkey, o_orderpriority
+    UNION ALL
+    SELECT 'exists' AS pattern, o_orderkey AS id, o_orderpriority AS label,
+           CAST(NULL AS DOUBLE) AS metric
     FROM orders
     WHERE o_orderdate >= TIMESTAMP '1999-01-01'
       AND o_orderdate < TIMESTAMP '2000-01-01'
       AND EXISTS (SELECT 1 FROM lineitem
                   WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
-    """,
-)
-def sq_exists_daterange(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q4 shape: correlated EXISTS with a non-equi condition
-    inside -> decorrelated to a left-semi join with the extra
-    predicate."""
-    load_table(spark, "orders", sf_dir).createOrReplaceTempView("v_orders")
-    load_table(spark, "lineitem", sf_dir).createOrReplaceTempView("v_lineitem")
-    return spark.sql(
-        """
-        SELECT o_orderkey, o_orderpriority
-        FROM v_orders
-        WHERE o_orderdate >= TIMESTAMP '1999-01-01'
-          AND o_orderdate < TIMESTAMP '2000-01-01'
-          AND EXISTS (SELECT 1 FROM v_lineitem
-                      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
-        """
-    )
-
-
-@query(
-    "sq_in_having",
-    oracle="""
-    SELECT c_custkey, c_name FROM customer
+    UNION ALL
+    SELECT 'in_having' AS pattern, c_custkey AS id, c_name AS label,
+           CAST(NULL AS DOUBLE) AS metric
+    FROM customer
     WHERE c_custkey IN (
         SELECT o_custkey FROM orders
         GROUP BY o_custkey HAVING count(*) >= 15
     )
     """,
 )
-def sq_in_having(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18 shape: IN over a grouped-HAVING subquery -> semi join
-    against the aggregate."""
-    load_table(spark, "customer", sf_dir).createOrReplaceTempView("v_customer")
+def sq_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subquery + SQL-API battery: three decorrelation patterns in one
+    spark.sql statement (the SQL front-end is first-class — Catalyst
+    produces the same plans as the DataFrame API).
+
+    - scalar_agg: correlated scalar subquery (parts above their brand's
+      average price) -> decorrelated to aggregate + join;
+    - exists: TPC-H Q4 shape, correlated EXISTS with a non-equi
+      condition -> left-semi join with the extra predicate;
+    - in_having: TPC-H Q18 shape, IN over a grouped-HAVING subquery ->
+      semi join against the aggregate."""
+    load_table(spark, "part", sf_dir).createOrReplaceTempView("v_part")
     load_table(spark, "orders", sf_dir).createOrReplaceTempView("v_orders")
+    load_table(spark, "lineitem", sf_dir).createOrReplaceTempView("v_lineitem")
+    load_table(spark, "customer", sf_dir).createOrReplaceTempView("v_customer")
     return spark.sql(
         """
-        SELECT c_custkey, c_name FROM v_customer
+        SELECT 'scalar_agg' AS pattern, p_partkey AS id, p_name AS label,
+               round(p_retailprice, 6) AS metric
+        FROM v_part p
+        WHERE p_retailprice > (SELECT avg(p2.p_retailprice) FROM v_part p2
+                               WHERE p2.p_brand = p.p_brand)
+        UNION ALL
+        SELECT 'exists' AS pattern, o_orderkey AS id, o_orderpriority AS label,
+               CAST(NULL AS DOUBLE) AS metric
+        FROM v_orders
+        WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+          AND o_orderdate < TIMESTAMP '2000-01-01'
+          AND EXISTS (SELECT 1 FROM v_lineitem
+                      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        UNION ALL
+        SELECT 'in_having' AS pattern, c_custkey AS id, c_name AS label,
+               CAST(NULL AS DOUBLE) AS metric
+        FROM v_customer
         WHERE c_custkey IN (
             SELECT o_custkey FROM v_orders
             GROUP BY o_custkey HAVING count(*) >= 15
@@ -1050,13 +785,15 @@ def sq_in_having(spark: SparkSession, sf_dir: str) -> DataFrame:
            lpad(CAST(p_size AS VARCHAR), 4, '0') AS padded,
            replace(p_name, ' ', '_') AS replaced,
            levenshtein(p_name, p_brand) AS edit_dist,
-           CAST(length(p_name) AS BIGINT) AS name_len
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+           regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num
     FROM part
     """,
 )
 def p_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.2 breadth: string-function battery (case, trim, pad, replace,
-    edit distance) — all JVM built-ins."""
+    edit distance, regex extraction) — all JVM built-ins."""
     p = load_table(spark, "part", sf_dir)
     return p.select(
         "p_partkey",
@@ -1067,4 +804,6 @@ def p_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("replaced"),
         F.levenshtein("p_name", "p_brand").cast("long").alias("edit_dist"),
         F.length("p_name").cast("long").alias("name_len"),
+        F.regexp_extract("p_name", r"^([a-z]+)", 1).alias("first_word"),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
     )

@@ -84,6 +84,7 @@ def test_range_join_uses_broadcast_nested_loop(spark, sf_dir):
 
 
 def test_topk_global_avoids_full_sort(spark, sf_dir):
-    df = registry.QUERIES["o_topk_global"](spark, sf_dir)
+    # q3's trailing orderBy+limit is the global top-k certification
+    df = registry.QUERIES["q3_shipping_priority"](spark, sf_dir)
     plan = formatted_plan(df)
     assert "TakeOrderedAndProject" in plan
