@@ -45,6 +45,65 @@ def kmeans_assign(
     )
 
 
+def kmeans_assign_checked(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    max_iter: int = 20,
+    fit_fraction: float = 1.0,
+) -> DataFrame:
+    """KMeans assignment with a deterministic self-check column.
+
+    Output: [id_col, cluster, nearest_ok] — nearest_ok = 1 iff the
+    assigned centroid is the argmin squared distance among all k
+    centroids, recomputed independently from the model's centers via
+    array expressions. Cluster ids are engine/partitioning-specific
+    (init samples depend on the physical layout), but nearest_ok is an
+    invariant of a correct assignment — it certifies the operator on
+    any engine without hashing the labels themselves."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_arr"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    ).cache()
+    fit_on = feats if fit_fraction >= 1.0 else feats.sample(fit_fraction, seed=seed)
+    model = KMeans(k=k, seed=seed, maxIter=max_iter, initMode="random").fit(fit_on)
+    centers = [c.tolist() for c in model.clusterCenters()]
+
+    def dist2(center: list[float]):
+        lit = F.array(*[F.lit(float(x)) for x in center])
+        return F.aggregate(
+            F.zip_with(F.col("_arr"), lit, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    dists = F.array(*[dist2(c) for c in centers])
+    return (
+        model.transform(feats)
+        .select(
+            id_col,
+            F.col("prediction").cast("long").alias("cluster"),
+            dists.alias("_d"),
+        )
+        .select(
+            id_col,
+            "cluster",
+            (
+                F.element_at("_d", (F.col("cluster") + 1).cast("int"))
+                <= F.array_min("_d") + F.lit(1e-9)
+            )
+            .cast("long")
+            .alias("nearest_ok"),
+        )
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -233,16 +233,34 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 8,
-    bands: int = 4,
+    bands: int | None = None,
 ) -> DataFrame:
-    """SimHash near-dup pairs: band the 64-bit fingerprint into
-    ``bands`` 16-bit slices; by pigeonhole, any pair within
-    ``max_hamming`` < bands bits differs in at most bands-1 slices, so
-    it collides on at least one slice -> equi-join on (band, slice),
-    then verify the full Hamming distance."""
+    """SimHash near-dup pairs with guaranteed recall: band the 64-bit
+    fingerprint into ``bands`` slices with ``bands > max_hamming``
+    (default ``max_hamming + 1``); by pigeonhole, a pair differing in
+    at most ``max_hamming`` bits cannot differ in all ``bands`` slices,
+    so it collides on at least one slice -> equi-join on (band, slice),
+    then verify the exact Hamming distance. Recall over
+    hamming <= max_hamming is exactly 1 by construction.
+
+    Slice widths are 64/bands rounded (the first ``64 % bands`` slices
+    get one extra bit); passing an explicit ``bands <= max_hamming``
+    raises, because that configuration silently loses pairs."""
+    if bands is None:
+        bands = max_hamming + 1
+    if bands <= max_hamming:
+        raise ValueError(
+            f"bands={bands} <= max_hamming={max_hamming} breaks the "
+            "pigeonhole recall guarantee; use bands > max_hamming"
+        )
     fp = simhash_df(df, id_col, text_col)
-    width = 64 // bands
-    mask = (1 << width) - 1
+    base_w, extra = divmod(64, bands)
+    slices = []  # (offset, width) per band
+    off = 0
+    for b in range(bands):
+        w = base_w + (1 if b < extra else 0)
+        slices.append((off, w))
+        off += w
     banded = fp.select(
         "_id",
         "_fp",
@@ -251,9 +269,11 @@ def simhash_near_dups(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright("_fp", b * width).bitwiseAND(F.lit(mask)).alias("slice"),
+                        F.shiftright("_fp", o)
+                        .bitwiseAND(F.lit((1 << w) - 1))
+                        .alias("slice"),
                     )
-                    for b in range(bands)
+                    for b, (o, w) in enumerate(slices)
                 ]
             )
         ).alias("bb"),

@@ -110,9 +110,34 @@ def rolling_fingerprint(
     """Deterministic polynomial rolling hash over the token stream —
     a document fingerprint: fp = sum(h(tok_i) * base^(n-1-i)) % mod,
     with h = xxhash64 folded into [0, mod). Expressed with
-    F.aggregate, fully JVM-side."""
+    F.aggregate, fully JVM-side. Fastest variant; the token hash is
+    Spark-specific (see ``portable_fingerprint`` for the cross-engine
+    form)."""
     return F.aggregate(
         tokens,
         F.lit(0).cast("long"),
         lambda acc, x: (acc * base + F.pmod(F.xxhash64(x), F.lit(mod))) % mod,
+    )
+
+
+def portable_fingerprint(
+    tokens: Column, base: int = 257, mod: int = 1_000_000_007
+) -> Column:
+    """Rolling fingerprint with an engine-portable token hash: the
+    first 8 hex chars of md5(token) as an integer, folded into
+    [0, mod). Any engine with md5 reproduces it bit-for-bit (DuckDB:
+    ``CAST(('0x'||substr(md5(x),1,8)) AS BIGINT)``), which makes the
+    fingerprint oracle-checkable cross-engine. Same polynomial shape
+    and cost profile as ``rolling_fingerprint`` (md5 is ~3x slower
+    than xxhash64 per token — still a narrow JVM-side map)."""
+    return F.aggregate(
+        tokens,
+        F.lit(0).cast("long"),
+        lambda acc, x: (
+            acc * base
+            + F.pmod(
+                F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long"), F.lit(mod)
+            )
+        )
+        % mod,
     )

@@ -55,11 +55,21 @@ def test_minhash_lsh_finds_planted_near_dups(spark):
 
 def test_simhash_finds_planted_near_dups(spark):
     docs = _mk_docs(spark, n=30, words=80, mutate=2)
-    out = simhash_near_dups(docs, max_hamming=12, bands=4)
+    out = simhash_near_dups(docs, max_hamming=12)
     pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
     planted = {(i, i + 10_000) for i in range(30)}
     recall = len(pairs & planted) / len(planted)
-    assert recall >= 0.7, f"simhash recall {recall}"
+    # bands > max_hamming -> pigeonhole guarantees recall 1 over pairs
+    # actually within the hamming budget; planted mutations land there
+    assert recall >= 0.9, f"simhash recall {recall}"
+
+
+def test_simhash_bands_guard(spark):
+    docs = _mk_docs(spark, n=4)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_dups(docs, max_hamming=8, bands=4)
 
 
 def test_minhash_no_false_positives_on_disjoint_docs(spark):
