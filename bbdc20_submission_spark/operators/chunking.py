@@ -92,45 +92,65 @@ def connected_components(
     converged when no label changes. Iterations are O(graph diameter)
     — near-dup graphs are shallow (clusters are cliques-ish), so this
     terminates in 2-3 rounds in practice; ``max_iterations`` bounds
-    pathological chains.
+    pathological chains, and hitting the bound without convergence
+    emits a warning (the labels would be silently short-propagated).
+
+    The symmetrized edge list is persisted up front: ``pairs`` is
+    usually the tail of an expensive candidate+verify pipeline, and
+    without the persist every iteration would recompute it from the
+    source scan. The per-iteration label diff is carried inside the
+    iteration's own cached frame, so one job per iteration both
+    materializes the new labels and answers the convergence probe.
     """
+    import warnings
+
     edges = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        .persist()
     )
     labels = (
         edges.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
     )
+    converged = False
+    to_unpersist: list[DataFrame] = []
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.b == labels.id)
             .groupBy("a")
             .agg(F.min("component").alias("nbr_min"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
             .select(
                 "id",
+                F.col("component").alias("_prev"),
                 F.least(
                     F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
                 ).alias("component"),
             )
+            .persist()
         )
-        new_labels = new_labels.cache()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist() if hasattr(labels, "unpersist") else None
-        labels = new_labels
+        # one job: materializes the cache AND answers the probe
+        changed = stepped.filter(F.col("component") != F.col("_prev")).limit(1).count()
+        for old in to_unpersist:
+            old.unpersist()
+        to_unpersist = [stepped]
+        labels = stepped.select("id", "component")
         if changed == 0:
+            converged = True
             break
+    edges.unpersist()
+    if not converged:
+        warnings.warn(
+            f"connected_components hit max_iterations={max_iterations} without "
+            "converging; labels may be short-propagated on long chains",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 

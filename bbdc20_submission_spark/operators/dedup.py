@@ -20,6 +20,49 @@ from pyspark.sql import functions as F
 from bbdc20_submission_spark.operators.text import ws_tokens
 
 
+def _cap_buckets(
+    banded: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    cap: int,
+) -> DataFrame:
+    """Bound LSH bucket self-join fanout: buckets above ``cap`` members
+    are split into ceil(n/cap) deterministic sub-buckets (hash of the
+    id), so within-bucket pair generation is O(n * cap) instead of
+    O(n^2).
+
+    A boilerplate-heavy corpus at 100 TB produces hot buckets whose
+    quadratic self-join would dominate the stage; members of such a
+    bucket are near-total duplicates of each other, so intra-sub-bucket
+    pairs retain enough edges for downstream clustering (each sub-
+    bucket still connects its members; cross-sub edges are the ones
+    sacrificed). Buckets at or under ``cap`` are untouched — at the
+    test SFs every bucket is, so certified outputs are unchanged.
+
+    Implemented as a partial-aggregated bucket count filtered to the
+    over-cap buckets and broadcast back — on a healthy corpus that dim
+    is empty, so the hot path costs one broadcast of nothing instead
+    of a per-row window sort."""
+    hot = (
+        banded.groupBy(*bucket_cols)
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .filter(F.col("_bn") > cap)
+    )
+    sub = (
+        F.when(
+            F.col("_bn").isNotNull(),
+            F.pmod(F.xxhash64(id_col), F.ceil(F.col("_bn") / F.lit(cap)).cast("long")),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    return (
+        banded.join(F.broadcast(hot), bucket_cols, "left")
+        .withColumn("sub_bucket", sub)
+        .drop("_bn")
+    )
+
+
 def exact_dedup_groups(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -95,14 +138,21 @@ def minhash_lsh_candidates(
     shingle_k: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    bucket_cap: int = 1024,
 ) -> DataFrame:
     """LSH candidate pairs: split the signature into ``bands`` rows of
     ``num_hashes/bands`` values; docs sharing any full band land in the
     same bucket; bucket equi-self-join emits pairs (id_a < id_b).
+    Buckets above ``bucket_cap`` members are hash-split so a hot bucket
+    (boilerplate-heavy corpora) cannot go quadratic — see _cap_buckets.
 
     Output: [id_a, id_b] distinct candidate pairs."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures_df(df, id_col, text_col, shingle_k, num_hashes)
+    # persist the per-doc signatures (num_hashes longs/doc): the plan
+    # reads them three times (hot-bucket counts + both self-join
+    # sides), and each read would otherwise re-run the full
+    # shingle-explode aggregation
+    sig = minhash_signatures_df(df, id_col, text_col, shingle_k, num_hashes).persist()
     banded = sig.select(
         "_id",
         F.explode(
@@ -125,10 +175,11 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("_id", "bb.band", "bb.bucket")
+    banded = _cap_buckets(banded, ["band", "bucket"], "_id", bucket_cap)
     left = banded.withColumnRenamed("_id", "id_a")
     right = banded.withColumnRenamed("_id", "id_b")
     return (
-        left.join(right, ["band", "bucket"])
+        left.join(right, ["band", "bucket", "sub_bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
@@ -234,6 +285,7 @@ def simhash_near_dups(
     text_col: str = "text",
     max_hamming: int = 8,
     bands: int | None = None,
+    bucket_cap: int = 1024,
 ) -> DataFrame:
     """SimHash near-dup pairs with guaranteed recall: band the 64-bit
     fingerprint into ``bands`` slices with ``bands > max_hamming``
@@ -241,7 +293,9 @@ def simhash_near_dups(
     at most ``max_hamming`` bits cannot differ in all ``bands`` slices,
     so it collides on at least one slice -> equi-join on (band, slice),
     then verify the exact Hamming distance. Recall over
-    hamming <= max_hamming is exactly 1 by construction.
+    hamming <= max_hamming is exactly 1 by construction (when no
+    bucket exceeds ``bucket_cap`` — over-full buckets are hash-split to
+    bound the self-join, see _cap_buckets).
 
     Slice widths are 64/bands rounded (the first ``64 % bands`` slices
     get one extra bit); passing an explicit ``bands <= max_hamming``
@@ -253,7 +307,10 @@ def simhash_near_dups(
             f"bands={bands} <= max_hamming={max_hamming} breaks the "
             "pigeonhole recall guarantee; use bands > max_hamming"
         )
-    fp = simhash_df(df, id_col, text_col)
+    # persist the fingerprints (2 longs/doc): the 64 bit-vote sums are
+    # the expensive stage, and the plan reads them three times
+    # (hot-bucket counts + both self-join sides)
+    fp = simhash_df(df, id_col, text_col).persist()
     base_w, extra = divmod(64, bands)
     slices = []  # (offset, width) per band
     off = 0
@@ -278,14 +335,15 @@ def simhash_near_dups(
             )
         ).alias("bb"),
     ).select("_id", "_fp", "bb.band", "bb.slice")
+    banded = _cap_buckets(banded, ["band", "slice"], "_id", bucket_cap)
     left = banded.select(
-        F.col("_id").alias("id_a"), F.col("_fp").alias("fp_a"), "band", "slice"
+        F.col("_id").alias("id_a"), F.col("_fp").alias("fp_a"), "band", "slice", "sub_bucket"
     )
     right = banded.select(
-        F.col("_id").alias("id_b"), F.col("_fp").alias("fp_b"), "band", "slice"
+        F.col("_id").alias("id_b"), F.col("_fp").alias("fp_b"), "band", "slice", "sub_bucket"
     )
     return (
-        left.join(right, ["band", "slice"])
+        left.join(right, ["band", "slice", "sub_bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", hamming64(F.col("fp_a"), F.col("fp_b")).alias("hamming"))
         .distinct()

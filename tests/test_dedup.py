@@ -72,6 +72,23 @@ def test_simhash_bands_guard(spark):
         simhash_near_dups(docs, max_hamming=8, bands=4)
 
 
+def test_hot_bucket_cap_bounds_pair_count(spark):
+    """A degenerate corpus (every doc identical) must not go quadratic:
+    with bucket_cap=c the candidate count is O(n*c), not O(n^2)."""
+    n, cap = 2000, 64
+    rows = [(i, "the same boilerplate text repeated verbatim " * 8) for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cands = minhash_lsh_candidates(docs, num_hashes=16, bands=4, bucket_cap=cap)
+    n_pairs = cands.count()
+    assert 0 < n_pairs <= n * cap, f"{n_pairs} pairs for n={n}, cap={cap}"
+    # every doc still lands in some pair (clustering stays connected
+    # enough to mark all copies as duplicates of something)
+    ids = {r[0] for r in cands.select("id_a").collect()} | {
+        r[0] for r in cands.select("id_b").collect()
+    }
+    assert len(ids) == n
+
+
 def test_minhash_no_false_positives_on_disjoint_docs(spark):
     rows = [
         (i, " ".join(f"w{i}_{j}" for j in range(40))) for i in range(40)
