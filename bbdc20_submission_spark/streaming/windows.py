@@ -108,11 +108,18 @@ def stream_rle_islands(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    # output/state schemas follow the ACTUAL key and value column types
+    # (a long key + string value is only the default harness shape)
+    field_types = {f.name: f.dataType.simpleString() for f in events.schema.fields}
+    key_type = field_types[key_col]
+    value_type = field_types[value_col]
     out_schema = (
-        f"{key_col} long, event_type string, start_ts timestamp, "
+        f"{key_col} {key_type}, {value_col} {value_type}, start_ts timestamp, "
         "end_ts timestamp, n_rows long"
     )
-    state_schema = "value string, start_ts timestamp, last_ts timestamp, n long"
+    state_schema = (
+        f"value {value_type}, start_ts timestamp, last_ts timestamp, n long"
+    )
 
     def fn(key, pdf_iter, state: GroupState):
         (k,) = key
@@ -136,7 +143,7 @@ def stream_rle_islands(
         if finished:
             yield pd.DataFrame(
                 finished,
-                columns=[key_col, "event_type", "start_ts", "end_ts", "n_rows"],
+                columns=[key_col, value_col, "start_ts", "end_ts", "n_rows"],
             )
 
     return events.groupBy(key_col).applyInPandasWithState(

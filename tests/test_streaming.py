@@ -103,6 +103,30 @@ def test_stream_rle_matches_batch_islands(spark, events_stream):
     assert got == expected_closed
 
 
+def test_stream_rle_respects_custom_key_and_value_cols(spark, events_stream):
+    """The output/state schemas must follow the actual key/value column
+    names and types (regression: they were hardcoded to a long key and
+    a string column literally named event_type)."""
+    stream, batch = events_stream
+    renamed = stream.select(
+        F.col("event_type").alias("channel"),  # string key
+        F.col("ts"),
+        F.col("user_id").alias("level"),  # long value
+    )
+    out = stream_rle_islands(renamed, key_col="channel", value_col="level")
+    assert dict((f.name, f.dataType.simpleString()) for f in out.schema.fields) == {
+        "channel": "string",
+        "level": "bigint",
+        "start_ts": "timestamp",
+        "end_ts": "timestamp",
+        "n_rows": "bigint",
+    }
+    _run_to_memory(out, "t_rle_custom")
+    rows = spark.sql("SELECT * FROM t_rle_custom").collect()
+    assert len(rows) > 0
+    assert all(r["n_rows"] >= 1 for r in rows)
+
+
 def test_stream_dedup_bounded_state(spark, events_stream):
     from bbdc20_submission_spark.streaming.windows import stream_dedup
 
