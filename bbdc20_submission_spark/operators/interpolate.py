@@ -59,3 +59,34 @@ def interpolate_linear(
         interp_expr(c) if c in value_cols else F.col(c) for c in df.columns
     ]
     return df.select(*out_cols).drop("_pos")
+
+
+def interpolate_linear_pandas(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    value_cols: Sequence[str],
+    leading_fill: float = 0.0,
+) -> DataFrame:
+    """Exact-compat escape hatch (SURVEY §5): per-key pandas
+    ``Series.interpolate("linear").fillna(leading_fill)`` via
+    applyInPandas — bit-equal to the reference's pandas call by
+    construction (ref load_data.py:95,171), for auditing the window
+    form on pathological null patterns. The window form is the scale
+    path (no Python, no per-group materialization); this one ships a
+    whole group into a pandas frame per key, which is fine for audit
+    runs and wrong for 100 TB."""
+    import pandas as pd  # noqa: F401 — executor-side dependency
+
+    order_cols = list(order_by)
+    vcols = list(value_cols)
+
+    def fn(pdf):
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        for c in vcols:
+            pdf[c] = (
+                pdf[c].interpolate(method="linear").fillna(leading_fill)
+            )
+        return pdf
+
+    return df.groupBy(*[F.col(k) for k in keys]).applyInPandas(fn, schema=df.schema)

@@ -50,15 +50,18 @@ from bbdc20_submission_spark.sources.harness import load_table
 # Shared DuckDB CTE chain: exact 3-word-shingle Jaccard over ALL pairs
 # (brute force — the oracle-side ground truth the banded Spark paths
 # are certified against; quadratic, so oracle-only, never the engine).
+# MATERIALIZED: the recursive d12 oracle references the chain many
+# times; without the hint DuckDB re-evaluates it per reference (20s ->
+# 7s measured at sf0.01).
 _EXACT_PAIRS_CTES = """
-    toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
-    sh AS (
+    toks AS MATERIALIZED (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+    sh AS MATERIALIZED (
         SELECT doc_id,
                list_distinct([array_to_string(t[i:i+2], ' ')
                               for i in generate_series(1, greatest(len(t)-2, 1))]) AS s
         FROM toks
     ),
-    ex AS (
+    ex AS MATERIALIZED (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                round(len(list_filter(a.s, x -> list_contains(b.s, x)))
                      / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
@@ -156,7 +159,7 @@ def d7_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d12_dedup_clusters",
     oracle=f"""
     WITH RECURSIVE {_EXACT_PAIRS_CTES},
-    edges AS (
+    edges AS MATERIALIZED (
         SELECT id_a AS a, id_b AS b FROM ex WHERE jaccard >= 0.5
         UNION ALL
         SELECT id_b AS a, id_a AS b FROM ex WHERE jaccard >= 0.5
