@@ -478,32 +478,36 @@ def a_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     output carries the exact values plus deterministic bounded-error
     flags: |approx_cd - exact|/exact <= 0.15 at rsd=0.02 (~7.5 sigma)
     and |approx_median - exact|/exact <= 0.01 at accuracy=10000. The
-    flags certify the sketches without hashing their raw estimates."""
+    flags certify the sketches without hashing their raw estimates.
+
+    Plan note: distinct counts and percentiles run as two grouped aggs
+    joined on the 3-row group key — a single agg would drag the
+    percentile buffers through the count-distinct Expand (x3 rows),
+    measured ~2.5x slower at sf0.1."""
     li = load_table(spark, "lineitem", sf_dir)
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.countDistinct("l_partkey").alias("n_parts"),
-            F.countDistinct("l_suppkey").alias("n_supps"),
-            F.approx_count_distinct("l_partkey", 0.02).alias("_acd"),
-            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("median_exact"),
-            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("_aq"),
+    counts = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("_acd"),
+    )
+    quants = li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("median_exact"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("_aq"),
+    )
+    return counts.join(quants, "l_returnflag").select(
+        "l_returnflag",
+        "n_parts",
+        "n_supps",
+        (F.abs(F.col("_acd") - F.col("n_parts")) / F.col("n_parts") <= F.lit(0.15))
+        .cast("long")
+        .alias("approx_cd_ok"),
+        "median_exact",
+        (
+            F.abs(F.col("_aq") - F.col("median_exact")) / F.col("median_exact")
+            <= F.lit(0.01)
         )
-        .select(
-            "l_returnflag",
-            "n_parts",
-            "n_supps",
-            (F.abs(F.col("_acd") - F.col("n_parts")) / F.col("n_parts") <= F.lit(0.15))
-            .cast("long")
-            .alias("approx_cd_ok"),
-            "median_exact",
-            (
-                F.abs(F.col("_aq") - F.col("median_exact")) / F.col("median_exact")
-                <= F.lit(0.01)
-            )
-            .cast("long")
-            .alias("approx_q_ok"),
-        )
+        .cast("long")
+        .alias("approx_q_ok"),
     )
 
 

@@ -68,6 +68,27 @@ def test_exact_dedup_never_shuffles_text(spark, sf_dir):
         assert input_lines and all("text#" not in l for l in input_lines), node
 
 
+def test_encode_suite_broadcasts_code_dim(spark, sf_dir):
+    """a10_a11_encode joins the 5-row label-code dim onto the one-hot
+    rows — must be a broadcast join, never a shuffle of the fact."""
+    df = registry.QUERIES["a10_a11_encode"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sketch_suite_splits_distinct_and_percentile_aggs(spark, sf_dir):
+    """The count-distinct Expand must not cross the percentile agg:
+    two grouped aggregates joined on the group key (see query doc)."""
+    df = registry.QUERIES["a_sketch_suite"](spark, sf_dir)
+    plan = formatted_plan(df)
+    sections = plan.split("\n\n")
+    expand_nodes = [s for s in sections if ") Expand" in s]
+    assert expand_nodes, "count-distinct Expand missing"
+    for node in expand_nodes:
+        assert "percentile" not in node.lower(), node
+
+
 def test_sessionize_single_partitioning(spark, sf_dir):
     """The window and the groupBy share the user_id hash partitioning:
     no more than 2 exchanges total (1 compute + AQE final)."""
