@@ -1,0 +1,87 @@
+"""Deterministic sampling operators for training-data curation.
+
+Corpus curation samples by stratum (language, quality bucket, source)
+with reproducibility requirements PRNG-based `df.sample` cannot give:
+re-running the pipeline — or running it on a different partitioning —
+must pick the SAME rows. Both operators key the decision on a hash of
+the row's own id, so membership is a pure function of the data:
+
+- ``stratified_sample``: per-stratum Bernoulli sampling at per-stratum
+  rates (hash-threshold — one narrow pass, no shuffle);
+- ``reservoir_per_stratum``: exactly k rows per stratum, chosen by
+  hash order (one shuffle on the stratum key — the distributed,
+  deterministic analog of reservoir sampling).
+
+Both are scale-shape: membership needs no global state, so they run
+identically on 500 rows or 100 TB of splits.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# hash-threshold resolution: fractions are quantized to 1/2^20
+_BUCKETS = 1 << 20
+
+
+def _hash_bucket(id_col: Column, seed: int) -> Column:
+    """Uniform bucket in [0, _BUCKETS) as a pure function of (id, seed)."""
+    return F.pmod(F.xxhash64(id_col, F.lit(seed)), F.lit(_BUCKETS))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+    seed: int = 7,
+) -> DataFrame:
+    """Keep each row with its stratum's fraction, deterministically.
+
+    ``fractions`` maps stratum value -> keep fraction (e.g.
+    ``{"en": 0.1, "de": 0.5}``); unlisted strata use
+    ``default_fraction``. The keep decision is
+    ``hash(id, seed) mod 2^20 < fraction * 2^20`` — reproducible across
+    runs, partitionings, and engines, and a pushdown-friendly narrow
+    filter (no shuffle, no state). Same shape as `sampleBy`, minus the
+    PRNG nondeterminism."""
+    thresholds = F.create_map(
+        *[
+            x
+            for value, frac in sorted(fractions.items())
+            for x in (F.lit(value), F.lit(int(frac * _BUCKETS)))
+        ]
+    )
+    thr = F.coalesce(
+        thresholds.getItem(F.col(strata_col)),
+        F.lit(int(default_fraction * _BUCKETS)),
+    )
+    return df.filter(_hash_bucket(F.col(id_col), seed) < thr)
+
+
+def reservoir_per_stratum(
+    df: DataFrame,
+    strata_cols: Sequence[str],
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 7,
+) -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum, by hash order.
+
+    Ranking on ``(hash(id, seed), id)`` inside each stratum gives a
+    uniform-without-replacement sample that is a pure function of the
+    data — the distributed analog of reservoir sampling, as one ranked
+    window (single shuffle on the strata columns). Ties are impossible
+    (id is unique), so the result is total-order deterministic."""
+    w = Window.partitionBy(*strata_cols).orderBy(
+        _hash_bucket(F.col(id_col), seed), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
