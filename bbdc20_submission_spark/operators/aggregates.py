@@ -57,12 +57,17 @@ def block_sum_diff(
 def signed_abs_max(value: Column | str) -> Column:
     """Value with the largest absolute magnitude, sign preserved.
 
-    Ref: ``utils.py:38-45`` (SURVEY A6). Tie between +x and -x
-    resolves to max_by's scan order; callers needing determinism
-    should pre-round or break ties on a second key.
+    Ref: ``utils.py:38-45`` (SURVEY A6) — literally
+    ``np.where(-amin > amax, amin, amax)``, so a tie between +x and -x
+    resolves to the POSITIVE value (``-amin > amax`` is false). The
+    same closed form here: two plain min/max aggregates (cheaper than
+    max_by's struct comparison) and deterministic on ties, matching
+    the reference bit-for-bit.
     """
     v = F.col(value) if isinstance(value, str) else value
-    return F.max_by(v, F.abs(v))
+    amax = F.max(v)
+    amin = F.min(v)
+    return F.when(-amin > amax, amin).otherwise(amax)
 
 
 def robust_scale(

@@ -332,7 +332,9 @@ def a2_grouped_stats_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN round((last(value ORDER BY ts, event_id)
                                 - first(value ORDER BY ts, event_id))
                                / (count(value) - 1), 6) END AS mean_diff,
-               round(arg_max(value - 100.0, abs(value - 100.0)), 6) AS signed_abs_max
+               round(CASE WHEN -min(value - 100.0) > max(value - 100.0)
+                          THEN min(value - 100.0) ELSE max(value - 100.0) END, 6)
+                   AS signed_abs_max
         FROM events GROUP BY user_id
     )
     SELECT user_id, mean_diff, signed_abs_max, mode

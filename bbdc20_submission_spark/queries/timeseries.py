@@ -381,7 +381,9 @@ def w8_grid_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(avg(value), 6)                          AS mean_v,
            round(avg(abs(value - 100.0)), 6)             AS abs_mean_v,
            round(max(abs(value - 100.0)), 6)             AS abs_max_v,
-           round(arg_max(value - 100.0, abs(value - 100.0)), 6) AS signed_abs_max_v
+           round(CASE WHEN -min(value - 100.0) > max(value - 100.0)
+                      THEN min(value - 100.0) ELSE max(value - 100.0) END, 6)
+               AS signed_abs_max_v
     FROM tagged GROUP BY user_id, frame
     """,
 )

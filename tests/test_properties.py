@@ -118,3 +118,22 @@ def test_expand_targets_covers_every_grid_point_once(spark, n_intervals, widths)
             if w < edges[i + 1] * 1000:
                 assert action == f"a{i}"
                 break
+
+
+def test_signed_abs_max_tie_resolves_positive(spark):
+    """Reference tie rule (utils.py:38-45): np.where(-amin > amax,
+    amin, amax) returns the POSITIVE value when |amin| == |amax|."""
+    from bbdc20_submission_spark.operators.aggregates import signed_abs_max
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(0, -5.0), (0, 5.0), (0, 1.0),   # tie -> +5
+         (1, -7.0), (1, 5.0),             # |min| wins -> -7
+         (2, -3.0), (2, 9.0)],            # max wins -> 9
+        "g long, v double",
+    )
+    got = {
+        r["g"]: r["m"]
+        for r in df.groupBy("g").agg(signed_abs_max("v").alias("m")).collect()
+    }
+    assert got == {0: 5.0, 1: -7.0, 2: 9.0}
