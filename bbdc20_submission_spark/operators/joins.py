@@ -111,3 +111,45 @@ def range_join_bucketed(
     """
     cond = (F.col(fact_val) >= F.col(lo_col)) & (F.col(fact_val) < F.col(hi_col))
     return fact.join(F.broadcast(dim), cond, how)
+
+
+def range_join_big(
+    fact: DataFrame,
+    intervals: DataFrame,
+    fact_val: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Big-big range join (lo <= val < hi) without a nested loop.
+
+    Both sides are bucketized on ``floor(val / bucket_width)``: each
+    interval row is replicated to every bucket it overlaps (a bounded
+    explode — at most ceil(span/width)+1 copies), the fact side gets
+    its single bucket, and the join becomes a hash equi-join on the
+    bucket id followed by the residual range predicate. Shuffle volume
+    is O(fact + interval*overlap) and fully partition-parallel — the
+    shape that survives when BOTH sides are too big to broadcast.
+    Pick ``bucket_width`` near the typical interval span so the
+    replication factor stays ~1-2.
+    """
+    bucket = lambda c: F.floor(c / F.lit(bucket_width)).cast("long")  # noqa: E731
+    f = fact.withColumn("_bucket", bucket(F.col(fact_val)))
+    iv = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                bucket(F.col(lo_col)),
+                # hi is exclusive: a bucket starting exactly at hi is
+                # unreachable, hence the epsilon step back
+                bucket(F.col(hi_col) - F.lit(1e-12)),
+            )
+        ),
+    )
+    return (
+        f.join(iv, "_bucket")
+        .filter(
+            (F.col(fact_val) >= F.col(lo_col)) & (F.col(fact_val) < F.col(hi_col))
+        )
+        .drop("_bucket")
+    )

@@ -83,3 +83,45 @@ def test_partition_pruning_on_partitioned_parquet(spark, sf_dir, tmp_path):
     n_a = df.count()
     n_all = li.filter(F.col("l_returnflag") == "A").count()
     assert n_a == n_all
+
+
+def test_range_join_big_matches_nested_loop(spark):
+    """The bucketized big-big range join must produce exactly the
+    nested-loop result, and its plan must be a hash equi-join (no
+    BroadcastNestedLoopJoin / CartesianProduct)."""
+    import contextlib
+    import io
+    import random
+
+    from bbdc20_submission_spark.operators.joins import (
+        range_join_big,
+        range_join_bucketed,
+    )
+
+    rng = random.Random(11)
+    facts = spark.createDataFrame(
+        [(i, round(rng.uniform(0, 100), 3)) for i in range(2000)],
+        "fid long, v double",
+    )
+    ivs = spark.createDataFrame(
+        [
+            (j, lo, round(lo + rng.uniform(0.1, 12.0), 3))
+            for j in range(150)
+            for lo in [round(rng.uniform(0, 95), 3)]
+        ],
+        "iid long, lo double, hi double",
+    )
+    want = {
+        (r["fid"], r["iid"])
+        for r in range_join_bucketed(facts, ivs, "v", "lo", "hi").collect()
+    }
+    got_df = range_join_big(facts, ivs, "v", "lo", "hi", bucket_width=8.0)
+    got = {(r["fid"], r["iid"]) for r in got_df.collect()}
+    assert got == want and len(want) > 0
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got_df.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
