@@ -125,3 +125,48 @@ def test_range_join_big_matches_nested_loop(spark):
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_join_elides_exchange(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key must equi-join with NO
+    Exchange in the plan (the pay-shuffle-once co-location story),
+    and the join result must match the plain-join result."""
+    import contextlib
+    import io
+
+    from bbdc20_submission_spark.sources.bucketed import (
+        read_bucketed,
+        write_bucketed,
+    )
+    from bbdc20_submission_spark.sources.harness import load_table
+
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey", "o_totalprice")
+    lineitem = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_quantity")
+    write_bucketed(orders, "t_orders_b", ["o_orderkey"], 8)
+    write_bucketed(lineitem, "t_lineitem_b", ["l_orderkey"], 8)
+    bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    abcast = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        # force the shuffle-join path: at test scale AQE would broadcast
+        # the tiny side, which hides the layout property being pinned
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        ob, lb = read_bucketed(spark, "t_orders_b"), read_bucketed(spark, "t_lineitem_b")
+        joined = ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        tree = buf.getvalue().split("\n\n")[0]
+        assert "Exchange" not in tree, tree
+        assert "SortMergeJoin" in tree, tree
+
+        want = (
+            orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey).count()
+        )
+        assert joined.count() == want > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", abcast)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
