@@ -113,6 +113,37 @@ def range_join_bucketed(
     return fact.join(F.broadcast(dim), cond, how)
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    keys: Sequence[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the big side, replicate the small.
+
+    A hot key on the big side lands all its rows in one shuffle
+    partition; salting spreads each key over ``n_salts`` partitions by
+    hashing a deterministic per-row salt (xxhash64 over all big-side
+    columns), while the small side is replicated ``n_salts`` times so
+    every (key, salt) bucket still finds its match. Shuffle volume:
+    big unchanged, small x n_salts — use when the small side is too
+    big to broadcast AND the key distribution is heavy-tailed. For
+    plain sort-merge skew, AQE's skewJoin (enabled in session.py)
+    already splits oversized partitions at runtime; this operator is
+    for pre-AQE shuffles and for engines/stages AQE cannot re-plan.
+    """
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts)
+    ).cast("int")
+    b = big.withColumn("_salt", salt)
+    s = small.withColumn(
+        "_salt",
+        F.explode(F.array(*[F.lit(i) for i in range(n_salts)]).cast("array<int>")),
+    )
+    return b.join(s, [*keys, "_salt"], how).drop("_salt")
+
+
 def range_join_big(
     fact: DataFrame,
     intervals: DataFrame,

@@ -170,3 +170,30 @@ def test_bucketed_join_elides_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", abcast)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salted equi-join must equal the plain join on skewed data and
+    actually join on (key, salt)."""
+    import contextlib
+    import io
+
+    from bbdc20_submission_spark.operators.joins import salted_join
+
+    # heavy-tailed: 90% of big rows share one key
+    big = spark.createDataFrame(
+        [(i, 1 if i % 10 else i, float(i)) for i in range(5000)],
+        "rid long, k long, v double",
+    )
+    small = spark.createDataFrame(
+        [(k, f"dim{k}") for k in range(0, 5000, 10)] + [(1, "dim1")],
+        "k long, label string",
+    )
+    want = big.join(small, "k").count()
+    out = salted_join(big, small, ["k"], n_salts=8)
+    assert out.count() == want > 0
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    assert "_salt" in buf.getvalue()
