@@ -157,6 +157,43 @@ def cosine_topk_lsh(
     )
 
 
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "embedding_q",
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: q_i = round(x_i / s),
+    s = max|x| / 127. Adds [out_col: array<tinyint>, {out_col}_scale:
+    double]. 4x smaller than float32 (8x vs the double it would widen
+    to) — at 100 TB of embeddings the working set for ANN search is
+    usually memory-bound, and int8 dot products lose ~0.1% cosine
+    accuracy on unit-norm-ish vectors (bounded by 1/254 per component).
+    Pure array expressions, narrow, no shuffle."""
+    v = F.col(vec_col)
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
+    return df.withColumn(f"{out_col}_scale", scale).withColumn(
+        out_col,
+        F.transform(
+            v,
+            lambda x: F.round(x.cast("double") / F.col(f"{out_col}_scale")).cast(
+                "tinyint"
+            ),
+        ),
+    )
+
+
+def dequantize_cosine(qa: Column, sa: Column, qb: Column, sb: Column) -> Column:
+    """Cosine over two int8-quantized vectors. The scales cancel in
+    cosine (it is scale-invariant), so this is integer dot products in
+    double accumulation — sa/sb are accepted for API symmetry and for
+    callers that need the un-normalized dot (sa * sb * dot)."""
+    return cosine(
+        F.transform(qa, lambda x: x.cast("double")),
+        F.transform(qb, lambda x: x.cast("double")),
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     threshold: float = 0.95,

@@ -6,6 +6,8 @@ from __future__ import annotations
 import math
 import random
 
+from pyspark.sql import functions as F
+
 from bbdc20_submission_spark.operators.similarity import (
     cosine_topk_bruteforce,
     cosine_topk_lsh,
@@ -97,3 +99,54 @@ def test_kmeans_recovers_planted_clusters(spark):
         by_label[r["label"]][r["cluster"]] += 1
     purity = sum(c.most_common(1)[0][1] for c in by_label.values()) / len(joined)
     assert purity >= 0.9, f"purity {purity}"
+
+
+def test_quantized_cosine_topk_high_recall(spark, sf_dir):
+    """int8 quantization must preserve top-k structure: top-3 by
+    quantized cosine overlaps >= 2/3 with exact top-3 per query, and
+    reconstruction error is bounded by the scale (|x - q*s| <= s/2)."""
+    from pyspark.sql import Window
+
+    from bbdc20_submission_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        dequantize_cosine,
+        quantize_embeddings,
+    )
+    from bbdc20_submission_spark.sources.harness import load_table
+
+    em = load_table(spark, "embeddings", sf_dir)
+    q = quantize_embeddings(em)
+    # reconstruction bound
+    err = q.select(
+        F.array_max(
+            F.zip_with(
+                "embedding",
+                "embedding_q",
+                lambda x, qv: F.abs(
+                    x.cast("double") - qv.cast("double") * F.col("embedding_q_scale")
+                ),
+            )
+        ).alias("e"),
+        (F.col("embedding_q_scale") / 2 + 1e-12).alias("bound"),
+    )
+    assert err.filter(F.col("e") > F.col("bound")).count() == 0
+
+    exact = cosine_topk_bruteforce(em, em.filter(F.col("vec_id") < 5), k=3)
+    qa = q.select(F.col("vec_id").alias("query_id"), F.col("embedding_q").alias("_qa"),
+                  F.col("embedding_q_scale").alias("_sa")).filter(F.col("query_id") < 5)
+    qb = q.select(F.col("vec_id").alias("match_id"), F.col("embedding_q").alias("_qb"),
+                  F.col("embedding_q_scale").alias("_sb"))
+    scored = qb.crossJoin(F.broadcast(qa)).filter(F.col("match_id") != F.col("query_id")).select(
+        "query_id", "match_id",
+        dequantize_cosine(F.col("_qa"), F.col("_sa"), F.col("_qb"), F.col("_sb")).alias("sim"))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("match_id").asc())
+    qtop = scored.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= 3)
+
+    exact_pairs = {(r["query_id"], r["match_id"]) for r in exact.collect()}
+    q_pairs = {(r["query_id"], r["match_id"]) for r in qtop.collect()}
+    per_query_overlap = {}
+    for qid in {p[0] for p in exact_pairs}:
+        e = {m for (qq, m) in exact_pairs if qq == qid}
+        g = {m for (qq, m) in q_pairs if qq == qid}
+        per_query_overlap[qid] = len(e & g)
+    assert all(v >= 2 for v in per_query_overlap.values()), per_query_overlap
