@@ -87,20 +87,27 @@ def connected_components(
     """Minimum-label propagation over an undirected edge list.
 
     Output: [id, component] where component = min id reachable.
-    Each iteration: every node adopts the min label among itself and
-    its neighbors (one groupBy shuffle over the symmetrized edges);
-    converged when no label changes. Iterations are O(graph diameter)
-    — near-dup graphs are shallow (clusters are cliques-ish), so this
-    terminates in 2-3 rounds in practice; ``max_iterations`` bounds
-    pathological chains, and hitting the bound without convergence
-    emits a warning (the labels would be silently short-propagated).
+    Each iteration does two things:
+    - neighbor-min: every node adopts the min label among itself and
+      its neighbors (one groupBy shuffle over the symmetrized edges);
+    - pointer doubling: every node then shortcuts to its LABEL's
+      label (a self-join on the label frame), so the propagation
+      distance doubles each round instead of growing by one hop.
+    Convergence is O(log n) rounds even on path graphs (the
+    small-star/large-star complexity class), not O(diameter);
+    ``max_iterations=20`` therefore covers components of ~2^20 hops,
+    and hitting the bound without convergence emits a warning instead
+    of returning silently short-propagated labels.
 
     The symmetrized edge list is persisted up front: ``pairs`` is
     usually the tail of an expensive candidate+verify pipeline, and
     without the persist every iteration would recompute it from the
-    source scan. The per-iteration label diff is carried inside the
-    iteration's own cached frame, so one job per iteration both
-    materializes the new labels and answers the convergence probe.
+    source scan. Each iteration's labels are ``localCheckpoint``-ed:
+    the doubling self-join references the hop frame twice, so WITHOUT
+    lineage truncation the logical plan doubles every round and the
+    driver dies planning it around round ~10; the checkpoint
+    materializes in the convergence probe's own job (eager=False), so
+    it stays one job per iteration.
     """
     import warnings
 
@@ -116,29 +123,37 @@ def connected_components(
         .withColumn("component", F.col("id"))
     )
     converged = False
-    to_unpersist: list[DataFrame] = []
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.b == labels.id)
             .groupBy("a")
             .agg(F.min("component").alias("nbr_min"))
         )
+        hopped = labels.join(neighbor_min, labels.id == neighbor_min.a, "left").select(
+            "id",
+            F.col("component").alias("_prev"),
+            F.least(
+                F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+            ).alias("component"),
+        )
+        # pointer doubling: component <- label(component); the parent
+        # lookup is the same frame, so distance doubles per round
+        parent = hopped.select(
+            F.col("id").alias("_pid"), F.col("component").alias("_pcomp")
+        )
         stepped = (
-            labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
+            hopped.join(parent, hopped.component == parent._pid, "left")
             .select(
                 "id",
-                F.col("component").alias("_prev"),
+                "_prev",
                 F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                    F.col("component"), F.coalesce(F.col("_pcomp"), F.col("component"))
                 ).alias("component"),
             )
-            .persist()
+            .localCheckpoint(eager=False)
         )
-        # one job: materializes the cache AND answers the probe
+        # one job: materializes the checkpoint AND answers the probe
         changed = stepped.filter(F.col("component") != F.col("_prev")).limit(1).count()
-        for old in to_unpersist:
-            old.unpersist()
-        to_unpersist = [stepped]
         labels = stepped.select("id", "component")
         if changed == 0:
             converged = True

@@ -65,3 +65,62 @@ def test_dedup_clusters_marks_duplicates(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
     out = {r["doc_id"]: (r["keep_id"], r["is_duplicate"]) for r in dedup_clusters(docs, pairs).collect()}
     assert out == {1: (1, False), 2: (1, True), 3: (1, True), 10: (10, False), 99: (99, False)}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 150-node path graph needs ~8 doubling rounds (vs 149 pure
+    min-label hops, which would blow the iteration cap); the result
+    must match a union-find ground truth, with no warning raised."""
+    import warnings as _warnings
+
+    from bbdc20_submission_spark.operators.chunking import connected_components
+
+    chain = [(i, i + 1) for i in range(149)]          # one long path
+    cliques = [(1000 + i, 1000 + j) for i in range(4) for j in range(i + 1, 4)]
+    pairs = spark.createDataFrame(chain + cliques, "id_a long, id_b long")
+
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(pairs).collect()
+        }
+    assert not [w for w in caught if "connected_components" in str(w.message)]
+    assert all(got[i] == 0 for i in range(150))
+    assert all(got[1000 + i] == 1000 for i in range(4))
+
+
+def test_connected_components_random_graphs_match_union_find(spark):
+    import random
+
+    from bbdc20_submission_spark.operators.chunking import connected_components
+
+    rng = random.Random(3)
+    n = 400
+    edges = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(300)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+
+    # union-find ground truth
+    parent = list(range(n))
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {x for e in edges for x in e}
+    want = {x: find(x) for x in touched}
+    # canonicalize: min id per root
+    roots = {}
+    for x, r in want.items():
+        roots.setdefault(r, set()).add(x)
+    want_min = {x: min(m) for r, m in roots.items() for x in m}
+
+    got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == want_min
