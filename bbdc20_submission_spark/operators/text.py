@@ -53,9 +53,12 @@ def stopword_hits(tokens: Column, vocabulary: Sequence[str]) -> Column:
     return F.size(F.filter(tokens, lambda x: F.array_contains(vocab, x)))
 
 
-def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Quality-scoring feature block: lengths, token stats, character-
-    class ratios, stopword ratio. One narrow projection."""
+def raw_text_stats(text_col: str = "text") -> dict[str, Column]:
+    """Unrounded stat expressions keyed by name. The single source of
+    truth for both ``text_stats`` (which rounds for display) and
+    ``quality_score`` (which must combine UNROUNDED ratios so the
+    composite is rounded exactly once, matching single-rounding
+    oracles)."""
     t = F.col(text_col)
     toks = ws_tokens(t)
     n_chars = F.length(t)
@@ -65,29 +68,54 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     spaces = F.length(F.regexp_replace(t, "[^ ]", ""))
     punct = n_chars - alpha - digits - spaces
     sw = stopword_hits(toks, STOPWORDS["en"])
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "avg_token_len": n_chars / n_tokens,
+        "punct_ratio": punct / n_chars,
+        "digit_ratio": digits / n_chars,
+        "stopword_ratio": sw / n_tokens,
+    }
+
+
+def _quality_expr(raw: dict[str, Column]) -> Column:
+    """Composite [0,1] quality score from UNROUNDED ratio expressions
+    (rounded once by the caller)."""
+    return (
+        F.least(raw["n_tokens"] / 32.0, F.lit(1.0)) * 0.4
+        + F.least(raw["stopword_ratio"] * 4.0, F.lit(1.0)) * 0.3
+        + (1.0 - F.least(raw["punct_ratio"] * 4.0, F.lit(1.0))) * 0.2
+        + (1.0 - F.least(raw["digit_ratio"] * 4.0, F.lit(1.0))) * 0.1
+    )
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring feature block: lengths, token stats, character-
+    class ratios, stopword ratio. One narrow projection. Ratio columns
+    are rounded to 6 decimals for output; use ``raw_text_stats`` when
+    composing further arithmetic on them."""
+    raw = raw_text_stats(text_col)
     return df.select(
         "*",
-        n_chars.cast("long").alias("stat_n_chars"),
-        n_tokens.cast("long").alias("stat_n_tokens"),
-        F.round(n_chars / n_tokens, 6).alias("stat_avg_token_len"),
-        F.round(punct / n_chars, 6).alias("stat_punct_ratio"),
-        F.round(digits / n_chars, 6).alias("stat_digit_ratio"),
-        F.round(sw / n_tokens, 6).alias("stat_stopword_ratio"),
+        raw["n_chars"].cast("long").alias("stat_n_chars"),
+        raw["n_tokens"].cast("long").alias("stat_n_tokens"),
+        F.round(raw["avg_token_len"], 6).alias("stat_avg_token_len"),
+        F.round(raw["punct_ratio"], 6).alias("stat_punct_ratio"),
+        F.round(raw["digit_ratio"], 6).alias("stat_digit_ratio"),
+        F.round(raw["stopword_ratio"], 6).alias("stat_stopword_ratio"),
     )
 
 
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Scalar quality score in [0,1] from the stats block — the usual
     pretraining-filter shape (length window + stopword presence -
-    punctuation/digit noise)."""
+    punctuation/digit noise). The score combines the UNROUNDED ratios
+    and rounds exactly once at the end, so it matches a single-rounding
+    oracle formula bit-for-bit (the rounded stat_* display columns are
+    not inputs to the score)."""
     stats = text_stats(df, text_col)
-    score = (
-        F.least(F.col("stat_n_tokens") / 32.0, F.lit(1.0)) * 0.4
-        + F.least(F.col("stat_stopword_ratio") * 4.0, F.lit(1.0)) * 0.3
-        + (1.0 - F.least(F.col("stat_punct_ratio") * 4.0, F.lit(1.0))) * 0.2
-        + (1.0 - F.least(F.col("stat_digit_ratio") * 4.0, F.lit(1.0))) * 0.1
-    )
-    return stats.withColumn("quality", F.round(score, 6))
+    raw = raw_text_stats(text_col)
+    return stats.withColumn("quality", F.round(_quality_expr(raw), 6))
 
 
 def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:

@@ -41,7 +41,7 @@ from bbdc20_submission_spark.operators.text import (
     TOKEN_PATTERN,
     language_id,
     portable_fingerprint,
-    text_stats,
+    quality_score,
     ws_tokens,
 )
 from bbdc20_submission_spark.registry import query
@@ -228,17 +228,11 @@ def d12_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d2_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-scoring stats block (lengths, ratios, stopwords) plus
     the composite [0,1] quality score, in one narrow projection.
-    The score recombines the unrounded ratios (single final rounding,
-    matching the oracle formula)."""
+    The score is built from the UNROUNDED ratio expressions (via
+    operators.text.quality_score) with a single final rounding, so it
+    matches the oracle's single-rounding formula bit-for-bit."""
     d = load_table(spark, "documents", sf_dir)
-    stats = text_stats(d)
-    score = (
-        F.least(F.col("stat_n_tokens") / 32.0, F.lit(1.0)) * 0.4
-        + F.least(F.col("stat_stopword_ratio") * 4.0, F.lit(1.0)) * 0.3
-        + (1.0 - F.least(F.col("stat_punct_ratio") * 4.0, F.lit(1.0))) * 0.2
-        + (1.0 - F.least(F.col("stat_digit_ratio") * 4.0, F.lit(1.0))) * 0.1
-    )
-    return stats.select(
+    return quality_score(d).select(
         "doc_id",
         "stat_n_chars",
         "stat_n_tokens",
@@ -246,7 +240,7 @@ def d2_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stat_punct_ratio",
         "stat_digit_ratio",
         "stat_stopword_ratio",
-        F.round(score, 6).alias("quality"),
+        "quality",
     )
 
 
@@ -317,7 +311,8 @@ def d5_token_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
     scored AS (
         SELECT q.query_id, c.vec_id AS match_id,
-               list_cosine_similarity(q.qv, c.embedding) AS sim
+               list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])) AS sim
         FROM embeddings c, q
         WHERE c.vec_id <> q.query_id
     ), ranked AS (

@@ -8,7 +8,7 @@ channel, event_type ~ action label (FIXTURES.md §2).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bbdc20_submission_spark.operators.interpolate import interpolate_linear
@@ -460,6 +460,16 @@ def a1_drop_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _micro(col: str) -> Column:
+    """Tie-free 6-decimal integerization: floor(x*1e6 + 0.5 + 1e-9) as
+    BIGINT (micro-units). round(x, 6) lands on exact .5 ties at the 6th
+    decimal for some inputs; when the two engines' aggregates differ in
+    the last ulp (float summation order), the tie flips direction and
+    the hash diverges. The 1e-9 nudge (far above ulp scale, far below
+    data resolution) makes both engines land on the same side."""
+    return F.floor(F.col(col) * 1e6 + 0.5 + 1e-9).cast("long")
+
+
 # --- A7/A8: the four scaler modes in one query (load_data.py:98-114)
 @query(
     "a8_scaler_modes",
@@ -476,17 +486,19 @@ def a1_drop_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     )
     SELECT event_id,
-           round((value - mu) / sigma, 6)      AS standard,
-           round(value - mu, 6)                AS zero_mean,
-           round((value - lo) / (hi - lo), 6)  AS minmax,
-           round((value - med) / (q85 - q15), 6) AS robust
+           CAST(floor((value - mu) / sigma * 1e6 + 0.5 + 1e-9) AS BIGINT)        AS standard,
+           CAST(floor((value - mu) * 1e6 + 0.5 + 1e-9) AS BIGINT)                AS zero_mean,
+           CAST(floor((value - lo) / (hi - lo) * 1e6 + 0.5 + 1e-9) AS BIGINT)    AS minmax,
+           CAST(floor((value - med) / (q85 - q15) * 1e6 + 0.5 + 1e-9) AS BIGINT) AS robust
     FROM s
     """,
 )
 def a8_scaler_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8: per-trial standard/zero-mean/minmax/robust(15-85) scaling
     (load_data.py:98-114); one shared partition window, exact
-    percentiles."""
+    percentiles. Outputs are integerized micro-units (see _micro) so
+    the cross-engine hash is immune to round-half ties on
+    ulp-divergent aggregates."""
     from bbdc20_submission_spark.operators.scalers import scale_group
 
     e = load_table(spark, "events", sf_dir)
@@ -498,8 +510,8 @@ def a8_scaler_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "event_id",
-        F.round("value_std", 6).alias("standard"),
-        F.round("value_zm", 6).alias("zero_mean"),
-        F.round("value_mm", 6).alias("minmax"),
-        F.round("value_rb", 6).alias("robust"),
+        _micro("value_std").alias("standard"),
+        _micro("value_zm").alias("zero_mean"),
+        _micro("value_mm").alias("minmax"),
+        _micro("value_rb").alias("robust"),
     )
