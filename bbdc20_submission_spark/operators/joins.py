@@ -113,6 +113,14 @@ def range_join_bucketed(
     return fact.join(F.broadcast(dim), cond, how)
 
 
+def _row_salt(n_salts: int) -> Column:
+    """Row-unique round-robin salt in [0, n_salts): pmod over
+    ``monotonically_increasing_id()``. Unlike a content hash, identical
+    duplicate rows (the common hot-key shape) still land on DIFFERENT
+    salts, so the skew actually spreads."""
+    return F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int")
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
@@ -132,10 +140,24 @@ def salted_join(
     plain sort-merge skew, AQE's skewJoin (enabled in session.py)
     already splits oversized partitions at runtime; this operator is
     for pre-AQE shuffles and for engines/stages AQE cannot re-plan.
+
+    Only ``inner`` / ``left`` / ``left_semi`` / ``left_anti`` are
+    supported: with ``right``/``full``, an unmatched small-side row
+    survives the join once per salt replica (n_salts duplicate output
+    rows), so those modes are rejected. The salt is a per-row
+    round-robin over ``monotonically_increasing_id()`` — row-unique,
+    so even a hot key made of IDENTICAL duplicate rows (the common
+    skew case) is spread across all ``n_salts`` partitions; a
+    content-hash salt would send them all to one. The salt only
+    routes rows and is dropped before return, so its partition-layout
+    dependence never reaches the output.
     """
-    salt = F.pmod(
-        F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts)
-    ).cast("int")
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti", "semi", "anti"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, got {how!r}: "
+            "right/full would emit each unmatched small-side row n_salts times"
+        )
+    salt = _row_salt(n_salts)
     b = big.withColumn("_salt", salt)
     s = small.withColumn(
         "_salt",
@@ -168,14 +190,13 @@ def range_join_big(
     f = fact.withColumn("_bucket", bucket(F.col(fact_val)))
     iv = intervals.withColumn(
         "_bucket",
-        F.explode(
-            F.sequence(
-                bucket(F.col(lo_col)),
-                # hi is exclusive: a bucket starting exactly at hi is
-                # unreachable, hence the epsilon step back
-                bucket(F.col(hi_col) - F.lit(1e-12)),
-            )
-        ),
+        # sequence(bucket(lo), bucket(hi)) may include one bucket past
+        # the exclusive hi (when hi sits exactly on a boundary); the
+        # residual range predicate below filters it. No float epsilon:
+        # an absolute nudge would drop fact rows in [boundary, hi) when
+        # hi lies within eps above a boundary, and underflows to a
+        # no-op at |hi| >~ 2^40.
+        F.explode(F.sequence(bucket(F.col(lo_col)), bucket(F.col(hi_col)))),
     )
     return (
         f.join(iv, "_bucket")

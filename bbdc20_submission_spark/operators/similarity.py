@@ -201,24 +201,46 @@ def embedding_near_dups(
     vec_col: str = "embedding",
     n_planes: int = 12,
     dim: int = 64,
+    n_bands: int = 1,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH bucket self-join +
-    exact verify — the embedding-space analog of MinHash dedup."""
+    """Embedding-cosine near-duplicate pairs via banded LSH bucket
+    self-join + exact verify — the embedding-space analog of MinHash
+    dedup (SURVEY LLM-data family).
+
+    ``n_bands`` independent sign-LSH tables of ``n_planes`` planes
+    each (per-band hyperplane seeds): a pair is a candidate if it
+    collides in ANY band, so recall amplifies as
+    1 - (1 - p^n_planes)^n_bands with p = 1 - angle/pi per plane —
+    the standard OR-of-ANDs construction. More bands -> higher recall
+    at linear candidate-generation cost; the exact cosine verify keeps
+    precision at 1 regardless. The join stays a (band, signature) hash
+    equi-join — no cross product at any scale; band duplicates are
+    collapsed by the final distinct on the narrow (id, id, sim)
+    projection, so vectors are never shuffled twice."""
+    sigs = F.array(
+        *[
+            lsh_bucket_signature(F.col(vec_col), dim, n_planes, seed=7 + b)
+            for b in range(n_bands)
+        ]
+    )
     tagged = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
-        lsh_bucket_signature(F.col(vec_col), dim, n_planes).alias("_bucket"),
+        F.posexplode(sigs).alias("_band", "_sig"),
     )
     a = tagged.select(
-        F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "_bucket"
+        F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "_band", "_sig"
     )
     b = tagged.select(
-        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "_bucket"
+        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "_band", "_sig"
     )
     return (
-        a.join(b, "_bucket")
+        a.join(b, ["_band", "_sig"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cosine_sim"))
-        .filter(F.col("cosine_sim") >= threshold)
+        .withColumn("_sim", cosine(F.col("_va"), F.col("_vb")))
+        # filter on the UNROUNDED cosine (matches a `WHERE cos >= t`
+        # oracle at the threshold boundary), round only for output
+        .filter(F.col("_sim") >= threshold)
+        .select("id_a", "id_b", F.round("_sim", 6).alias("cosine_sim"))
         .distinct()
     )

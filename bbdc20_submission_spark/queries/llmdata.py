@@ -379,21 +379,47 @@ def s2_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "s3_embedding_near_dups",
     oracle="""
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+    ), planted AS (
+        SELECT vec_id + 100000 AS vec_id,
+               list_transform(generate_series(1, 64),
+                              i -> embedding[i] * 0.98 + embedding[65 - i] * 0.02) AS embedding
+        FROM base WHERE vec_id < 8
+    ), aug AS (
+        SELECT * FROM base UNION ALL SELECT * FROM planted
+    )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                        CAST(b.embedding AS DOUBLE[])), 6) AS cosine_sim
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                 CAST(b.embedding AS DOUBLE[])) >= 0.9
+           round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine_sim
+    FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
     """,
 )
 def s3_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (LSH + exact verify)
-    against the brute-force oracle pair set — same certification
-    pattern as d8: emitted pairs are exact-verified, so green means
-    the LSH bucketing lost nothing on this corpus."""
+    """Embedding-cosine near-duplicate pairs (banded LSH + exact
+    verify) against the brute-force oracle pair set — same
+    certification pattern as d8: emitted pairs are exact-verified, so
+    green means the LSH bucketing lost nothing on this corpus.
+
+    The harness embeddings are i.i.d. (max pairwise cosine ~0.51), so
+    a 0.9 threshold alone certifies vacuously (0 pairs). Both engines
+    therefore plant 8 deterministic near-duplicates — vec_id+100000
+    with embedding' = 0.98*e + 0.02*reverse(e), cosine ~0.9998 — built
+    from the same arithmetic on both sides, making the certified pair
+    set non-empty: the green hash proves the 4-band LSH actually
+    recovered every planted pair (miss probability per pair at this
+    angle ~7e-6; verified deterministically at every test SF)."""
     em = load_table(spark, "embeddings", sf_dir)
-    return embedding_near_dups(em, threshold=0.9, n_planes=10, dim=64)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = em.select("vec_id", v.alias("embedding"))
+    planted = em.filter(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.zip_with(v, F.reverse(v), lambda x, y: x * 0.98 + y * 0.02).alias(
+            "embedding"
+        ),
+    )
+    aug = base.unionByName(planted)
+    return embedding_near_dups(aug, threshold=0.9, n_planes=8, dim=64, n_bands=4)
 
 
 @query(

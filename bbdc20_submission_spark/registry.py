@@ -37,6 +37,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
             from bbdc20_submission_spark.session import ensure_package_shipped
 
             ensure_package_shipped(spark)
+            # Operators persist intermediates (LSH signatures, simhash
+            # fingerprints, kmeans feature vectors) that the RETURNED
+            # lazy plan still references, so they cannot unpersist
+            # before the caller's action. Dropping leftovers here
+            # bounds cached-block accumulation to one query at a time
+            # across a 50-query driver/bench run.
+            spark.catalog.clearCache()
             return fn(spark, sf_dir)
 
         wrapped.__name__ = fn.__name__

@@ -6,6 +6,12 @@ one JSON line {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is forced with a noop-format write (full computation, no
 driver collect). First a warmup pass of the flagship query pays JVM /
 codegen startup so per-query numbers reflect steady state.
+
+Per-query numbers are the MIN over $SPARK_GRAFT_BENCH_REPS runs
+(default 3): single-pass timings on a shared local[32] box ride
+machine-load noise (observed ~2x cross-round drift); the minimum is
+the standard steady-state estimator. Caches are cleared before every
+rep so each rep does the query's full work (no warm-cache shortcut).
 """
 
 from __future__ import annotations
@@ -41,13 +47,19 @@ def main() -> None:
     for t in HARNESS_TABLES:
         load_table(spark, t, sf_dir).count()
 
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in sorted(registry.QUERIES):
-        t0 = time.perf_counter()
+        best = None
         try:
-            force(registry.QUERIES[name](spark, sf_dir))
-            timings[name] = round(time.perf_counter() - t0, 3)
+            for _ in range(reps):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                force(registry.QUERIES[name](spark, sf_dir))
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 3)
         except Exception as exc:  # one bad query must not kill the run
             errors[name] = str(exc).splitlines()[0][:200]
 

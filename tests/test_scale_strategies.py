@@ -197,3 +197,78 @@ def test_salted_join_matches_plain_join(spark):
     with contextlib.redirect_stdout(buf):
         out.explain("formatted")
     assert "_salt" in buf.getvalue()
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    """right/full would replicate unmatched small-side rows n_salts
+    times — the operator must refuse them up front."""
+    import pytest
+
+    from bbdc20_submission_spark.operators.joins import salted_join
+
+    big = spark.createDataFrame([(1, "a")], "k long, v string")
+    small = spark.createDataFrame([(1, "d")], "k long, label string")
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(big, small, ["k"], n_salts=4, how=how)
+
+
+def test_salted_join_left_keeps_unmatched_once(spark):
+    """left join: unmatched big rows appear exactly once (each big row
+    carries exactly one salt)."""
+    from bbdc20_submission_spark.operators.joins import salted_join
+
+    big = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(300)], "rid long, k long, v double"
+    )
+    small = spark.createDataFrame([(0, "zero")], "k long, label string")
+    out = salted_join(big, small, ["k"], n_salts=8, how="left")
+    assert out.count() == 300
+    assert out.filter(F.col("label").isNull()).count() == 200
+
+
+def test_row_salt_spreads_identical_rows(spark):
+    """A hot key of fully IDENTICAL rows must still spread over the
+    salt space (a content-hash salt gives them all the same salt —
+    the regression this pins)."""
+    from bbdc20_submission_spark.operators.joins import _row_salt
+
+    dupes = spark.createDataFrame([(1, "same")] * 1000, "k long, v string")
+    n = dupes.withColumn("_salt", _row_salt(8)).select("_salt").distinct().count()
+    assert n == 8
+
+
+def test_salted_join_duplicate_row_hot_key_matches_plain(spark):
+    """Equivalence on the duplicate-row skew shape specifically."""
+    from bbdc20_submission_spark.operators.joins import salted_join
+
+    big = spark.createDataFrame(
+        [(1, "hot")] * 2000 + [(k, f"r{k}") for k in range(2, 50)],
+        "k long, v string",
+    )
+    small = spark.createDataFrame(
+        [(k, f"dim{k}") for k in range(0, 50)], "k long, label string"
+    )
+    assert salted_join(big, small, ["k"], n_salts=8).count() == big.join(small, "k").count()
+
+
+def test_range_join_big_hi_on_bucket_boundary(spark):
+    """hi exactly on / within float-eps above a bucket boundary must
+    not lose fact rows in [boundary, hi) — the epsilon-regression pin.
+    Also exercises magnitudes ~2^41 where an absolute 1e-12 epsilon
+    underflows to a no-op."""
+    from bbdc20_submission_spark.operators.joins import range_join_big
+
+    facts = spark.createDataFrame(
+        [(1, 8.0), (2, 8.00000000000005), (3, 7.9), (4, 2.0**41)],
+        "fid long, v double",
+    )
+    ivs = spark.createDataFrame(
+        [(10, 0.0, 8.0000000000001), (11, 2.0**41 - 1.0, 2.0**41 + 1.0)],
+        "iid long, lo double, hi double",
+    )
+    got = {
+        (r["fid"], r["iid"])
+        for r in range_join_big(facts, ivs, "v", "lo", "hi", bucket_width=8.0).collect()
+    }
+    assert got == {(1, 10), (2, 10), (3, 10), (4, 11)}
