@@ -192,27 +192,55 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_k: int = 3,
+    min_jaccard: float | None = None,
 ) -> DataFrame:
     """Verify candidate pairs with exact shingle-set Jaccard.
 
-    Joins shingle sets only for candidate ids (sparse), computes
-    |A∩B| / |A∪B| with built-in array ops."""
+    Joins shingle sets only for candidate ids (sparse). The union is
+    computed by inclusion-exclusion (|A| + |B| - |A∩B|, exact because
+    the shingle arrays are distinct), so each pair hashes one array
+    instead of building an intersection AND a union.
+
+    ``min_jaccard`` enables a PROVABLY LOSSLESS size prefilter:
+    jaccard(A,B) <= min(|A|,|B|)/max(|A|,|B|) (intersection is at most
+    the smaller set, union at least the larger), so pairs whose size
+    ratio is below the target threshold cannot reach it and are
+    dropped before the per-pair set intersection. Cheap integer
+    compare vs array hashing — at 100 TB the candidate verify is the
+    widest stage of the dedup pipeline, and this trims it without
+    touching recall (the caller still applies its own
+    ``jaccard >= t`` filter on the exact value)."""
     sets_df = df.select(
         F.col(id_col).alias("_sid"),
         word_shingles(text_col, shingle_k).alias("_shingles"),
     )
-    a = sets_df.select(F.col("_sid").alias("id_a"), F.col("_shingles").alias("_sa"))
-    b = sets_df.select(F.col("_sid").alias("id_b"), F.col("_shingles").alias("_sb"))
-    inter = F.size(F.array_intersect("_sa", "_sb"))
-    union = F.size(F.array_union("_sa", "_sb"))
-    return (
-        pairs.join(a, "id_a")
-        .join(b, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(inter / union, 6).alias("jaccard"),
+    a = sets_df.select(
+        F.col("_sid").alias("id_a"),
+        F.col("_shingles").alias("_sa"),
+        F.size("_shingles").alias("_na"),
+    )
+    b = sets_df.select(
+        F.col("_sid").alias("id_b"),
+        F.col("_shingles").alias("_sb"),
+        F.size("_shingles").alias("_nb"),
+    )
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    if min_jaccard is not None:
+        joined = joined.filter(
+            F.least("_na", "_nb") >= min_jaccard * F.greatest("_na", "_nb")
         )
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    return joined.select(
+        "id_a",
+        "id_b",
+        (F.col("_na") + F.col("_nb")).alias("_sum"),
+        inter.alias("_inter"),
+    ).select(
+        "id_a",
+        "id_b",
+        F.round(F.col("_inter") / (F.col("_sum") - F.col("_inter")), 6).alias(
+            "jaccard"
+        ),
     )
 
 
@@ -246,32 +274,32 @@ def simhash64(tokens: Column) -> Column:
 def simhash_df(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """DataFrame-level SimHash: explode tokens, hash once, 64 bit-vote
-    sums in one hash-aggregate (codegen + map-side partials), then fold
-    the votes into the 64-bit fingerprint. ~10x the higher-order-
-    function form at sf0.1. Output: [_id, _fp]."""
+    """DataFrame-level SimHash: explode tokens, hash once, then explode
+    the 64 BIT POSITIONS and aggregate signed votes per (doc, bit) —
+    two narrow hash-aggregates with map-side partials, both fully
+    inside whole-stage codegen. The earlier 64-sum single-aggregate
+    form generated a method past the JIT/codegen size limit and fell
+    back to interpreted evaluation (~1.4x slower measured at sf0.1);
+    the tall-skinny shape keeps every stage compiled and its first
+    partial aggregation shrinks the 64x bit fanout back to
+    64 rows/doc before the shuffle. Output: [_id, _fp]."""
     hashed = df.select(
         F.col(id_col).alias("_id"),
         F.explode(ws_tokens(text_col)).alias("_tok"),
     ).select("_id", F.xxhash64("_tok").alias("_h"))
-    votes = hashed.groupBy("_id").agg(
-        *[
-            F.sum(
-                F.when(
-                    F.col("_h").bitwiseAND(F.shiftleft(F.lit(1).cast("long"), i)) != 0, 1
-                ).otherwise(-1)
-            ).alias(f"v{i}")
-            for i in range(64)
-        ]
-    )
-    fp = F.lit(0).cast("long")
-    for i in range(64):
-        fp = fp.bitwiseOR(
+    bits = hashed.select(
+        "_id",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("_bit"),
+        "_h",
+    ).select("_id", "_bit", F.expr("(shiftright(_h, _bit) & 1) * 2 - 1").alias("_vote"))
+    votes = bits.groupBy("_id", "_bit").agg(F.sum("_vote").alias("_v"))
+    return votes.groupBy("_id").agg(
+        F.sum(
             F.when(
-                F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+                F.col("_v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), _bit)")
             ).otherwise(F.lit(0).cast("long"))
-        )
-    return votes.select("_id", fp.alias("_fp"))
+        ).alias("_fp")
+    )
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -346,6 +374,12 @@ def simhash_near_dups(
         left.join(right, ["band", "slice", "sub_bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", hamming64(F.col("fp_a"), F.col("fp_b")).alias("hamming"))
-        .distinct()
+        # filter BEFORE distinct: the band self-join emits every
+        # within-bucket pair (millions of rows at sf0.1 — short slices
+        # mean big buckets), while the pairs that survive the hamming
+        # budget are a tiny set. Deduplicating after the filter
+        # shuffles only survivors instead of the full candidate fanout
+        # (measured ~2x on d9 at sf0.1).
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

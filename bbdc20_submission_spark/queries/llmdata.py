@@ -103,7 +103,7 @@ def d8_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     impossible — every emitted pair passed the exact verify)."""
     d = load_table(spark, "documents", sf_dir)
     cands = minhash_lsh_candidates(d, shingle_k=3, num_hashes=16, bands=4)
-    return jaccard_pairs(d, cands, shingle_k=3).filter(F.col("jaccard") >= 0.5)
+    return jaccard_pairs(d, cands, shingle_k=3, min_jaccard=0.5).filter(F.col("jaccard") >= 0.5)
 
 
 @query(
@@ -114,16 +114,22 @@ def d8_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def d9_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (banded hamming <= 10, pigeonhole bands =
+    """SimHash near-dup pairs (banded hamming <= 13, pigeonhole bands =
     max_hamming+1 -> recall 1 over the hamming budget) verified by
     exact shingle Jaccard >= 0.5. Certified like d8: the output is the
     exact-verified pair set, compared against DuckDB's brute-force
     ground truth — green proves the SimHash bucketing loses no true
-    near-dup pair on this corpus (measured: true pairs sit at hamming
-    <= 9 across the test SFs)."""
+    near-dup pair on this corpus.
+
+    Hamming budget: jaccard >= 0.5 is a LOOSE near-dup bar in simhash
+    terms; measured across the test SFs the true pairs reach hamming
+    12 at sf0.1 (a budget of 10 silently missed one there, though the
+    sf0.01 certification stayed green). 13 covers the measured max
+    with margin; the extra bands shorten the bit slices, which is the
+    price of recalling genuinely-distant pairs."""
     d = load_table(spark, "documents", sf_dir)
-    cands = simhash_near_dups(d, max_hamming=10).select("id_a", "id_b")
-    return jaccard_pairs(d, cands, shingle_k=3).filter(F.col("jaccard") >= 0.5)
+    cands = simhash_near_dups(d, max_hamming=13).select("id_a", "id_b")
+    return jaccard_pairs(d, cands, shingle_k=3, min_jaccard=0.5).filter(F.col("jaccard") >= 0.5)
 
 
 @query(
@@ -186,7 +192,7 @@ def d12_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, "documents", sf_dir)
     cands = minhash_lsh_candidates(d, shingle_k=3, num_hashes=16, bands=4)
-    pairs = jaccard_pairs(d, cands, shingle_k=3).filter(F.col("jaccard") >= 0.5)
+    pairs = jaccard_pairs(d, cands, shingle_k=3, min_jaccard=0.5).filter(F.col("jaccard") >= 0.5)
     out = dedup_clusters(d, pairs)
     return out.select(
         "doc_id", "keep_id", F.col("is_duplicate").cast("long").alias("is_duplicate")

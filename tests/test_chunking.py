@@ -67,6 +67,42 @@ def test_dedup_clusters_marks_duplicates(spark):
     assert out == {1: (1, False), 2: (1, True), 3: (1, True), 10: (10, False), 99: (99, False)}
 
 
+def test_dedup_clusters_driver_and_distributed_paths_agree(spark):
+    """The size-gated driver union-find fast path and the iterative
+    distributed CC path must label identically (same min-id components
+    for every doc, singletons kept)."""
+    import random
+
+    rng = random.Random(5)
+    docs = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    edges = sorted({
+        (min(a, b), max(a, b))
+        for a, b in (
+            (rng.randrange(150), rng.randrange(150)) for _ in range(120)
+        )
+        if a != b
+    })
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    via_driver = {
+        r["doc_id"]: (r["keep_id"], r["is_duplicate"])
+        for r in dedup_clusters(docs, pairs).collect()
+    }
+    via_loop = {
+        r["doc_id"]: (r["keep_id"], r["is_duplicate"])
+        for r in dedup_clusters(docs, pairs, driver_edge_threshold=-1).collect()
+    }
+    assert via_driver == via_loop
+    assert len(via_driver) == 200
+
+
+def test_dedup_clusters_empty_pairs(spark):
+    """No edges: every doc is its own keep_id, nothing flagged."""
+    docs = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    out = {r["doc_id"]: (r["keep_id"], r["is_duplicate"]) for r in dedup_clusters(docs, pairs).collect()}
+    assert out == {i: (i, False) for i in range(5)}
+
+
 def test_connected_components_long_chain_converges(spark):
     """A 150-node path graph needs ~8 doubling rounds (vs 149 pure
     min-label hops, which would blow the iteration cap); the result
