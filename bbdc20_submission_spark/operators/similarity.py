@@ -99,18 +99,35 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
 
 
 def lsh_bucket_signature(
-    vec: Column, dim: int, n_planes: int = 16, seed: int = 7
+    vec: Column | str, dim: int, n_planes: int = 16, seed: int = 7
 ) -> Column:
     """Random-hyperplane sign signature -> long bucket id. Vectors with
     small angles agree on most signs, so equal buckets concentrate
-    near neighbors."""
+    near neighbors.
+
+    Built as ONE generated SQL expression parsed JVM-side: the naive
+    Column-API construction (n_planes nested zip_with/aggregate trees
+    over ``dim`` literal weights) costs thousands of py4j round trips
+    and dominated wall time (~5 s of pure driver-side plan BUILDING
+    for 32 planes, measured). The SQL string is identical arithmetic —
+    sequential left-fold dot product in double — so certified sign
+    buckets (s2's literal-hyperplane oracle) are unchanged.
+
+    ``vec`` must be a simple column name (or a Column resolving to
+    one) so it can be referenced from the generated SQL."""
+    name = vec if isinstance(vec, str) else vec._jc.toString()
     planes = _hyperplanes(dim, n_planes, seed)
-    sig = F.lit(0).cast("long")
+    terms = []
     for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(x) for x in p])
-        positive = dot(vec, plane) > 0
-        sig = sig.bitwiseOR(F.when(positive, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long")))
-    return sig
+        weights = ", ".join(repr(x) + "D" for x in p)
+        d_expr = (
+            f"aggregate(zip_with(`{name}`, array({weights}), "
+            "(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, v) -> acc + v)"
+        )
+        terms.append(
+            f"(CASE WHEN {d_expr} > 0 THEN {1 << i}L ELSE 0L END)"
+        )
+    return F.expr("(" + " + ".join(terms) + ")").cast("long")
 
 
 def cosine_topk_lsh(
@@ -223,11 +240,16 @@ def embedding_near_dups(
             for b in range(n_bands)
         ]
     )
+    # persist: the signature expressions (n_bands * n_planes
+    # higher-order-function dot products per vector) are the expensive
+    # narrow stage, and BOTH self-join sides read this frame — without
+    # the persist they are computed twice. Leftover blocks are cleared
+    # by the registry wrapper at the next query build.
     tagged = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
         F.posexplode(sigs).alias("_band", "_sig"),
-    )
+    ).persist()
     a = tagged.select(
         F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "_band", "_sig"
     )
