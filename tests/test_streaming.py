@@ -127,6 +127,63 @@ def test_stream_rle_respects_custom_key_and_value_cols(spark, events_stream):
     assert all(r["n_rows"] >= 1 for r in rows)
 
 
+def test_stream_static_enrich_matches_batch(spark, events_stream, sf_dir):
+    """Stream-static broadcast enrichment must equal the batch join and
+    reject stream-side-destroying modes."""
+    from bbdc20_submission_spark.streaming.joins import stream_static_enrich
+
+    stream, batch = events_stream
+    dim = (
+        batch.select("event_type").distinct()
+        .withColumn("type_tag", F.concat(F.lit("tag_"), F.col("event_type")))
+    )
+    _run_to_memory(stream_static_enrich(stream, dim, "event_type"), "t_enrich")
+    got = spark.sql("SELECT count(*) AS n, count(type_tag) AS tagged FROM t_enrich").collect()[0]
+    want = batch.join(dim, "event_type", "left")
+    assert got["n"] == want.count() == batch.count()
+    assert got["tagged"] == got["n"]  # every type is in the dim
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="stream_static_enrich supports"):
+        stream_static_enrich(stream, dim, "event_type", how="full")
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_stream):
+    """Stream-stream interval join (watermarked both sides) must emit
+    exactly the batch interval-join pairs."""
+    from bbdc20_submission_spark.streaming.joins import stream_stream_interval_join
+
+    stream, batch = events_stream
+    left = stream.select("user_id", "ts", "event_id")
+    right = stream.select("user_id", "ts", F.col("event_id").alias("rid"))
+    out = stream_stream_interval_join(
+        left, right, key="user_id", lower="0 seconds", upper="30 minutes",
+        right_cols=["rid"],
+    )
+    _run_to_memory(out, "t_ssjoin")
+    got = {
+        (r["user_id"], r["event_id"], r["r_rid"])
+        for r in spark.sql("SELECT * FROM t_ssjoin").collect()
+    }
+    b_l = batch.select("user_id", "ts", "event_id")
+    b_r = batch.select(
+        F.col("user_id").alias("u2"), F.col("ts").alias("ts2"),
+        F.col("event_id").alias("rid"),
+    )
+    want = {
+        (r["user_id"], r["event_id"], r["rid"])
+        for r in b_l.join(
+            b_r,
+            (b_l.user_id == b_r.u2)
+            & (b_r.ts2 >= b_l.ts)
+            & (b_r.ts2 <= b_l.ts + F.expr("INTERVAL 30 minutes")),
+        ).collect()
+    }
+    assert len(got) > 0
+    assert got == want
+
+
 def test_stream_dedup_bounded_state(spark, events_stream):
     from bbdc20_submission_spark.streaming.windows import stream_dedup
 
