@@ -1,0 +1,151 @@
+"""End-to-end training-data curation pipeline: the composition the
+individual LLM-data operators exist for, as one declarative DAG.
+
+    raw documents
+      │ 1. exact dedup            (md5 groups, keep lowest id)
+      │ 2. near-dup clustering    (MinHash LSH → verify → components,
+      │                            keep each cluster's representative)
+      │ 3. quality + language     (heuristic filters, narrow maps)
+      │ 4. PII scrub              (chained regexp_replace)
+      │ 5. chunking               (fixed token windows, explode)
+      │ 6. deterministic sampling (per-language stratified hash rates)
+      ▼ curated chunks + per-stage audit counts
+
+Every stage is built from the operators in ``operators/`` — this
+module only composes them, so each stage's scale properties (hash-only
+dedup shuffle, banded LSH equi-joins, narrow filters, explode
+generators, shuffle-free sampling) are exactly the ones certified by
+the per-operator driver queries and plan tests.
+
+With ``audit=False`` (the production default) the pipeline stays lazy
+up to ONE materialization — the near-dup edge list inside
+``dedup_clusters`` (which d12 pays too) — and the returned frame runs
+as a single composed plan. ``audit=True`` additionally counts the
+survivors after every stage (one job per stage, each re-running the
+prefix): a diagnostics mode for tests/sampling runs, not something to
+switch on over 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bbdc20_submission_spark.operators.chunking import (
+    chunk_by_tokens,
+    dedup_clusters,
+    scrub_text,
+)
+from bbdc20_submission_spark.operators.dedup import (
+    exact_dedup_groups,
+    jaccard_pairs,
+    minhash_lsh_candidates,
+)
+from bbdc20_submission_spark.operators.sampling import stratified_sample
+from bbdc20_submission_spark.operators.text import language_id, quality_score
+
+
+@dataclass(frozen=True)
+class CurationConfig:
+    """Knobs for ``curate`` — defaults mirror common pretraining-filter
+    settings scaled to the synthetic corpus."""
+
+    near_dup_jaccard: float = 0.5
+    min_quality: float = 0.5
+    keep_langs: tuple[str, ...] = ("en", "de", "es", "fr")
+    chunk_tokens: int = 32
+    chunk_overlap: int = 0
+    sample_fractions: Mapping[str, float] | None = None  # lang -> rate
+    sample_seed: int = 7
+
+
+def curate(
+    docs: DataFrame,
+    config: CurationConfig = CurationConfig(),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    audit: bool = False,
+) -> tuple[DataFrame, dict[str, int]]:
+    """Run the full curation DAG. Returns (curated chunk frame, audit
+    counts per stage — empty unless ``audit=True``).
+
+    Output columns: [id_col, chunk_id, chunk_text, n_tokens,
+    lang_pred, quality]. Audit keys: raw, exact_unique, near_unique,
+    quality_lang_pass, chunks, sampled — each the surviving row count
+    after that stage."""
+    counts: dict[str, int] = {}
+
+    def _tap(name: str, df: DataFrame) -> None:
+        if audit:
+            counts[name] = df.count()
+
+    _tap("raw", docs)
+
+    # 1. exact dedup: keep each content group's lowest id. Broadcast
+    # the (tiny relative to corpus) keep-id set? No — the group frame
+    # is O(unique docs); join on the id which both sides hash-shuffle
+    # once. At 100 TB the text column never enters the exchange.
+    keep = exact_dedup_groups(docs, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    exact_unique = docs.join(keep, id_col, "left_semi")
+    _tap("exact_unique", exact_unique)
+
+    # 2. near-dup clustering over the exact-unique survivors (exact
+    # dups are already gone, so LSH only pays for real near-dup work);
+    # keep one representative per cluster.
+    cands = minhash_lsh_candidates(exact_unique, id_col, text_col)
+    pairs = jaccard_pairs(
+        exact_unique,
+        cands,
+        id_col,
+        text_col,
+        min_jaccard=config.near_dup_jaccard,
+    ).filter(F.col("jaccard") >= config.near_dup_jaccard)
+    clusters = dedup_clusters(exact_unique, pairs, id_col)
+    reps = clusters.filter(~F.col("is_duplicate")).select(id_col)
+    near_unique = exact_unique.join(reps, id_col, "left_semi")
+    _tap("near_unique", near_unique)
+
+    # 3+4. quality, language, scrub: all narrow maps — one projection
+    # pipeline, no shuffles between them.
+    scored = quality_score(near_unique, text_col)
+    scored = language_id(scored, text_col)
+    filtered = scored.filter(
+        (F.col("quality") >= config.min_quality)
+        & F.col("lang_pred").isin(*config.keep_langs)
+    )
+    _tap("quality_lang_pass", filtered)
+    scrubbed = scrub_text(filtered, text_col, out_col="_scrubbed")
+
+    # 5. chunking on the scrubbed text; re-attach the doc-level
+    # metadata columns the chunk generator drops.
+    chunks = chunk_by_tokens(
+        scrubbed.select(id_col, F.col("_scrubbed").alias(text_col)),
+        text_col,
+        id_col,
+        chunk_tokens=config.chunk_tokens,
+        overlap=config.chunk_overlap,
+    ).join(
+        scrubbed.select(id_col, "lang_pred", "quality"), id_col
+    )
+    _tap("chunks", chunks)
+
+    # 6. deterministic per-language sampling (id = (doc, chunk) via a
+    # derived synthetic id so chunk membership is also reproducible).
+    if config.sample_fractions:
+        chunks = chunks.withColumn(
+            "_cid", F.xxhash64(F.col(id_col), F.col("chunk_id"))
+        )
+        chunks = stratified_sample(
+            chunks,
+            "lang_pred",
+            config.sample_fractions,
+            id_col="_cid",
+            seed=config.sample_seed,
+        ).drop("_cid")
+    _tap("sampled", chunks)
+    return chunks, counts

@@ -1,0 +1,68 @@
+"""End-to-end curation pipeline invariants over the harness corpus:
+monotone stage survival, dedup correctness against the certified
+operators, schema/determinism, and sampling reproducibility."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bbdc20_submission_spark.plans.curation import CurationConfig, curate
+from bbdc20_submission_spark.sources.harness import load_table
+
+
+def test_curate_stage_counts_monotone_and_nonempty(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    out, audit = curate(docs, audit=True)
+    assert audit["raw"] >= audit["exact_unique"] >= audit["near_unique"]
+    assert audit["near_unique"] >= audit["quality_lang_pass"] > 0
+    assert audit["chunks"] >= audit["quality_lang_pass"]  # >=1 chunk/doc
+    assert audit["sampled"] == audit["chunks"]  # no sampling configured
+    assert out.count() == audit["chunks"]
+
+
+def test_curate_drops_near_duplicates(spark, sf_dir):
+    """Doc ids flagged duplicate by the certified d12 clustering must
+    not survive curation."""
+    from bbdc20_submission_spark.operators.chunking import dedup_clusters
+    from bbdc20_submission_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_lsh_candidates,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    cands = minhash_lsh_candidates(docs)
+    pairs = jaccard_pairs(docs, cands, min_jaccard=0.5).filter(
+        F.col("jaccard") >= 0.5
+    )
+    dup_ids = {
+        r["doc_id"]
+        for r in dedup_clusters(docs, pairs).filter("is_duplicate").collect()
+    }
+    out, _ = curate(docs)
+    survivors = {r["doc_id"] for r in out.select("doc_id").distinct().collect()}
+    assert dup_ids and not (survivors & dup_ids)
+
+
+def test_curate_output_schema_and_quality_floor(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    cfg = CurationConfig(min_quality=0.6, keep_langs=("en",))
+    out, _ = curate(docs, cfg)
+    assert set(out.columns) == {
+        "doc_id", "chunk_id", "chunk_text", "n_tokens", "lang_pred", "quality"
+    }
+    rows = out.collect()
+    assert rows
+    assert all(r["quality"] >= 0.6 and r["lang_pred"] == "en" for r in rows)
+    assert all(1 <= r["n_tokens"] <= cfg.chunk_tokens for r in rows)
+
+
+def test_curate_sampling_is_deterministic_and_rate_bounded(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    cfg = CurationConfig(sample_fractions={"en": 0.5}, keep_langs=("en",))
+    out1, a1 = curate(docs, cfg, audit=True)
+    out2, _ = curate(docs, cfg)
+    ids1 = {(r["doc_id"], r["chunk_id"]) for r in out1.collect()}
+    ids2 = {(r["doc_id"], r["chunk_id"]) for r in out2.collect()}
+    assert ids1 == ids2  # pure function of the data
+    # rate is binomial around 0.5; bound loosely
+    assert 0.3 * a1["chunks"] <= len(ids1) <= 0.7 * a1["chunks"]

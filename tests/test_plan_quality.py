@@ -104,6 +104,44 @@ def test_range_join_uses_broadcast_nested_loop(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_d12_small_regime_plan_is_broadcast_label_join(spark, sf_dir):
+    """Under the driver-union-find threshold, d12's RETURNED plan must
+    be a single broadcast left join of documents against the collected
+    label set — no iterative stage, no shuffle of documents."""
+    df = registry.QUERIES["d12_dedup_clusters"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_s3_candidates_are_equi_join_no_cross_product(spark, sf_dir):
+    """Banded sign-LSH self-join must be a hash equi-join on
+    (band, signature) — never a cartesian/BNLJ."""
+    df = registry.QUERIES["s3_embedding_near_dups"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_hamming_filter_precedes_distinct(spark, sf_dir):
+    """The hamming budget must cut the band self-join fanout BEFORE
+    the pair-dedup shuffle (millions of within-bucket pairs at sf0.1;
+    only survivors may be exchanged for the distinct). Catalyst folds
+    the predicate into the pair join itself — assert the bit_count
+    bound appears in a JOIN CONDITION, not merely as a filter above
+    the distinct aggregate."""
+    from bbdc20_submission_spark.operators.dedup import simhash_near_dups
+
+    d = load_table(spark, "documents", sf_dir)
+    plan = formatted_plan(simhash_near_dups(d, max_hamming=13))
+    join_conditions = [
+        ln for ln in plan.splitlines() if ln.startswith("Join condition:")
+    ]
+    assert any(
+        "bit_count" in ln and "<= 13" in ln for ln in join_conditions
+    ), join_conditions
+
+
 def test_topk_global_avoids_full_sort(spark, sf_dir):
     # q3's trailing orderBy+limit is the global top-k certification
     df = registry.QUERIES["q3_shipping_priority"](spark, sf_dir)
