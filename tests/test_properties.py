@@ -137,3 +137,117 @@ def test_signed_abs_max_tie_resolves_positive(spark):
         for r in df.groupBy("g").agg(signed_abs_max("v").alias("m")).collect()
     }
     assert got == {0: 5.0, 1: -7.0, 2: 9.0}
+
+
+@SLOW
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+            min_size=3,
+            max_size=12,
+        ),
+        min_size=2,
+        max_size=10,
+    ),
+    threshold=st.sampled_from([0.3, 0.5, 0.7]),
+)
+def test_jaccard_size_prefilter_is_lossless(spark, docs, threshold):
+    """jaccard_pairs(min_jaccard=t) must keep EXACTLY the >= t pairs
+    the unfiltered computation finds — the size-ratio prefilter is a
+    provable bound (inter <= min size, union >= max size), so no pair
+    above the threshold may be dropped."""
+    from bbdc20_submission_spark.operators.dedup import jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    all_pairs = spark.createDataFrame(
+        [(a, b) for a in range(len(docs)) for b in range(len(docs)) if a < b],
+        "id_a long, id_b long",
+    )
+    plain = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(df, all_pairs, shingle_k=2).collect()
+        if r["jaccard"] >= threshold
+    }
+    filtered = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(
+            df, all_pairs, shingle_k=2, min_jaccard=threshold
+        ).collect()
+        if r["jaccard"] >= threshold
+    }
+    assert filtered == plain
+
+
+@SLOW
+@given(
+    values=st.lists(
+        st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=200,
+    )
+)
+def test_micro_integerization_is_engine_portable(spark, values):
+    """_micro (floor(x*1e6 + 0.5 + 1e-9) AS BIGINT) is composed only
+    of IEEE-deterministic double ops, so DuckDB's identical expression
+    must produce the identical integer for the identical input double
+    — unlike round(x, 6), whose half-tie semantics differ by engine
+    (the a8 round-2 red). Includes adversarial exact-tie inputs."""
+    import duckdb
+
+    from bbdc20_submission_spark.queries.timeseries import _micro
+
+    # adversarial additions: values whose v*1e6 + 0.5 sits on/near ties
+    values = list(values) + [0.0000005, -0.0000005, 1.0000005, -33.2609375]
+    df = spark.createDataFrame([(v,) for v in values], "x double")
+    got = [r["m"] for r in df.select(_micro("x").alias("m")).collect()]
+    con = duckdb.connect()
+    want = [
+        con.execute(
+            "SELECT CAST(floor(? * 1e6 + 0.5 + 1e-9) AS BIGINT)", [v]
+        ).fetchone()[0]
+        for v in values
+    ]
+    con.close()
+    assert got == want
+
+
+@SLOW
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)),
+        min_size=0,
+        max_size=80,
+    )
+)
+def test_union_find_matches_reachability(spark, edges):
+    """Driver union-find must label every node with the min id
+    reachable from it (brute-force transitive closure as ground
+    truth). Pure-python property — no Spark roundtrip needed."""
+    from bbdc20_submission_spark.operators.chunking import _union_find_components
+
+    edges = [(a, b) for a, b in edges if a != b]
+    got = _union_find_components(edges)
+    # brute force: adjacency BFS
+    from collections import defaultdict, deque
+
+    adj = defaultdict(set)
+    nodes = set()
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+        nodes.update((a, b))
+    for n in nodes:
+        seen = {n}
+        q = deque([n])
+        while q:
+            x = q.popleft()
+            for y in adj[x]:
+                if y not in seen:
+                    seen.add(y)
+                    q.append(y)
+        assert got[n] == min(seen)
+    assert set(got) == nodes
