@@ -69,3 +69,59 @@ def test_json_orc_parquet_roundtrip(spark, tmp_path):
                 F.col("id").cast("long"), F.col("v").cast("double"), "k"
             )
         assert sorted(map(tuple, back.collect())) == want
+
+
+def test_range_sorted_layout_clusters_and_prunes(spark, sf_dir, tmp_path):
+    """write_range_sorted must produce files with DISJOINT sort-key
+    ranges (tight min/max stats — the property row-group pruning needs)
+    and identical query results; a sort-prefix filter must reach the
+    scan as a pushed filter."""
+    import contextlib
+    import io
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from bbdc20_submission_spark.sources.harness import load_table
+    from bbdc20_submission_spark.sources.layout import (
+        read_pruned,
+        write_range_sorted,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_shipdate", "l_quantity"
+    )
+    out = str(tmp_path / "li_sorted")
+    write_range_sorted(li, out, ["l_shipdate"], n_files=8)
+
+    # file-level min/max ranges must be (near-)disjoint: sorted layout
+    import glob
+
+    ranges = []
+    for f in glob.glob(f"{out}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "l_shipdate"
+            )
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    overlaps = sum(
+        1 for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]) if a_hi > b_lo
+    )
+    assert len(ranges) > 1 and overlaps == 0, ranges
+
+    # correctness + pushdown
+    cutoff = "1997-01-01"
+    got = read_pruned(spark, out).filter(F.col("l_shipdate") < cutoff)
+    want = li.filter(F.col("l_shipdate") < cutoff).count()
+    assert got.count() == want > 0
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain("formatted")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in buf.getvalue()
