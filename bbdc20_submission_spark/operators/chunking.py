@@ -160,12 +160,22 @@ def connected_components(
                 )
                 .localCheckpoint(eager=False)
             )
-        # one job: materializes the checkpoint AND answers the probe
-        changed = stepped.filter(F.col("component") != F.col("_prev")).limit(1).count()
+        # Convergence probe every 2nd iteration (and on the last): the
+        # probe is a full job, and with pointer doubling the label
+        # frame converges in O(log n) rounds anyway — probing half as
+        # often trades at most one cheap extra iteration for half the
+        # probe jobs. The probing job also materializes the lazy
+        # localCheckpoint (lineage truncation); on non-probe rounds the
+        # checkpoint materializes inside the next round's job instead.
+        if it % 2 == 1 or it == max_iterations - 1:
+            changed = (
+                stepped.filter(F.col("component") != F.col("_prev")).limit(1).count()
+            )
+            if changed == 0:
+                labels = stepped.select("id", "component")
+                converged = True
+                break
         labels = stepped.select("id", "component")
-        if changed == 0:
-            converged = True
-            break
     edges.unpersist()
     if not converged:
         warnings.warn(
