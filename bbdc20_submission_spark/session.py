@@ -60,7 +60,10 @@ def get_spark(app_name: str = "bbdc20_submission_spark") -> SparkSession:
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode: every "executor" thread shares this one JVM heap,
+        # so size it for 32-way parallel shuffle/agg working sets (8g
+        # showed GCLocker thrash on the 16x scale probes)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()
