@@ -58,6 +58,91 @@ def chunk_by_tokens(
     )
 
 
+def boilerplate_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 16,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated-chunk detection (the chunk-granular form
+    of substring dedup à la Lee et al., "Deduplicating Training Data
+    Makes Language Models Better"): fixed-size token chunks that appear
+    in at least ``min_docs`` DISTINCT documents are boilerplate
+    candidates (headers, footers, license banners, navigation).
+
+    Output: [chunk_hash, n_docs, n_occurrences, exemplar_text].
+
+    Scale shape: the wide aggregation groups on md5(chunk) and shuffles
+    ONLY (hash, doc_id) — text never enters the exchange. Exemplar text
+    is fetched afterwards by joining the (tiny) flagged-hash dim back
+    against the chunk stream and keeping one occurrence per hash, so
+    text moves only for actual boilerplate."""
+    chunks = chunk_by_tokens(df, text_col, id_col, chunk_tokens).select(
+        id_col, "chunk_id", "chunk_text", F.md5("chunk_text").alias("chunk_hash")
+    )
+    flagged = (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.count_distinct(F.col(id_col)).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    exemplar = (
+        chunks.join(F.broadcast(flagged.select("chunk_hash")), "chunk_hash")
+        .groupBy("chunk_hash")
+        .agg(F.min_by("chunk_text", F.struct(id_col, "chunk_id")).alias("exemplar_text"))
+    )
+    return flagged.join(exemplar, "chunk_hash").select(
+        "chunk_hash", "n_docs", "n_occurrences", "exemplar_text"
+    )
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    flagged: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 16,
+) -> DataFrame:
+    """Remove flagged boilerplate chunks from every document and
+    reassemble the survivors in order. ``flagged`` is the
+    ``boilerplate_chunks`` output (only ``chunk_hash`` is used —
+    broadcast, it is tiny by construction). Documents reduced to
+    nothing keep an empty string. Output: [id_col, {text_col}_clean,
+    n_chunks_removed]."""
+    chunks = chunk_by_tokens(df, text_col, id_col, chunk_tokens).select(
+        id_col, "chunk_id", "chunk_text", F.md5("chunk_text").alias("chunk_hash")
+    )
+    marked = chunks.join(
+        F.broadcast(flagged.select("chunk_hash").withColumn("_bp", F.lit(1))),
+        "chunk_hash",
+        "left",
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.array_compact(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_bp").isNull(),
+                                F.struct("chunk_id", "chunk_text"),
+                            )
+                        )
+                    ).getField("chunk_text")
+                ),
+            ).alias(f"{text_col}_clean"),
+            F.sum(F.when(F.col("_bp").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_chunks_removed"),
+        )
+    )
+
+
 SCRUB_RULES: list[tuple[str, str]] = [
     # (pattern, replacement) — applied in order
     (r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),

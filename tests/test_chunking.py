@@ -160,3 +160,57 @@ def test_connected_components_random_graphs_match_union_find(spark):
 
     got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
     assert got == want_min
+
+
+def test_boilerplate_chunks_detect_and_strip(spark):
+    """Docs sharing a chunk-aligned banner: the banner chunk is
+    flagged (n_docs = all), stripping removes exactly it, and unique
+    content survives in order."""
+    from bbdc20_submission_spark.operators.chunking import (
+        boilerplate_chunks,
+        strip_boilerplate,
+    )
+
+    banner = " ".join(f"b{i}" for i in range(4))  # one full 4-token chunk
+    docs = spark.createDataFrame(
+        [
+            (0, f"{banner} alpha beta gamma delta"),
+            (1, f"{banner} epsilon zeta eta theta"),
+            (2, f"{banner} iota kappa lam mu"),
+            (3, "nu xi omicron pi completely unique text here"),
+        ],
+        "doc_id long, text string",
+    )
+    flagged = boilerplate_chunks(docs, chunk_tokens=4, min_docs=2)
+    rows = flagged.collect()
+    assert len(rows) == 1
+    assert rows[0]["n_docs"] == 3 and rows[0]["n_occurrences"] == 3
+    assert rows[0]["exemplar_text"] == banner
+
+    clean = {
+        r["doc_id"]: (r["text_clean"], r["n_chunks_removed"])
+        for r in strip_boilerplate(docs, flagged, chunk_tokens=4).collect()
+    }
+    assert clean[0] == ("alpha beta gamma delta", 1)
+    assert clean[1] == ("epsilon zeta eta theta", 1)
+    assert clean[2] == ("iota kappa lam mu", 1)
+    assert clean[3] == ("nu xi omicron pi completely unique text here", 0)
+
+
+def test_strip_boilerplate_can_empty_a_document(spark):
+    from bbdc20_submission_spark.operators.chunking import (
+        boilerplate_chunks,
+        strip_boilerplate,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d"), (1, "a b c d"), (2, "a b c d x y z w")],
+        "doc_id long, text string",
+    )
+    flagged = boilerplate_chunks(docs, chunk_tokens=4, min_docs=2)
+    clean = {
+        r["doc_id"]: r["text_clean"]
+        for r in strip_boilerplate(docs, flagged, chunk_tokens=4).collect()
+    }
+    assert clean[0] == "" and clean[1] == ""
+    assert clean[2] == "x y z w"
