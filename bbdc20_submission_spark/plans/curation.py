@@ -60,6 +60,9 @@ class CurationConfig:
     chunk_overlap: int = 0
     sample_fractions: Mapping[str, float] | None = None  # lang -> rate
     sample_seed: int = 7
+    # cross-document boilerplate removal (off by default: an extra
+    # chunk+hash aggregation pass over the filtered corpus)
+    strip_boilerplate_min_docs: int | None = None
 
 
 def curate(
@@ -120,6 +123,33 @@ def curate(
     )
     _tap("quality_lang_pass", filtered)
     scrubbed = scrub_text(filtered, text_col, out_col="_scrubbed")
+
+    # 4b. optional cross-document boilerplate strip on the scrubbed
+    # text (repeated-chunk fingerprints; see operators.chunking)
+    if config.strip_boilerplate_min_docs is not None:
+        from bbdc20_submission_spark.operators.chunking import (
+            boilerplate_chunks,
+            strip_boilerplate,
+        )
+
+        bp_input = scrubbed.select(id_col, F.col("_scrubbed").alias(text_col))
+        flagged = boilerplate_chunks(
+            bp_input,
+            text_col,
+            id_col,
+            chunk_tokens=config.chunk_tokens,
+            min_docs=config.strip_boilerplate_min_docs,
+        )
+        stripped = strip_boilerplate(
+            bp_input, flagged, text_col, id_col, chunk_tokens=config.chunk_tokens
+        )
+        scrubbed = scrubbed.drop("_scrubbed").join(
+            stripped.select(
+                id_col, F.col(f"{text_col}_clean").alias("_scrubbed")
+            ),
+            id_col,
+        )
+        _tap("boilerplate_stripped", scrubbed)
 
     # 5. chunking on the scrubbed text; re-attach the doc-level
     # metadata columns the chunk generator drops.

@@ -66,3 +66,18 @@ def test_curate_sampling_is_deterministic_and_rate_bounded(spark, sf_dir):
     assert ids1 == ids2  # pure function of the data
     # rate is binomial around 0.5; bound loosely
     assert 0.3 * a1["chunks"] <= len(ids1) <= 0.7 * a1["chunks"]
+
+
+def test_curate_with_boilerplate_strip(spark, sf_dir):
+    """With strip enabled, curation still runs end-to-end; shared
+    banner chunks vanish from the output chunks."""
+    docs = load_table(spark, "documents", sf_dir)
+    banner = " ".join(f"bp{i}" for i in range(32))
+    bannered = docs.select(
+        "doc_id", F.concat(F.lit(banner + " "), F.col("text")).alias("text")
+    )
+    cfg = CurationConfig(strip_boilerplate_min_docs=2)
+    out, audit = curate(bannered, cfg, audit=True)
+    assert audit["boilerplate_stripped"] == audit["quality_lang_pass"]
+    assert out.count() > 0
+    assert out.filter(F.col("chunk_text") == banner).count() == 0
