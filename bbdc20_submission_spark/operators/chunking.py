@@ -326,8 +326,13 @@ def dedup_clusters(
     ``connected_components`` loop takes over: same labels, all-Spark,
     O(log n) rounds. Both paths are exercised in tests and produce
     identical output."""
+    src, dst = (
+        ("id_a", "id_b")
+        if {"id_a", "id_b"} <= set(pairs.columns)
+        else tuple(pairs.columns[:2])
+    )
     pairs_p = pairs.select(
-        F.col(pairs.columns[0]).alias("_ea"), F.col(pairs.columns[1]).alias("_eb")
+        F.col(src).alias("_ea"), F.col(dst).alias("_eb")
     ).persist()
     n_edges = pairs_p.count()  # materializes the verify pipeline ONCE
     if n_edges <= driver_edge_threshold:

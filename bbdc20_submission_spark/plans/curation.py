@@ -143,11 +143,17 @@ def curate(
         stripped = strip_boilerplate(
             bp_input, flagged, text_col, id_col, chunk_tokens=config.chunk_tokens
         )
-        scrubbed = scrubbed.drop("_scrubbed").join(
-            stripped.select(
-                id_col, F.col(f"{text_col}_clean").alias("_scrubbed")
-            ),
-            id_col,
+        scrubbed = (
+            scrubbed.drop("_scrubbed")
+            .join(
+                stripped.select(
+                    id_col, F.col(f"{text_col}_clean").alias("_scrubbed")
+                ),
+                id_col,
+            )
+            # a doc that was pure boilerplate is empty now — drop it
+            # rather than emit a single empty chunk
+            .filter(F.length("_scrubbed") > 0)
         )
         _tap("boilerplate_stripped", scrubbed)
 
