@@ -1,0 +1,133 @@
+"""CLI entry points: ``python -m bbdc20_submission_spark <cmd>``.
+
+Subcommands:
+
+- ``query NAME --sf-dir DIR [--out PATH] [--show N]`` — run one
+  registered query against a harness parquet directory; write parquet
+  or show rows.
+- ``curate --documents PATH [--out PATH] [--audit] [...]`` — run the
+  LLM-data curation DAG over a documents parquet (doc_id, text).
+- ``pipeline --labels CSV --emg DIR --mocap DIR --emg-test DIR
+  --mocap-test DIR --out DIR`` — the full BBDC reference pipeline from
+  native CSV layout to the submission CSV.
+
+Every subcommand builds the session via ``session.get_spark`` (AQE,
+UTC, package shipping), so the CLI behaves exactly like the driver
+contract surface.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _cmd_query(args: argparse.Namespace) -> int:
+    from bbdc20_submission_spark import registry
+    from bbdc20_submission_spark.session import get_spark
+
+    registry.load_all()
+    if args.name not in registry.QUERIES:
+        print(
+            f"unknown query {args.name!r}; available: "
+            + ", ".join(sorted(registry.QUERIES)),
+            file=sys.stderr,
+        )
+        return 2
+    spark = get_spark(f"query-{args.name}")
+    df = registry.QUERIES[args.name](spark, args.sf_dir)
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+        print(f"wrote {args.out}")
+    else:
+        df.show(args.show, truncate=False)
+    return 0
+
+
+def _cmd_curate(args: argparse.Namespace) -> int:
+    from bbdc20_submission_spark.plans.curation import CurationConfig, curate
+    from bbdc20_submission_spark.session import get_spark
+
+    spark = get_spark("curate")
+    docs = spark.read.parquet(args.documents)
+    cfg = CurationConfig(
+        min_quality=args.min_quality,
+        keep_langs=tuple(args.langs.split(",")),
+        chunk_tokens=args.chunk_tokens,
+        strip_boilerplate_min_docs=args.strip_boilerplate_min_docs,
+    )
+    out, audit = curate(docs, cfg, audit=args.audit)
+    if args.out:
+        out.write.mode("overwrite").parquet(args.out)
+    if args.audit:
+        print(json.dumps(audit))
+    if not args.out and not args.audit:
+        out.show(20, truncate=False)
+    return 0
+
+
+def _cmd_pipeline(args: argparse.Namespace) -> int:
+    from bbdc20_submission_spark.plans.pipeline import run_pipeline
+    from bbdc20_submission_spark.session import get_spark
+    from bbdc20_submission_spark.sources.native import (
+        load_labels,
+        load_sensor_csv_dir,
+        write_submission_csv,
+    )
+
+    spark = get_spark("bbdc-pipeline")
+    submission = run_pipeline(
+        load_labels(spark, args.labels),
+        load_sensor_csv_dir(spark, args.emg),
+        load_sensor_csv_dir(spark, args.mocap),
+        load_sensor_csv_dir(spark, args.emg_test),
+        load_sensor_csv_dir(spark, args.mocap_test),
+        test_subject=args.test_subject,
+        n_models=args.n_models,
+        seed=args.seed,
+    )
+    write_submission_csv(submission, args.out)
+    print(f"wrote {args.out}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="bbdc20_submission_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    q = sub.add_parser("query", help="run a registered query")
+    q.add_argument("name")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q.add_argument("--out")
+    q.add_argument("--show", type=int, default=20)
+    q.set_defaults(fn=_cmd_query)
+
+    c = sub.add_parser("curate", help="run the curation DAG")
+    c.add_argument("--documents", required=True)
+    c.add_argument("--out")
+    c.add_argument("--audit", action="store_true")
+    c.add_argument("--min-quality", type=float, default=0.5)
+    c.add_argument("--langs", default="en,de,es,fr")
+    c.add_argument("--chunk-tokens", type=int, default=32)
+    c.add_argument("--strip-boilerplate-min-docs", type=int, default=None)
+    c.set_defaults(fn=_cmd_curate)
+
+    pl = sub.add_parser("pipeline", help="run the BBDC reference pipeline")
+    pl.add_argument("--labels", required=True)
+    pl.add_argument("--emg", required=True)
+    pl.add_argument("--mocap", required=True)
+    pl.add_argument("--emg-test", required=True)
+    pl.add_argument("--mocap-test", required=True)
+    pl.add_argument("--out", required=True)
+    pl.add_argument("--test-subject", default="s06")
+    pl.add_argument("--n-models", type=int, default=11)
+    pl.add_argument("--seed", type=int, default=1337)
+    pl.set_defaults(fn=_cmd_pipeline)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -100,6 +100,37 @@ def main() -> None:
             results[q][f] = round(best, 2)
             print(f, q, results[q][f], flush=True)
 
+    # extension operators (not in the driver registry): the curation
+    # DAG end-to-end and BM25 query scoring over the same replicas
+    from pyspark.sql import functions as _F
+
+    from bbdc20_submission_spark.operators.ranking import bm25_score
+    from bbdc20_submission_spark.plans.curation import curate
+
+    def _curate(spark, d):
+        docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+        out, _ = curate(docs)
+        return out
+
+    def _bm25(spark, d):
+        docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+        return bm25_score(docs, ["the", "data", "model", "quick"])
+
+    EXT = {"curation_dag": _curate, "bm25_score": _bm25}
+    ext_results: dict[str, dict[int, float]] = {q: {} for q in EXT}
+    for f in FACTORS:
+        d = replicate(spark, f)
+        for q, fn in EXT.items():
+            best = None
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                fn(spark, d).write.mode("overwrite").format("noop").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            ext_results[q][f] = round(best, 2)
+            print(f, q, ext_results[q][f], flush=True)
+
     lines = [
         "# SCALING — measured wall-clock vs data volume\n",
         "sf0.1 tables replicated with shifted keys/timestamps (so key",
@@ -110,6 +141,13 @@ def main() -> None:
     ]
     for q in QUERIES:
         r = results[q]
+        ratio = round(r[16] / r[1], 1) if r[1] > 0 else float("inf")
+        lines.append(f"| {q} | {r[1]} | {r[4]} | {r[16]} | {ratio}x |")
+    lines.append("\nExtension operators (not in the driver registry):\n")
+    lines.append("| operator | 1x (s) | 4x (s) | 16x (s) | 16x/1x |")
+    lines.append("|---|---|---|---|---|")
+    for q in EXT:
+        r = ext_results[q]
         ratio = round(r[16] / r[1], 1) if r[1] > 0 else float("inf")
         lines.append(f"| {q} | {r[1]} | {r[4]} | {r[16]} | {ratio}x |")
     lines.append(
