@@ -138,17 +138,38 @@ def cosine_topk_lsh(
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: exact re-rank restricted to the query's LSH
-    bucket. Recall < 1 by design; multi-probe (flip one bit) widens
-    recall at 2x candidate cost. At 100 TB the bucket equi-join
-    replaces the full cross product — this is the scale path."""
+    bucket. At 100 TB the bucket equi-join replaces the full cross
+    product — this is the scale path.
+
+    ``multiprobe=True`` additionally probes every bucket at Hamming
+    distance 1 from the query's signature (flip each of the n_planes
+    sign bits): near neighbors that disagree with the query on exactly
+    one hyperplane — the dominant miss mode — become candidates, so
+    recall rises steeply for (n_planes + 1)x more QUERY rows in the
+    join (the corpus side, which dominates at scale, is untouched;
+    this is why multi-probe beats adding tables when queries are few)."""
     sig = lambda col: lsh_bucket_signature(col, dim, n_planes)  # noqa: E731
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
-        sig(F.col(vec_col)).alias("_bucket"),
+        sig(F.col(vec_col)).alias("_sig0"),
     )
+    if multiprobe:
+        probes = F.array(
+            F.col("_sig0"),
+            *[
+                F.col("_sig0").bitwiseXOR(F.lit(1 << i).cast("long"))
+                for i in range(n_planes)
+            ],
+        )
+        q = q.select(
+            "query_id", "_qv", F.explode(probes).alias("_bucket")
+        )
+    else:
+        q = q.withColumnRenamed("_sig0", "_bucket")
     c = corpus.select(
         F.col(id_col).alias("match_id"),
         F.col(vec_col).alias("_cv"),
@@ -159,6 +180,10 @@ def cosine_topk_lsh(
         .filter(F.col("match_id") != F.col("query_id"))
         .select("query_id", "match_id", cosine(F.col("_qv"), F.col("_cv")).alias("_sim"))
     )
+    if multiprobe:
+        # a pair found via several probed buckets scores identically —
+        # dedup before ranking so row_number stays a permutation
+        scored = scored.distinct()
     w = Window.partitionBy("query_id").orderBy(
         F.col("_sim").desc(), F.col("match_id").asc()
     )

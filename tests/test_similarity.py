@@ -54,6 +54,34 @@ def test_lsh_topk_recall(spark):
     assert recall >= 0.6, f"lsh recall {recall}"
 
 
+def test_lsh_multiprobe_improves_recall(spark):
+    """Flip-one-bit multi-probe must dominate single-bucket recall on
+    the same table (same planes), and emit well-formed per-query
+    rankings (no duplicate matches from overlapping probes)."""
+    rows = _clustered_vectors(per_cluster=20)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    queries = df.filter("vec_id < 8")
+    exact = cosine_topk_bruteforce(df, queries, k=3)
+    single = cosine_topk_lsh(df, queries, dim=DIM, k=3, n_planes=4)
+    multi = cosine_topk_lsh(
+        df, queries, dim=DIM, k=3, n_planes=4, multiprobe=True
+    )
+    e = {(r["query_id"], r["match_id"]) for r in exact.collect()}
+    s = {(r["query_id"], r["match_id"]) for r in single.collect()}
+    m_rows = multi.collect()
+    m = {(r["query_id"], r["match_id"]) for r in m_rows}
+    assert len(m & e) >= len(s & e)
+    assert len(m & e) / len(e) >= 0.8, f"multiprobe recall {len(m & e) / len(e)}"
+    # rankings well-formed: per query, ranks are 1..n with unique matches
+    per_q = {}
+    for r in m_rows:
+        per_q.setdefault(r["query_id"], []).append((r["rank"], r["match_id"]))
+    for q, rm in per_q.items():
+        ranks = sorted(rank for rank, _ in rm)
+        assert ranks == list(range(1, len(rm) + 1))
+        assert len({mid for _, mid in rm}) == len(rm)
+
+
 def test_embedding_near_dups_planted(spark):
     rng = random.Random(5)
     base = []
