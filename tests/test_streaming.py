@@ -192,3 +192,54 @@ def test_stream_dedup_bounded_state(spark, events_stream):
     got = spark.sql("SELECT count(*) AS n FROM t_dedup").collect()[0]["n"]
     want = batch.dropDuplicates(["user_id", "event_type"]).count()
     assert got == want
+
+
+def test_stream_rle_state_carries_across_microbatches(spark, events_stream, tmp_path):
+    """Force one file per micro-batch (maxFilesPerTrigger=1) over
+    time-contiguous files: runs spanning file boundaries must merge
+    via the state carried in applyInPandasWithState, reproducing the
+    single-batch closed-run set exactly."""
+    from pyspark.sql import Window
+
+    stream, batch = events_stream
+    sub = batch.filter(F.col("user_id") < 50)
+    n = sub.count()
+    # contiguous ts blocks -> files are discovered/processed in ts
+    # order (the operator's in-order-arrival contract)
+    blocked = sub.withColumn(
+        "_rn", F.row_number().over(Window.orderBy("ts", "event_id"))
+    ).withColumn("_bucket", ((F.col("_rn") - 1) / ((n // 6) + 1)).cast("int"))
+    staged = str(tmp_path / "mb")
+    for b in range(6):
+        blocked.filter(F.col("_bucket") == b).drop("_rn", "_bucket").coalesce(
+            1
+        ).write.mode("append").parquet(staged)
+
+    schema = spark.read.parquet(staged).schema
+    many = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    _run_to_memory(stream_rle_islands(many), "t_rle_mb")
+    got = {
+        (r["user_id"], r["start_ts"], r["end_ts"], r["event_type"], r["n_rows"])
+        for r in spark.sql("SELECT * FROM t_rle_mb").collect()
+    }
+    from bbdc20_submission_spark.operators.sessionize import sessionize
+
+    want_all = {
+        (r["user_id"], r["start_ts"], r["end_ts"], r["event_type"], r["n_rows"])
+        for r in sessionize(
+            sub, ["user_id"], "ts", "event_type", order_by=["ts", "event_id"]
+        ).collect()
+    }
+    finals = {}
+    for uid, s, e, et, nr in want_all:
+        if uid not in finals or s > finals[uid][0]:
+            finals[uid] = (s, e, et, nr)
+    expected_closed = want_all - {
+        (u, s, e, et, nr) for u, (s, e, et, nr) in finals.items()
+    }
+    assert len(got) > 0
+    assert got == expected_closed
