@@ -251,3 +251,48 @@ def test_union_find_matches_reachability(spark, edges):
                     q.append(y)
         assert got[n] == min(seen)
     assert set(got) == nodes
+
+
+@SLOW
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", "e", "f"]),
+            min_size=2,
+            max_size=10,
+        ),
+        min_size=2,
+        max_size=8,
+    ),
+    chunk_tokens=st.sampled_from([2, 3]),
+)
+def test_boilerplate_detection_matches_python_reference(spark, docs, chunk_tokens):
+    """boilerplate_chunks must flag exactly the chunk texts that a
+    pure-python chunker finds in >= 2 distinct docs, with matching
+    doc/occurrence counts."""
+    from bbdc20_submission_spark.operators.chunking import boilerplate_chunks
+
+    corpus = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+
+    # python reference: same chunking convention (stride = chunk_tokens,
+    # ragged tail kept, min 1 chunk)
+    ref: dict[str, tuple[set, int]] = {}
+    for i, toks in enumerate(docs):
+        chunks = [
+            " ".join(toks[s : s + chunk_tokens])
+            for s in range(0, max(len(toks), 1), chunk_tokens)
+        ] or [""]
+        for c in chunks:
+            d, n = ref.get(c, (set(), 0))
+            ref[c] = (d | {i}, n + 1)
+    want = {
+        c: (len(d), n) for c, (d, n) in ref.items() if len(d) >= 2
+    }
+    got = {
+        r["exemplar_text"]: (r["n_docs"], r["n_occurrences"])
+        for r in boilerplate_chunks(
+            df, chunk_tokens=chunk_tokens, min_docs=2
+        ).collect()
+    }
+    assert got == want
