@@ -97,3 +97,48 @@ def test_minhash_no_false_positives_on_disjoint_docs(spark):
     cands = minhash_lsh_candidates(docs, num_hashes=16, bands=4)
     verified = jaccard_pairs(docs, cands).filter(F.col("jaccard") >= 0.5)
     assert verified.count() == 0
+
+
+def test_simhash64_hof_matches_dataframe_form(spark):
+    """The per-row higher-order-function simhash (simhash64) and the
+    exploded aggregate form (simhash_df) must produce identical
+    fingerprints — they are the same function at different scales."""
+    from bbdc20_submission_spark.operators.dedup import simhash64, simhash_df
+    from bbdc20_submission_spark.operators.text import ws_tokens
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over the lazy cat"),
+            (2, "completely different content entirely"),
+            (3, "x"),
+        ],
+        "doc_id long, text string",
+    )
+    hof = {
+        r["doc_id"]: r["fp"]
+        for r in docs.select("doc_id", simhash64(ws_tokens("text")).alias("fp")).collect()
+    }
+    agg = {r["_id"]: r["_fp"] for r in simhash_df(docs).collect()}
+    assert hof == agg
+
+
+def test_rolling_fingerprint_is_deterministic_and_order_sensitive(spark):
+    """The xxhash64 fast-path fingerprint: stable across runs, changes
+    when token order changes (it is a positional rolling hash, not a
+    bag hash), and agrees with the portable form's STRUCTURE (same
+    polynomial, different token hash)."""
+    from bbdc20_submission_spark.operators.text import rolling_fingerprint, ws_tokens
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "c b a"), (2, "a b c")], "doc_id long, text string"
+    )
+    fp = {
+        r["doc_id"]: r["fp"]
+        for r in docs.select(
+            "doc_id", rolling_fingerprint(ws_tokens("text")).alias("fp")
+        ).collect()
+    }
+    assert fp[0] == fp[2]          # deterministic
+    assert fp[0] != fp[1]          # order-sensitive
+    assert all(0 <= v < 1_000_000_007 for v in fp.values())
