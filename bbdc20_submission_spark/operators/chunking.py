@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from bbdc20_submission_spark.operators.text import ws_tokens
 
@@ -221,30 +222,25 @@ def connected_components(
                 F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
             ).alias("component"),
         )
-        if it == 0:
-            # round 1: labels entered as identity, so label(component)
-            # == component — the doubling self-join is a provable no-op;
-            # skip its shuffle
-            stepped = hopped.localCheckpoint(eager=False)
-        else:
-            # pointer doubling: component <- label(component); the
-            # parent lookup is the same frame, so distance doubles per
-            # round
-            parent = hopped.select(
-                F.col("id").alias("_pid"), F.col("component").alias("_pcomp")
+        # pointer doubling: component <- label(component). The parent
+        # lookup is the POST-hop frame, so it shortcuts even in round 1
+        # (chain 1-2-3: node 3 hops to 2, and 2 has already hopped to
+        # 1 in this round's frame) — the doubling is never a no-op.
+        parent = hopped.select(
+            F.col("id").alias("_pid"), F.col("component").alias("_pcomp")
+        )
+        stepped = (
+            hopped.join(parent, hopped.component == parent._pid, "left")
+            .select(
+                "id",
+                "_prev",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("_pcomp"), F.col("component")),
+                ).alias("component"),
             )
-            stepped = (
-                hopped.join(parent, hopped.component == parent._pid, "left")
-                .select(
-                    "id",
-                    "_prev",
-                    F.least(
-                        F.col("component"),
-                        F.coalesce(F.col("_pcomp"), F.col("component")),
-                    ).alias("component"),
-                )
-                .localCheckpoint(eager=False)
-            )
+            .localCheckpoint(eager=False)
+        )
         # Convergence probe every 2nd iteration (and on the last): the
         # probe is a full job, and with pointer doubling the label
         # frame converges in O(log n) rounds anyway — probing half as
@@ -272,13 +268,14 @@ def connected_components(
     return labels
 
 
-def _union_find_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+def _union_find_components(edges):
     """Driver-side union-find with path compression + union by size;
-    returns node -> min-id-of-component for every node on an edge."""
-    parent: dict[int, int] = {}
-    size: dict[int, int] = {}
+    returns node -> min-id-of-component for every node on an edge.
+    Generic over any hashable, orderable id type (ints, strings)."""
+    parent: dict = {}
+    size: dict = {}
 
-    def find(x: int) -> int:
+    def find(x):
         root = x
         while parent[root] != root:
             root = parent[root]
@@ -298,7 +295,7 @@ def _union_find_components(edges: list[tuple[int, int]]) -> dict[int, int]:
             parent[rb] = ra
             size[ra] += size[rb]
     # min id per root, then node -> min
-    comp_min: dict[int, int] = {}
+    comp_min: dict = {}
     for n in parent:
         r = find(n)
         comp_min[r] = min(comp_min.get(r, n), n)
@@ -340,12 +337,16 @@ def dedup_clusters(
             [(r["_ea"], r["_eb"]) for r in pairs_p.collect()]
         )
         spark = df.sparkSession
-        if mapping:
-            comp = spark.createDataFrame(
-                list(mapping.items()), schema="id long, component long"
-            )
-        else:
-            comp = spark.createDataFrame([], schema="id long, component long")
+        # id/component carry the caller's id type (long doc ids, string
+        # uuids, ...) — derive it from the edge frame, don't hardcode
+        id_type = pairs_p.schema["_ea"].dataType
+        schema = T.StructType(
+            [
+                T.StructField("id", id_type),
+                T.StructField("component", id_type),
+            ]
+        )
+        comp = spark.createDataFrame(list(mapping.items()), schema=schema)
         comp = F.broadcast(comp)
     else:
         comp = connected_components(pairs_p, src="_ea", dst="_eb")

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from bbdc20_submission_spark.caching import managed_persist
+
 
 def kmeans_assign(
     df: DataFrame,
@@ -33,10 +35,12 @@ def kmeans_assign(
 
     # cache the converted vectors: the fit re-reads them every
     # iteration and the final assignment pass reads them once more
-    feats = df.select(
-        F.col(id_col),
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
-    ).cache()
+    feats = managed_persist(
+        df.select(
+            F.col(id_col),
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+        )
+    )
     fit_on = feats if fit_fraction >= 1.0 else feats.sample(fit_fraction, seed=seed)
     model = KMeans(k=k, seed=seed, maxIter=max_iter, initMode="random").fit(fit_on)
     return (
@@ -66,11 +70,13 @@ def kmeans_assign_checked(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    feats = df.select(
-        F.col(id_col),
-        F.col(vec_col).cast("array<double>").alias("_arr"),
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
-    ).cache()
+    feats = managed_persist(
+        df.select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("_arr"),
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+        )
+    )
     fit_on = feats if fit_fraction >= 1.0 else feats.sample(fit_fraction, seed=seed)
     model = KMeans(k=k, seed=seed, maxIter=max_iter, initMode="random").fit(fit_on)
     centers = [c.tolist() for c in model.clusterCenters()]

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from bbdc20_submission_spark.caching import managed_persist
 from bbdc20_submission_spark.operators.text import ws_tokens
 
 
@@ -152,7 +153,9 @@ def minhash_lsh_candidates(
     # reads them three times (hot-bucket counts + both self-join
     # sides), and each read would otherwise re-run the full
     # shingle-explode aggregation
-    sig = minhash_signatures_df(df, id_col, text_col, shingle_k, num_hashes).persist()
+    sig = managed_persist(
+        minhash_signatures_df(df, id_col, text_col, shingle_k, num_hashes)
+    )
     banded = sig.select(
         "_id",
         F.explode(
@@ -338,7 +341,7 @@ def simhash_near_dups(
     # persist the fingerprints (2 longs/doc): the 64 bit-vote sums are
     # the expensive stage, and the plan reads them three times
     # (hot-bucket counts + both self-join sides)
-    fp = simhash_df(df, id_col, text_col).persist()
+    fp = managed_persist(simhash_df(df, id_col, text_col))
     base_w, extra = divmod(64, bands)
     slices = []  # (offset, width) per band
     off = 0

@@ -16,6 +16,8 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from bbdc20_submission_spark.caching import managed_persist
+
 
 def dot(a: Column, b: Column) -> Column:
     """Elementwise product + sum, in double precision."""
@@ -270,11 +272,13 @@ def embedding_near_dups(
     # narrow stage, and BOTH self-join sides read this frame — without
     # the persist they are computed twice. Leftover blocks are cleared
     # by the registry wrapper at the next query build.
-    tagged = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
-        F.posexplode(sigs).alias("_band", "_sig"),
-    ).persist()
+    tagged = managed_persist(
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            F.posexplode(sigs).alias("_band", "_sig"),
+        )
+    )
     a = tagged.select(
         F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "_band", "_sig"
     )

@@ -38,6 +38,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from bbdc20_submission_spark.caching import managed_persist
 from bbdc20_submission_spark.operators.aggregates import label_encode
 from bbdc20_submission_spark.operators.interpolate import interpolate_linear
 from bbdc20_submission_spark.operators.sessionize import rle_intervals
@@ -262,7 +263,7 @@ def repair_channels(
     """
     aligned = _sample_label_alignment(emg, targets)
     aligned, oh_cols = _onehot_label_cols(aligned, left_dim, right_dim)
-    aligned = aligned.cache()
+    aligned = managed_persist(aligned)
 
     # ---- ch4 model (train: repeat-120 alignment; s01/s03/s05)
     ch4_feats = [f"c{i}" for i in [0, 1, 2, 3, 5, 6, 7]] + oh_cols
@@ -297,7 +298,9 @@ def repair_channels(
             F.col("subject").isin("s02", "s04"),
             _apply_linear(repaired, ch4_feats, b0_4, coefs_4),
         ).otherwise(F.col("c4")),
-    ).cache()  # consumed by the ch0 fit, the ch0 apply and the output
+    )
+    # consumed by the ch0 fit, the ch0 apply and the output
+    repaired = managed_persist(repaired)
 
     # ---- ch0 model: trained on the ch4-REPAIRED data (order matters)
     aligned2 = _sample_label_alignment(

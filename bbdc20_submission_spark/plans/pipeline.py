@@ -14,6 +14,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from bbdc20_submission_spark.caching import managed_persist
 from bbdc20_submission_spark.plans import bbdc
 from bbdc20_submission_spark.plans.models import predict_vote, train_ensemble
 
@@ -34,7 +35,7 @@ def run_pipeline(
     ensure_package_shipped(labels.sparkSession)
 
     # stages 2-4: targets + sensor prep
-    targets = bbdc.expand_targets(labels).cache()
+    targets = managed_persist(bbdc.expand_targets(labels))
     left_dim, right_dim = bbdc.arm_label_dims(labels)
     emg_p = bbdc.prepare_emg(emg)
     mocap_p = bbdc.prepare_mocap(mocap)
@@ -42,7 +43,7 @@ def run_pipeline(
     # stage 5: channel repair (train side only, as in the reference);
     # cached — consumed by the scaler fit, the feature stage and the
     # training collect
-    emg_r = bbdc.repair_channels(emg_p, targets, left_dim, right_dim).cache()
+    emg_r = managed_persist(bbdc.repair_channels(emg_p, targets, left_dim, right_dim))
 
     # stage 6: per-subject robust scaler stats
     scaler_stats = bbdc.subject_scaler_stats(emg_r)

@@ -40,10 +40,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
             # Operators persist intermediates (LSH signatures, simhash
             # fingerprints, kmeans feature vectors) that the RETURNED
             # lazy plan still references, so they cannot unpersist
-            # before the caller's action. Dropping leftovers here
-            # bounds cached-block accumulation to one query at a time
-            # across a 50-query driver/bench run.
-            spark.catalog.clearCache()
+            # before the caller's action. Releasing the LIBRARY's own
+            # tracked frames here bounds cached-block accumulation to
+            # one query at a time across a 50-query driver/bench run —
+            # without touching caches the caller owns.
+            from bbdc20_submission_spark.caching import release_managed
+
+            release_managed()
             return fn(spark, sf_dir)
 
         wrapped.__name__ = fn.__name__
