@@ -9,14 +9,35 @@ notebooks, CLI users) survive a query build. The registry's ``@query``
 wrapper calls ``release_managed`` before each build, bounding
 cached-block accumulation to one query at a time across a 50-query
 driver/bench run without the session-global ``clearCache`` hammer.
+
+The registry is keyed per-SparkSession and lock-guarded: concurrent
+query builds on different sessions can't release each other's frames,
+and a stopped session's entries are simply dropped. Within ONE session
+the single-query-at-a-time release model still assumes the driver
+builds registered queries sequentially (the harness/bench/test usage);
+interleaved builds on the same session would release a sibling's
+still-referenced persist — harmless for correctness (plans recompute)
+but a cache miss.
 """
 
 from __future__ import annotations
 
+import logging
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
-_MANAGED: list[DataFrame] = []
+_LOCK = threading.Lock()
+# session id -> persisted frames; weak in spirit (entries die with the
+# session via release_managed's stopped-session sweep)
+_MANAGED: dict[str, list[DataFrame]] = {}
+
+_log = logging.getLogger(__name__)
+
+
+def _session_key(df: DataFrame) -> str:
+    return str(id(df.sparkSession))
 
 
 def managed_persist(
@@ -24,20 +45,31 @@ def managed_persist(
 ) -> DataFrame:
     """Persist ``df`` and register it for the next ``release_managed``."""
     df = df.persist(level) if level is not None else df.persist()
-    _MANAGED.append(df)
+    with _LOCK:
+        _MANAGED.setdefault(_session_key(df), []).append(df)
     return df
 
 
-def release_managed() -> int:
-    """Unpersist every library-persisted frame; returns how many.
-    Released plans simply recompute if re-executed — correctness is
-    unaffected, only the cache residency changes."""
+def release_managed(session=None) -> int:
+    """Unpersist every library-persisted frame (for ``session`` if
+    given, else all sessions); returns how many were freed. Released
+    plans simply recompute if re-executed — correctness is unaffected,
+    only the cache residency changes."""
+    with _LOCK:
+        if session is None:
+            drained: list[DataFrame] = [
+                df for lst in _MANAGED.values() for df in lst
+            ]
+            _MANAGED.clear()
+        else:
+            drained = _MANAGED.pop(str(id(session)), [])
     n = 0
-    while _MANAGED:
-        df = _MANAGED.pop()
+    for df in drained:
         try:
             df.unpersist()
             n += 1
-        except Exception:  # session already stopped — nothing to free
-            pass
+        except Exception as exc:
+            # Expected only when the owning session/JVM is already
+            # gone; anything else is logged instead of silently eaten.
+            _log.debug("release_managed: unpersist failed: %s", exc)
     return n

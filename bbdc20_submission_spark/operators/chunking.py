@@ -331,6 +331,14 @@ def dedup_clusters(
     pairs_p = pairs.select(
         F.col(src).alias("_ea"), F.col(dst).alias("_eb")
     ).persist()
+    # the broadcast mapping schema derives its id type from _ea; a
+    # mixed-type edge frame (int vs long) would mis-type _eb-originated
+    # values far from here — fail fast instead
+    if pairs_p.schema["_ea"].dataType != pairs_p.schema["_eb"].dataType:
+        raise ValueError(
+            "dedup_clusters: edge columns must share one id type, got "
+            f"{pairs_p.schema['_ea'].dataType} vs {pairs_p.schema['_eb'].dataType}"
+        )
     n_edges = pairs_p.count()  # materializes the verify pipeline ONCE
     if n_edges <= driver_edge_threshold:
         mapping = _union_find_components(

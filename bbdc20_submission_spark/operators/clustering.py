@@ -30,22 +30,53 @@ def kmeans_assign(
     then assigns the full corpus — the standard IVF trick at scale
     (centroid quality needs a fraction of the data; assignment is one
     cheap pass). Random init avoids the extra kmeans|| passes."""
+    model = fit_quantizer(
+        df, k=k, vec_col=vec_col, seed=seed, max_iter=max_iter,
+        fit_fraction=fit_fraction,
+    )
+    return assign_clusters(model, df, id_col=id_col, vec_col=vec_col)
+
+
+def fit_quantizer(
+    df: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    seed: int = 7,
+    max_iter: int = 20,
+    fit_fraction: float = 1.0,
+):
+    """Train the KMeans coarse quantizer and return the fitted model.
+
+    Separated from assignment so callers at scale fit ONCE (on a
+    seeded ``fit_fraction`` sample — centroid quality needs a fraction
+    of the data) and reuse the model across corpora/queries/batches
+    instead of re-training per invocation."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    # cache the converted vectors: the fit re-reads them every
-    # iteration and the final assignment pass reads them once more
+    fit_on = df if fit_fraction >= 1.0 else df.sample(fit_fraction, seed=seed)
+    # cache the converted vectors: the fit re-reads them every iteration
     feats = managed_persist(
-        df.select(
-            F.col(id_col),
-            array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+        fit_on.select(
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
         )
     )
-    fit_on = feats if fit_fraction >= 1.0 else feats.sample(fit_fraction, seed=seed)
-    model = KMeans(k=k, seed=seed, maxIter=max_iter, initMode="random").fit(fit_on)
-    return (
-        model.transform(feats)
-        .select(id_col, F.col("prediction").cast("long").alias("cluster"))
+    return KMeans(k=k, seed=seed, maxIter=max_iter, initMode="random").fit(feats)
+
+
+def assign_clusters(
+    model, df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """One narrow pass: nearest-centroid assignment with a pre-fit
+    model. Output: [id_col, cluster]."""
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.select(
+        F.col(id_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    return model.transform(feats).select(
+        id_col, F.col("prediction").cast("long").alias("cluster")
     )
 
 
@@ -119,24 +150,78 @@ def ivf_topk(
     vec_col: str = "embedding",
     seed: int = 7,
     max_iter: int = 20,
+    fit_fraction: float = 1.0,
+    model=None,
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF approximate top-k: exact cosine re-rank restricted to the
-    query's KMeans cell (single-probe). The clustered variant of the
-    LSH path — higher recall per candidate at the cost of training the
-    quantizer."""
+    query's ``nprobe`` nearest KMeans cells. The clustered variant of
+    the LSH path — higher recall per candidate at the cost of training
+    the quantizer. ``nprobe`` > 1 is the standard recall knob: near
+    neighbors just across a cell boundary (the dominant single-probe
+    miss mode) become candidates; candidate cost grows only on the
+    small QUERY side of the join.
+
+    Scale hygiene: the quantizer is fit ONCE on the corpus (or a seeded
+    ``fit_fraction`` sample of it — pass a pre-fit ``model`` to skip
+    training entirely, the right call for repeated query batches), and
+    each side is assigned independently with that model — two narrow
+    map passes, no union/distinct shuffle of wide vectors anywhere."""
     from bbdc20_submission_spark.operators.similarity import cosine
 
     from pyspark.sql import Window
 
-    assign = kmeans_assign(
-        corpus.unionByName(queries).distinct(), k=n_clusters,
-        id_col=id_col, vec_col=vec_col, seed=seed, max_iter=max_iter,
+    from pyspark.ml.functions import array_to_vector
+
+    if model is None:
+        model = fit_quantizer(
+            corpus, k=n_clusters, vec_col=vec_col, seed=seed,
+            max_iter=max_iter, fit_fraction=fit_fraction,
+        )
+
+    # corpus: single-cell assignment via the model's nearest-centroid
+    # pass; transform preserves input columns, so the vector rides
+    # along — no self-join back to ids
+    c_feats = corpus.select(
+        F.col(id_col).alias("match_id"),
+        F.col(vec_col).alias("_cv"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
     )
-    c = corpus.join(assign, id_col).select(
-        F.col(id_col).alias("match_id"), F.col(vec_col).alias("_cv"), "cluster"
+    c = model.transform(c_feats).select(
+        "match_id", "_cv", F.col("prediction").cast("long").alias("cluster")
     )
-    q = queries.join(assign, id_col).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), "cluster"
+
+    # queries: rank all centroids by squared distance (centroids are a
+    # tiny literal array — pure narrow expression) and explode the
+    # nprobe nearest cells per query
+    centers = [ctr.tolist() for ctr in model.clusterCenters()]
+
+    def _dist2(center: list[float]):
+        lit = F.array(*[F.lit(float(x)) for x in center])
+        return F.aggregate(
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"), lit,
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct(_dist2(ctr).alias("d"), F.lit(i).cast("long").alias("i"))
+                for i, ctr in enumerate(centers)
+            ]
+        )
+    )
+    probes = F.transform(
+        F.slice(ranked, 1, min(nprobe, len(centers))), lambda s: s["i"]
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(probes).alias("cluster"),
     )
     scored = (
         c.join(F.broadcast(q), "cluster")

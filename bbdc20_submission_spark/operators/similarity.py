@@ -101,7 +101,7 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
 
 
 def lsh_bucket_signature(
-    vec: Column | str, dim: int, n_planes: int = 16, seed: int = 7
+    vec: str, dim: int, n_planes: int = 16, seed: int = 7
 ) -> Column:
     """Random-hyperplane sign signature -> long bucket id. Vectors with
     small angles agree on most signs, so equal buckets concentrate
@@ -115,9 +115,16 @@ def lsh_bucket_signature(
     sequential left-fold dot product in double — so certified sign
     buckets (s2's literal-hyperplane oracle) are unchanged.
 
-    ``vec`` must be a simple column name (or a Column resolving to
-    one) so it can be referenced from the generated SQL."""
-    name = vec if isinstance(vec, str) else vec._jc.toString()
+    ``vec`` must be a plain column NAME (str) so it can be referenced
+    from the generated SQL — a computed/aliased Column has no stable
+    identifier and would fail far from this call site."""
+    if not isinstance(vec, str):
+        raise ValueError(
+            "lsh_bucket_signature requires a plain column name (str); "
+            f"got {type(vec).__name__} — alias the expression to a "
+            "column first, then pass its name"
+        )
+    name = vec
     planes = _hyperplanes(dim, n_planes, seed)
     terms = []
     for i, p in enumerate(planes):
@@ -153,11 +160,11 @@ def cosine_topk_lsh(
     recall rises steeply for (n_planes + 1)x more QUERY rows in the
     join (the corpus side, which dominates at scale, is untouched;
     this is why multi-probe beats adding tables when queries are few)."""
-    sig = lambda col: lsh_bucket_signature(col, dim, n_planes)  # noqa: E731
+    sig = lsh_bucket_signature(vec_col, dim, n_planes)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
-        sig(F.col(vec_col)).alias("_sig0"),
+        sig.alias("_sig0"),
     )
     if multiprobe:
         probes = F.array(
@@ -175,7 +182,7 @@ def cosine_topk_lsh(
     c = corpus.select(
         F.col(id_col).alias("match_id"),
         F.col(vec_col).alias("_cv"),
-        sig(F.col(vec_col)).alias("_bucket"),
+        sig.alias("_bucket"),
     )
     scored = (
         c.join(F.broadcast(q), "_bucket")
@@ -263,7 +270,7 @@ def embedding_near_dups(
     projection, so vectors are never shuffled twice."""
     sigs = F.array(
         *[
-            lsh_bucket_signature(F.col(vec_col), dim, n_planes, seed=7 + b)
+            lsh_bucket_signature(vec_col, dim, n_planes, seed=7 + b)
             for b in range(n_bands)
         ]
     )

@@ -481,7 +481,10 @@ def s5_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     em = load_table(spark, "embeddings", sf_dir)
     q = em.filter(F.col("vec_id") < 5)
-    res = ivf_topk(em, q, k=3, max_iter=5)
+    # quantizer fit on a 25% seeded sample of the corpus only — the
+    # scale pattern (centroid quality needs a fraction; assignment is
+    # one narrow pass per side, no union/distinct of wide vectors)
+    res = ivf_topk(em, q, k=3, max_iter=5, fit_fraction=0.25, nprobe=2)
     w = Window.partitionBy("query_id").orderBy("rank")
     flags = (
         res.withColumn("_prev", F.lag("cosine_sim").over(w))

@@ -9,7 +9,10 @@ Authoring rules (SURVEY.md §5.1 — cross-engine float stability):
 - alias every computed column identically in Spark and SQL;
 - round double aggregates to 6 decimals;
 - timestamps leave the query as ``unix_millis`` bigints
-  (DuckDB: ``epoch_ms``) — never raw timestamp values;
+  (DuckDB: ``epoch_ms``) — never raw timestamp values; and ALWAYS via
+  ``load_table``'s normalized ``ts`` (never a raw spark.read of
+  events.parquet — its physical layout varies across testdata
+  generations and only ``load_table`` guarantees TIMESTAMP/UTC);
 - exact ``percentile``, never ``percentile_approx``, when hashed;
 - integer sums cast to bigint in SQL (DuckDB sums ints to HUGEINT);
 - deterministic tie-breaks documented per query.
@@ -46,7 +49,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
             # without touching caches the caller owns.
             from bbdc20_submission_spark.caching import release_managed
 
-            release_managed()
+            release_managed(spark)
             return fn(spark, sf_dir)
 
         wrapped.__name__ = fn.__name__

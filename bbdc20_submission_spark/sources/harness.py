@@ -32,16 +32,35 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Read one harness table. Schema comes from parquet footer metadata.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; we read it as a long (legacy conf) and
-    rebuild a proper TimestampType with exact integer division (nanos
-    don't fit double precision, so no float math here).
+    ``events.ts`` has shipped in three physical layouts across testdata
+    generations; normalize all of them to a proper ``TimestampType``
+    (instant semantics, UTC) so every downstream query can rely on
+    ``unix_millis(ts)`` / ``withWatermark("ts", ...)`` working:
+
+    * TIMESTAMP(NANOS) — Spark's vectorized reader rejects it; read as
+      long (legacy conf) and rebuild with exact integer division (nanos
+      don't fit double precision, so no float math).
+    * ``timestamp[us]`` UTC-adjusted — already ``TIMESTAMP``, no-op.
+    * ``timestamp[us]`` NOT UTC-adjusted — Spark 4 reads TIMESTAMP_NTZ,
+      which ``unix_millis``/watermarks reject. The oracle (DuckDB)
+      treats naive timestamps as UTC, so pin the session timezone to
+      UTC and cast — the cast reinterprets the wall-clock fields in the
+      session zone, making this an exact bit-identical mapping.
     """
     if name == "events":
+        # Harmless for µs layouts; required to read the legacy NANOS one.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_dtype = dict(df.dtypes).get("ts")
+        if ts_dtype == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_dtype == "timestamp_ntz":
+            # The harness may hand us a session we didn't configure —
+            # the NTZ→TIMESTAMP cast goes through the session timezone,
+            # so it must be UTC for oracle-identical instants.
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

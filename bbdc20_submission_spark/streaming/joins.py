@@ -84,4 +84,4 @@ def stream_stream_interval_join(
         & (r["_rts"] >= F.col(left_ts) - F.expr(f"INTERVAL {lower}"))
         & (r["_rts"] <= F.col(left_ts) + F.expr(f"INTERVAL {upper}"))
     )
-    return l_wm.join(r, cond, "inner").drop("_rkey")
+    return l_wm.join(r, cond, "inner").drop("_rkey", "_rts")

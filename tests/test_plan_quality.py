@@ -147,3 +147,16 @@ def test_topk_global_avoids_full_sort(spark, sf_dir):
     df = registry.QUERIES["q3_shipping_priority"](spark, sf_dir)
     plan = formatted_plan(df)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ivf_topk_no_distinct_exchange_over_vectors(spark, sf_dir):
+    """r4 advice: ivf_topk used to fit on corpus.union(queries).distinct()
+    — a full shuffle of wide embedding vectors. The model-reuse shape
+    must assign each side with narrow passes: no HashAggregate-backed
+    distinct and no Union anywhere in the result plan."""
+    df = registry.QUERIES["s5_ivf_topk"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Union" not in plan
+    # a distinct over embeddings would appear as HashAggregate keyed on
+    # the embedding column
+    assert "HashAggregate (keys=[embedding" not in plan.replace("Keys", "keys")

@@ -105,7 +105,7 @@ def test_ivf_topk_recall(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
     queries = df.filter("vec_id < 8")
     exact = cosine_topk_bruteforce(df, queries, k=3)
-    approx = ivf_topk(df, queries, k=3, n_clusters=8)
+    approx = ivf_topk(df, queries, k=3, n_clusters=8, nprobe=2)
     e = {(r["query_id"], r["match_id"]) for r in exact.collect()}
     a = {(r["query_id"], r["match_id"]) for r in approx.collect()}
     recall = len(e & a) / len(e)
@@ -178,3 +178,22 @@ def test_quantized_cosine_topk_high_recall(spark, sf_dir):
         g = {m for (qq, m) in q_pairs if qq == qid}
         per_query_overlap[qid] = len(e & g)
     assert all(v >= 2 for v in per_query_overlap.values()), per_query_overlap
+
+
+def test_lsh_bucket_signature_rejects_column_objects(spark):
+    """A computed/aliased Column has no stable identifier for the
+    generated SQL — the operator must fail fast with a clear error,
+    not deep in analysis (r3 advice)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bbdc20_submission_spark.operators.similarity import lsh_bucket_signature
+
+    with pytest.raises(ValueError, match="plain column name"):
+        lsh_bucket_signature(F.col("embedding"), dim=4)
+    with pytest.raises(ValueError, match="plain column name"):
+        lsh_bucket_signature((F.col("a") + F.col("b")).alias("v"), dim=4)
+    # the str path still builds a valid expression
+    col = lsh_bucket_signature("embedding", dim=4, n_planes=4)
+    df = spark.createDataFrame([([1.0, 0.0, 0.0, 0.0],)], "embedding array<double>")
+    assert df.select(col.alias("b")).collect()[0]["b"] is not None

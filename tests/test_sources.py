@@ -125,3 +125,52 @@ def test_range_sorted_layout_clusters_and_prunes(spark, sf_dir, tmp_path):
     with contextlib.redirect_stdout(buf):
         got.explain("formatted")
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in buf.getvalue()
+
+
+def test_events_ts_layout_robustness(spark, tmp_path):
+    """load_table must normalize every events.ts physical layout the
+    harness has ever generated to TimestampType with identical instants:
+    nanos-int64 (legacy TIMESTAMP(NANOS)), µs UTC-adjusted (TIMESTAMP),
+    and µs non-adjusted (TIMESTAMP_NTZ). Regression guard for the r4
+    testdata regeneration that silently flipped the layout to NTZ."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bbdc20_submission_spark.sources.harness import load_table
+
+    # instants in µs since epoch (UTC)
+    micros = [1_577_836_800_000_000, 1_577_836_801_500_000, 1_600_000_000_123_456]
+    expected_ms = [m // 1000 for m in micros]
+    layouts = {
+        "nanos": pa.timestamp("ns"),
+        "us_utc": pa.timestamp("us", tz="UTC"),
+        "us_ntz": pa.timestamp("us"),
+    }
+    for name, ts_type in layouts.items():
+        vals = [m * 1000 for m in micros] if ts_type.unit == "ns" else micros
+        tbl = pa.table(
+            {
+                "event_id": pa.array([1, 2, 3], pa.int64()),
+                "ts": pa.array(vals, pa.timestamp(ts_type.unit)).cast(ts_type),
+                "value": pa.array([0.1, 0.2, 0.3], pa.float64()),
+            }
+        )
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(tbl, str(d / "events.parquet"))
+
+        # simulate a harness-owned session with a non-UTC zone: load_table
+        # must pin UTC itself before any NTZ cast
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        try:
+            df = load_table(spark, "events", str(d))
+            assert dict(df.dtypes)["ts"] == "timestamp", (name, df.dtypes)
+            got = [
+                r["ms"]
+                for r in df.select(F.unix_millis("ts").alias("ms"))
+                .orderBy("event_id")
+                .collect()
+            ]
+            assert got == expected_ms, (name, got)
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", "UTC")

@@ -182,6 +182,9 @@ def test_stream_stream_interval_join_matches_batch(spark, events_stream):
     }
     assert len(got) > 0
     assert got == want
+    # docstring contract: internal join plumbing never leaks — output is
+    # the left schema plus r_-prefixed right payload only
+    assert set(out.columns) == {"user_id", "ts", "event_id", "r_rid"}
 
 
 def test_stream_dedup_bounded_state(spark, events_stream):
