@@ -238,3 +238,80 @@ def ivf_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    max_iter: int = 20,
+    fit_fraction: float = 1.0,
+    cap: int = 10_000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): KMeans
+    the embedding space, then within each cell prune any vector that has
+    a LOWER-id cell-mate with cosine >= ``threshold`` (keep-lowest-id —
+    the same tie rule as the text dedup family).
+
+    Output: [id_col, keeper_id (nullable), pruned] — one row per input
+    vector; ``keeper_id`` is the lowest-id duplicate found, null when
+    kept. Greedy pairwise by design: transitive chains are finished by
+    ``chunking.dedup_clusters`` when full clusters are needed.
+
+    Scale shape: the quantizer fits on a seeded sample (``fit_fraction``)
+    and assignment is one narrow pass, so the only wide work is the
+    within-cell self-join — cells are corpus/k in expectation, and hot
+    cells (embedding-space boilerplate) are hash-split at ``cap``
+    members via the same sub-bucket trick as the LSH dedup, bounding
+    pair generation at O(n * cap) with the documented recall trade."""
+    from pyspark.ml.functions import array_to_vector
+
+    from bbdc20_submission_spark.operators.dedup import _cap_buckets
+    from bbdc20_submission_spark.operators.similarity import cosine
+
+    model = fit_quantizer(
+        df, k=n_clusters, vec_col=vec_col, seed=seed,
+        max_iter=max_iter, fit_fraction=fit_fraction,
+    )
+    feats = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    tagged = managed_persist(
+        _cap_buckets(
+            model.transform(feats).select(
+                "_id", "_v", F.col("prediction").cast("long").alias("cluster")
+            ),
+            ["cluster"], "_id", cap,
+        )
+    )
+    a = tagged.select(
+        "cluster", "sub_bucket",
+        F.col("_id").alias("_ida"), F.col("_v").alias("_va"),
+    )
+    b = tagged.select(
+        "cluster", "sub_bucket",
+        F.col("_id").alias("_idb"), F.col("_v").alias("_vb"),
+    )
+    dup_pairs = (
+        a.join(b, ["cluster", "sub_bucket"])
+        .filter(F.col("_idb") < F.col("_ida"))
+        .select(
+            "_ida", "_idb", cosine(F.col("_va"), F.col("_vb")).alias("_sim")
+        )
+        .filter(F.col("_sim") >= threshold)
+    )
+    keepers = dup_pairs.groupBy("_ida").agg(F.min("_idb").alias("keeper_id"))
+    return (
+        df.select(F.col(id_col))
+        .join(keepers.withColumnRenamed("_ida", id_col), id_col, "left")
+        .select(
+            id_col,
+            "keeper_id",
+            F.col("keeper_id").isNotNull().cast("long").alias("pruned"),
+        )
+    )

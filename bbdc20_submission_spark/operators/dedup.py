@@ -386,3 +386,49 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def contamination_flags(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Benchmark-contamination check: flag corpus documents that share
+    any k-word shingle with an evaluation/benchmark set (the standard
+    train/test-overlap decontamination pass before pretraining).
+
+    Output: [id_col, n_shared, contaminated] — one row per corpus doc,
+    n_shared = number of DISTINCT eval shingles the doc contains.
+
+    Scale shape: benchmarks are tiny next to a 100 TB corpus, so the
+    distinct eval-shingle set is built once and BROADCAST; the corpus
+    side explodes shingles in a narrow pass and hash-joins locally —
+    corpus text never shuffles. The only wide exchange is the per-doc
+    count of matched shingles, keyed on the id and bounded by the
+    number of hits (zero-hit docs are restored by a final left join on
+    ids only — left to AQE, which broadcasts while hits are small and
+    degrades gracefully on an adversarially contaminated corpus).
+    """
+    eval_grams = (
+        eval_set.select(F.explode(word_shingles(text_col, k)).alias("_g"))
+        .distinct()
+    )
+    corpus_grams = corpus.select(
+        F.col(id_col), F.explode(word_shingles(text_col, k)).alias("_g")
+    )
+    hits = (
+        corpus_grams.join(F.broadcast(eval_grams), "_g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)) > 0).cast("long").alias("contaminated"),
+        )
+    )

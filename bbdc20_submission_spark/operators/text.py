@@ -169,3 +169,61 @@ def portable_fingerprint(
         )
         % mod,
     )
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_frac_max: float = 0.2,
+    dup_2gram_max: float = 0.2,
+) -> DataFrame:
+    """Gopher-style repetition filters: most-frequent-word fraction and
+    duplicate-2-gram fraction, plus the pass/fail flag pretraining
+    curation applies (Rae et al. 2021 repetition rules, word-level).
+
+    Output: [id_col, n_tokens, top_word_count, top_word_frac,
+    dup_2gram_frac, repetition_ok].
+
+    Entirely NARROW — no explode, no shuffle: the top-word count is a
+    single ``aggregate`` fold over the sorted token array (longest
+    equal-run), and the 2-gram repeat fraction compares gram-array
+    sizes before/after ``array_distinct``. Per-row cost is O(tokens
+    log tokens); a 100 TB corpus runs this as a pure map stage. The
+    flag compares ROUNDED fractions so engines agree at thresholds."""
+    toks = ws_tokens(text_col)
+    n = F.size(toks)
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc, x):
+        run = (
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .cast("long")
+        )
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    topc = F.aggregate(F.array_sort(toks), zero, step, lambda acc: acc["best"])
+    idx = F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
+    n2 = F.size(grams)
+    d2 = F.size(F.array_distinct(grams))
+    top_frac = F.round(topc / n, 6)
+    dup_frac = F.round(F.lit(1.0) - d2 / n2, 6)
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        topc.cast("long").alias("top_word_count"),
+        top_frac.alias("top_word_frac"),
+        dup_frac.alias("dup_2gram_frac"),
+        ((top_frac <= top_frac_max) & (dup_frac <= dup_2gram_max))
+        .cast("long")
+        .alias("repetition_ok"),
+    )

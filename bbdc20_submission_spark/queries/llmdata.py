@@ -622,3 +622,139 @@ def d10_scrub_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("text_scrubbed").alias("text")
     )
     return chunk_by_tokens(scrubbed, chunk_tokens=32, overlap=0)
+
+
+@query(
+    "d13_contamination",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, str_split(text, ' ') AS ws FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(ws) - 4, 1)),
+                   i -> array_to_string(list_slice(ws, i, i + 4), ' '))) AS gs
+        FROM toks
+    ),
+    eval_grams AS (
+        SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 100 = 0
+    ),
+    corpus AS (
+        SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id % 100 <> 0
+    ),
+    hits AS (
+        SELECT c.doc_id, count(*) AS n_shared
+        FROM corpus c JOIN eval_grams e ON c.g = e.g
+        GROUP BY c.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
+           CAST(coalesce(h.n_shared, 0) > 0 AS BIGINT) AS contaminated
+    FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+    WHERE d.doc_id % 100 <> 0
+    """,
+)
+def d13_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination decontamination pass: every 100th doc
+    plays the held-out benchmark; the rest are the corpus, flagged by
+    shared 5-gram count. The eval shingle set is broadcast — corpus
+    text never shuffles (the 100 TB decontamination shape)."""
+    from bbdc20_submission_spark.operators.dedup import contamination_flags
+
+    d = load_table(spark, "documents", sf_dir)
+    eval_set = d.filter(F.col("doc_id") % 100 == 0)
+    corpus = d.filter(F.col("doc_id") % 100 != 0)
+    return contamination_flags(corpus, eval_set, k=5)
+
+
+@query(
+    "d14_repetition_filter",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, str_split(text, ' ') AS ws FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, w, count(*) AS c
+        FROM (SELECT doc_id, unnest(ws) AS w FROM toks)
+        GROUP BY doc_id, w
+    ),
+    top AS (
+        SELECT doc_id, max(c) AS topc, CAST(sum(c) AS BIGINT) AS n_tokens
+        FROM tf GROUP BY doc_id
+    ),
+    bg AS (
+        SELECT doc_id,
+               list_transform(
+                   generate_series(1, greatest(len(ws) - 1, 1)),
+                   i -> array_to_string(list_slice(ws, i, i + 1), ' ')) AS gs
+        FROM toks
+    ),
+    bga AS (
+        SELECT doc_id, len(gs) AS n2, len(list_distinct(gs)) AS d2 FROM bg
+    )
+    SELECT t.doc_id,
+           t.n_tokens,
+           CAST(t.topc AS BIGINT) AS top_word_count,
+           round(t.topc * 1.0 / t.n_tokens, 6) AS top_word_frac,
+           round(1.0 - b.d2 * 1.0 / b.n2, 6) AS dup_2gram_frac,
+           CAST(round(t.topc * 1.0 / t.n_tokens, 6) <= 0.2
+                AND round(1.0 - b.d2 * 1.0 / b.n2, 6) <= 0.2 AS BIGINT)
+               AS repetition_ok
+    FROM top t JOIN bga b ON b.doc_id = t.doc_id
+    """,
+)
+def d14_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filter (top-word fraction +
+    duplicate-2-gram fraction + pass flag) — entirely narrow, no
+    shuffle: a pure map stage at any corpus size."""
+    from bbdc20_submission_spark.operators.text import repetition_stats
+
+    d = load_table(spark, "documents", sf_dir)
+    return repetition_stats(d)
+
+
+@query(
+    "s6_semdedup",
+    oracle="""
+    SELECT vec_id,
+           CAST(1 AS BIGINT) AS keeper_valid,
+           CAST(1 AS BIGINT) AS cosine_valid
+    FROM embeddings
+    """,
+)
+def s6_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication over embeddings. Cell membership
+    depends on the trained quantizer (engine-specific), so the
+    certified output is per-vector invariant flags recomputed from the
+    actual result: keeper_valid = keeper is a lower id (or row kept);
+    cosine_valid = cosine(vec, keeper_vec) really clears the threshold
+    (vacuously 1 for kept rows). Prune/recall behavior is
+    property-tested with planted duplicates in tests/test_similarity.py."""
+    from bbdc20_submission_spark.operators.clustering import semantic_dedup
+    from bbdc20_submission_spark.operators.similarity import cosine
+
+    THRESH = 0.95
+    em = load_table(spark, "embeddings", sf_dir)
+    out = semantic_dedup(em, threshold=THRESH, n_clusters=8, max_iter=5,
+                         fit_fraction=0.5)
+    vecs = em.select(
+        F.col("vec_id").alias("_kid"), F.col("embedding").alias("_kv")
+    )
+    joined = (
+        out.join(em.select("vec_id", "embedding"), "vec_id")
+        .join(vecs, out["keeper_id"] == vecs["_kid"], "left")
+    )
+    return joined.select(
+        "vec_id",
+        F.when(F.col("pruned") == 0, F.lit(1))
+        .otherwise((F.col("keeper_id") < F.col("vec_id")).cast("int"))
+        .cast("long")
+        .alias("keeper_valid"),
+        F.when(F.col("pruned") == 0, F.lit(1))
+        .otherwise(
+            (cosine(F.col("embedding"), F.col("_kv")) >= F.lit(THRESH)).cast("int")
+        )
+        .cast("long")
+        .alias("cosine_valid"),
+    )

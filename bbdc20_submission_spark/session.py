@@ -59,6 +59,11 @@ def get_spark(app_name: str = "bbdc20_submission_spark") -> SparkSession:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # legacy events.ts layout (TIMESTAMP NANOS) reads as long;
+        # harmless for the µs layouts — set here so sessions we own
+        # never mutate it mid-flight (load_table still self-defends
+        # on harness-owned sessions)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # local mode: every "executor" thread shares this one JVM heap,
         # so size it for 32-way parallel shuffle/agg working sets (8g

@@ -142,3 +142,50 @@ def test_rolling_fingerprint_is_deterministic_and_order_sensitive(spark):
     assert fp[0] == fp[2]          # deterministic
     assert fp[0] != fp[1]          # order-sensitive
     assert all(0 <= v < 1_000_000_007 for v in fp.values())
+
+
+def test_contamination_flags_planted(spark):
+    from bbdc20_submission_spark.operators.dedup import contamination_flags
+
+    eval_set = spark.createDataFrame(
+        [(1000, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains the eval 5-gram "alpha beta gamma delta epsilon"
+            (1, "xx alpha beta gamma delta epsilon yy"),
+            # shares words but no 5-gram run
+            (2, "alpha beta gamma QQ delta epsilon zeta eta"),
+            (3, "totally unrelated words only here nothing shared"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_shared"], r["contaminated"])
+        for r in contamination_flags(corpus, eval_set, k=5).collect()
+    }
+    assert got[1][1] == 1 and got[1][0] >= 1
+    assert got[2] == (0, 0)
+    assert got[3] == (0, 0)
+    assert set(got) == {1, 2, 3}  # one row per corpus doc, eval excluded
+
+
+def test_repetition_stats_flags_spam(spark):
+    from bbdc20_submission_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam spam spam spam ham"),
+            (2, "one two three four five six seven eight nine ten"),
+            (3, "ab cd ab cd ab cd ab cd ab cd"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in repetition_stats(df).collect()}
+    assert got[1]["top_word_count"] == 9 and got[1]["repetition_ok"] == 0
+    assert got[2]["top_word_count"] == 1 and got[2]["repetition_ok"] == 1
+    # doc 3: 9 bigrams, only 2 distinct -> dup_2gram_frac ~ 0.777778
+    # output is rounded to 6 decimals
+    assert abs(got[3]["dup_2gram_frac"] - (1 - 2 / 9)) < 1e-6
+    assert got[3]["repetition_ok"] == 0

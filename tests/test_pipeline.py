@@ -265,3 +265,33 @@ def test_fit_ols_matches_spark_ml_normal_solver(spark):
     assert b0 == pytest.approx(model.intercept, abs=1e-8)
     for got, want in zip(coefs, model.coefficients):
         assert got == pytest.approx(want, abs=1e-8)
+
+
+@pytest.mark.skipif(
+    not __import__(
+        "bbdc20_submission_spark.plans.models", fromlist=["HAS_LIGHTGBM"]
+    ).HAS_LIGHTGBM,
+    reason="lightgbm not installed — booster branch is env-gated",
+)
+def test_lightgbm_ensemble_branch_deterministic(spark):
+    """When lightgbm IS importable, the real booster path (reference
+    param draws, seed 1337+i) must train, vote, and be run-to-run
+    deterministic — so L2 isn't certified by the ridge fallback only."""
+    from bbdc20_submission_spark.plans.models import predict_vote, train_ensemble
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(300, 20))
+    y = (x[:, 0] + x[:, 1] > 0).astype(np.int64) + 2 * (x[:, 2] > 0).astype(np.int64)
+    w = np.ones(len(y))
+    models_a = train_ensemble(x, y, w, n_classes=4, n_models=3)
+    models_b = train_ensemble(x, y, w, n_classes=4, n_models=3)
+    feats = spark.createDataFrame(
+        [(int(i), [float(v) for v in row]) for i, row in enumerate(x[:50])],
+        "row_id long, features array<double>",
+    )
+    pa = {r["row_id"]: r["pred_code"] for r in predict_vote(feats, models_a).collect()}
+    pb = {r["row_id"]: r["pred_code"] for r in predict_vote(feats, models_b).collect()}
+    assert pa == pb
+    # the ensemble must actually learn the separable structure
+    acc = sum(1 for i, p in pa.items() if p == y[i]) / len(pa)
+    assert acc >= 0.7, acc

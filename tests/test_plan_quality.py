@@ -160,3 +160,21 @@ def test_ivf_topk_no_distinct_exchange_over_vectors(spark, sf_dir):
     # a distinct over embeddings would appear as HashAggregate keyed on
     # the embedding column
     assert "HashAggregate (keys=[embedding" not in plan.replace("Keys", "keys")
+
+
+def test_contamination_broadcasts_eval_grams(spark, sf_dir):
+    """d13: the eval-shingle set must reach the corpus via broadcast —
+    corpus text must never shuffle — and the gram join must not be a
+    sort-merge over exploded text."""
+    df = registry.QUERIES["d13_contamination"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_repetition_filter_is_pure_map(spark, sf_dir):
+    """d14 is designed as a zero-shuffle narrow pass: no Exchange may
+    appear anywhere in its physical plan."""
+    df = registry.QUERIES["d14_repetition_filter"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Exchange" not in plan, plan

@@ -197,3 +197,30 @@ def test_lsh_bucket_signature_rejects_column_objects(spark):
     col = lsh_bucket_signature("embedding", dim=4, n_planes=4)
     df = spark.createDataFrame([([1.0, 0.0, 0.0, 0.0],)], "embedding array<double>")
     assert df.select(col.alias("b")).collect()[0]["b"] is not None
+
+
+def test_semantic_dedup_planted(spark):
+    """Planted near-identical vectors must be pruned toward the
+    lower-id twin; singletons stay kept."""
+    from bbdc20_submission_spark.operators.clustering import semantic_dedup
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(30):
+        v = [rng.gauss(0, 1) for _ in range(DIM)]
+        rows.append((i, [float(x) for x in v]))
+        rows.append((i + 1000, [float(x + rng.gauss(0, 0.005)) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in semantic_dedup(
+        df, threshold=0.99, n_clusters=4, seed=3
+    ).collect()}
+    assert len(out) == 60
+    pruned = {i for i, r in out.items() if r["pruned"] == 1}
+    # high-id twins whose pair landed in one cell get pruned; the cap
+    # on recall is cell-boundary splits, so demand a strong majority
+    planted_caught = {i + 1000 for i in range(30)} & pruned
+    assert len(planted_caught) >= 20, len(planted_caught)
+    for i in pruned:
+        assert out[i]["keeper_id"] < i
+    # originals never point at their higher-id twin
+    assert all(out[i]["keeper_id"] is None or out[i]["keeper_id"] < i for i in out)
