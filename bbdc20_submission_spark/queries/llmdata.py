@@ -736,7 +736,10 @@ def s6_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     THRESH = 0.95
     em = load_table(spark, "embeddings", sf_dir)
-    out = semantic_dedup(em, threshold=THRESH, n_clusters=8, max_iter=5,
+    # 16 cells: within-cell pair count falls quadratically with cell
+    # size; near-identical twins still co-locate (they quantize to the
+    # same centroid at any k), so planted recall is insensitive to k
+    out = semantic_dedup(em, threshold=THRESH, n_clusters=16, max_iter=5,
                          fit_fraction=0.5)
     vecs = em.select(
         F.col("vec_id").alias("_kid"), F.col("embedding").alias("_kv")

@@ -174,3 +174,49 @@ def test_events_ts_layout_robustness(spark, tmp_path):
             assert got == expected_ms, (name, got)
         finally:
             spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_harness_schema_contract(spark, sf_dir):
+    """Loud early-warning when the harness regenerates testdata with a
+    different schema (the silent killer of round 4). Checks only the
+    columns/types queries depend on; date-ish columns may be TIMESTAMP,
+    TIMESTAMP_NTZ, or DATE (every query routes them through
+    date_trunc/casts/string comparison, which accept all three) — but
+    events.ts must be exactly TIMESTAMP after load_table normalization,
+    because unix_millis/watermarks reject NTZ."""
+    from bbdc20_submission_spark.sources.harness import HARNESS_TABLES, load_table
+
+    datish = {"timestamp", "timestamp_ntz", "date"}
+    required: dict[str, dict[str, set]] = {
+        "region": {"r_regionkey": {"int", "bigint"}, "r_name": {"string"}},
+        "nation": {"n_nationkey": {"int", "bigint"}, "n_name": {"string"},
+                   "n_regionkey": {"int", "bigint"}},
+        "customer": {"c_custkey": {"bigint"}, "c_nationkey": {"int", "bigint"},
+                     "c_acctbal": {"double"}, "c_mktsegment": {"string"}},
+        "supplier": {"s_suppkey": {"bigint"}, "s_nationkey": {"int", "bigint"},
+                     "s_acctbal": {"double"}},
+        "part": {"p_partkey": {"bigint"}, "p_size": {"int", "bigint"},
+                 "p_retailprice": {"double"}},
+        "orders": {"o_orderkey": {"bigint"}, "o_custkey": {"bigint"},
+                   "o_totalprice": {"double"}, "o_orderdate": datish},
+        "lineitem": {"l_orderkey": {"bigint"}, "l_quantity": {"double"},
+                     "l_extendedprice": {"double"}, "l_discount": {"double"},
+                     "l_shipdate": datish},
+        "events": {"event_id": {"bigint"}, "ts": {"timestamp"},
+                   "user_id": {"bigint"}, "event_type": {"string"},
+                   "value": {"double"}, "props": {"string"}},
+        "documents": {"doc_id": {"bigint"}, "text": {"string"},
+                      "lang": {"string"}, "source": {"string"}},
+        "embeddings": {"vec_id": {"bigint"},
+                       "embedding": {"array<float>", "array<double>"},
+                       "label": {"int", "bigint"}},
+    }
+    assert set(required) == set(HARNESS_TABLES)
+    problems = []
+    for t, cols in required.items():
+        dtypes = dict(load_table(spark, t, sf_dir).dtypes)
+        for c, allowed in cols.items():
+            got = dtypes.get(c)
+            if got not in allowed:
+                problems.append(f"{t}.{c}: got {got!r}, want one of {sorted(allowed)}")
+    assert not problems, problems

@@ -246,3 +246,27 @@ def test_stream_rle_state_carries_across_microbatches(spark, events_stream, tmp_
     }
     assert len(got) > 0
     assert got == expected_closed
+
+
+def test_repetition_filter_runs_on_streams(spark, sf_dir, tmp_path):
+    """repetition_stats is a pure narrow map, so the SAME operator must
+    run unchanged on a streaming source and agree with batch — the
+    design property that makes the quality-filter stage usable in a
+    continuous ingestion pipeline."""
+    from bbdc20_submission_spark.operators.text import repetition_stats
+
+    staged = str(tmp_path / "docs")
+    batch = load_table(spark, "documents", sf_dir).limit(200)
+    batch.write.mode("overwrite").parquet(staged)
+    schema = spark.read.parquet(staged).schema
+    stream = spark.readStream.schema(schema).parquet(staged)
+    _run_to_memory(repetition_stats(stream), "t_repstats")
+    got = {
+        r["doc_id"]: (r["top_word_frac"], r["repetition_ok"])
+        for r in spark.sql("SELECT * FROM t_repstats").collect()
+    }
+    want = {
+        r["doc_id"]: (r["top_word_frac"], r["repetition_ok"])
+        for r in repetition_stats(spark.read.parquet(staged)).collect()
+    }
+    assert got == want and len(got) > 0
