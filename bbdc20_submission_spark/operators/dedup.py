@@ -81,14 +81,31 @@ def exact_dedup_groups(
     )
 
 
-def word_shingles(text: Column | str, k: int = 3) -> Column:
-    """k-word shingles as strings -> array<string> (distinct)."""
-    toks = ws_tokens(text)
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """k-word shingles over an ALREADY-MATERIALIZED token array column
+    -> array<string> (distinct).
+
+    ``toks`` must be a plain column reference (project the tokenization
+    into a column first). Passing the tokenizer expression inline is a
+    measured ~4x regression: Catalyst does not common-subexpression-
+    eliminate across higher-order-function lambdas, so ``slice(toks,
+    i, k)`` re-evaluates the split PER SEQUENCE INDEX — O(tokens^2)
+    splits per row."""
     n = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
     )
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """k-word shingles as strings -> array<string> (distinct).
+
+    NOTE: inline form — the tokenizer is re-evaluated per shingle
+    index inside the transform (no CSE across HOF lambdas). Fine for
+    tests/small frames; hot paths should project ``ws_tokens`` into a
+    column and use ``shingles_from_tokens`` (measured ~4x)."""
+    return shingles_from_tokens(ws_tokens(text), k)
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
@@ -120,9 +137,12 @@ def minhash_signatures_df(
     shuffle), unlike the nested higher-order-function form which
     re-evaluates the hash per signature slot — measured ~10x faster at
     sf0.1. Output: [_id, h0..h{n-1}]."""
-    shingled = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(word_shingles(text_col, shingle_k)).alias("_sh"),
+    tokened = df.select(
+        F.col(id_col).alias("_id"), ws_tokens(text_col).alias("_toks")
+    )
+    shingled = tokened.select(
+        "_id",
+        F.explode(shingles_from_tokens(F.col("_toks"), shingle_k)).alias("_sh"),
     )
     hashed = shingled.select(
         "_id", *[F.xxhash64("_sh", F.lit(s)).alias(f"h{s}") for s in range(num_hashes)]
@@ -214,8 +234,10 @@ def jaccard_pairs(
     touching recall (the caller still applies its own
     ``jaccard >= t`` filter on the exact value)."""
     sets_df = df.select(
-        F.col(id_col).alias("_sid"),
-        word_shingles(text_col, shingle_k).alias("_shingles"),
+        F.col(id_col).alias("_sid"), ws_tokens(text_col).alias("_toks")
+    ).select(
+        "_sid",
+        shingles_from_tokens(F.col("_toks"), shingle_k).alias("_shingles"),
     )
     a = sets_df.select(
         F.col("_sid").alias("id_a"),
@@ -412,11 +434,14 @@ def contamination_flags(
     degrades gracefully on an adversarially contaminated corpus).
     """
     eval_grams = (
-        eval_set.select(F.explode(word_shingles(text_col, k)).alias("_g"))
+        eval_set.select(ws_tokens(text_col).alias("_toks"))
+        .select(F.explode(shingles_from_tokens(F.col("_toks"), k)).alias("_g"))
         .distinct()
     )
     corpus_grams = corpus.select(
-        F.col(id_col), F.explode(word_shingles(text_col, k)).alias("_g")
+        F.col(id_col), ws_tokens(text_col).alias("_toks")
+    ).select(
+        id_col, F.explode(shingles_from_tokens(F.col("_toks"), k)).alias("_g")
     )
     hits = (
         corpus_grams.join(F.broadcast(eval_grams), "_g")

@@ -190,8 +190,13 @@ def repetition_stats(
     equal-run), and the 2-gram repeat fraction compares gram-array
     sizes before/after ``array_distinct``. Per-row cost is O(tokens
     log tokens); a 100 TB corpus runs this as a pure map stage. The
-    flag compares ROUNDED fractions so engines agree at thresholds."""
-    toks = ws_tokens(text_col)
+    flag compares ROUNDED fractions so engines agree at thresholds.
+
+    Tokens are MATERIALIZED into a column before the gram transform:
+    Catalyst does not CSE across HOF lambdas, so an inline tokenizer
+    would re-split the text per 2-gram index (O(tokens^2))."""
+    df = df.select(F.col(id_col), ws_tokens(text_col).alias("_toks"))
+    toks = F.col("_toks")
     n = F.size(toks)
     zero = F.struct(
         F.lit("").alias("prev"),
