@@ -761,3 +761,118 @@ def s6_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cosine_valid"),
     )
+
+
+_BANNER = (
+    "this content is provided under the standard license agreement "
+    "all rights reserved see terms for details"
+)  # exactly 16 whitespace tokens = one chunk at chunk_tokens=16
+
+
+@query(
+    "d11_boilerplate_strip",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN '{_BANNER} ' || text
+                    ELSE text END AS text
+        FROM documents
+    ), toks AS (
+        SELECT doc_id, str_split(text, ' ') AS t FROM docs
+    ), chunks AS (
+        SELECT doc_id, chunk_id,
+               array_to_string(t[(chunk_id * 16 + 1):(chunk_id * 16 + 16)], ' ')
+                   AS chunk_text
+        FROM (SELECT doc_id, t,
+                     unnest(generate_series(0,
+                         CAST(greatest(ceil(len(t) / 16.0), 1) AS BIGINT) - 1))
+                         AS chunk_id
+              FROM toks)
+    ), hashed AS (
+        SELECT doc_id, chunk_id, chunk_text, md5(chunk_text) AS h FROM chunks
+    ), flagged AS (
+        SELECT h FROM hashed GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ), marked AS (
+        SELECT doc_id, chunk_id, chunk_text,
+               (h IN (SELECT h FROM flagged)) AS bp
+        FROM hashed
+    )
+    SELECT doc_id,
+           CAST(count(*) FILTER (WHERE bp) AS BIGINT) AS n_chunks_removed,
+           md5(coalesce(
+               string_agg(chunk_text, ' ' ORDER BY chunk_id)
+                   FILTER (WHERE NOT bp),
+               '')) AS clean_hash
+    FROM marked GROUP BY doc_id
+    """,
+)
+def d11_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-chunk boilerplate detect + strip, end to
+    end (Lee-et-al-style chunk-granular substring dedup). Every 7th doc
+    gets a 16-token license banner prepended INSIDE the query (same
+    arithmetic both engines), so the certified result is non-vacuous:
+    the banner chunk appears in ~n/7 docs, gets flagged (min_docs=2),
+    and is stripped; clean_hash certifies the reassembled text
+    byte-for-byte via md5. Text shuffles only for flagged chunks."""
+    from bbdc20_submission_spark.operators.chunking import (
+        boilerplate_chunks,
+        strip_boilerplate,
+    )
+
+    d = load_table(spark, "documents", sf_dir)
+    docs = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(_BANNER + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    flagged = boilerplate_chunks(docs, chunk_tokens=16, min_docs=2)
+    stripped = strip_boilerplate(docs, flagged, chunk_tokens=16)
+    return stripped.select(
+        "doc_id",
+        "n_chunks_removed",
+        F.md5("text_clean").alias("clean_hash"),
+    )
+
+
+@query(
+    "r1_bm25",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, str_split(text, ' ') AS t FROM documents
+    ), stats AS (
+        SELECT count(*) AS n, avg(len(t)) AS avgdl FROM toks
+    ), ex AS (
+        SELECT doc_id, len(t) AS dl, unnest(t) AS tok FROM toks
+    ), terms AS (
+        SELECT doc_id, tok, count(*) AS tf, max(dl) AS dl
+        FROM ex WHERE tok IN ('data', 'fast', 'query', 'spark')
+        GROUP BY doc_id, tok
+    ), dfd AS (
+        SELECT tok, count(*) AS df FROM terms GROUP BY tok
+    )
+    SELECT t.doc_id,
+           round(sum(
+               ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+               * (t.tf * (1.2 + 1))
+               / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.dl / s.avgdl))
+           ), 6) AS score
+    FROM terms t
+    JOIN dfd d ON d.tok = t.tok
+    CROSS JOIN stats s
+    GROUP BY t.doc_id
+    """,
+)
+def r1_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 of the corpus against a fixed 4-token query —
+    query-targeted corpus slicing/retrieval for curation. The df dim
+    is computed only for the query's terms and broadcast (|query|
+    rows); no full-vocabulary state — the 100 TB retrieval shape.
+    Zero-overlap docs are omitted (sparse semantics), matching SQL."""
+    from bbdc20_submission_spark.operators.ranking import bm25_score
+
+    d = load_table(spark, "documents", sf_dir)
+    return bm25_score(d, ["data", "fast", "query", "spark"])
