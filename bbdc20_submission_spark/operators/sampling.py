@@ -32,6 +32,23 @@ def _hash_bucket(id_col: Column, seed: int) -> Column:
     return F.pmod(F.xxhash64(id_col, F.lit(seed)), F.lit(_BUCKETS))
 
 
+def portable_hash_bucket(id_col: Column, seed: int) -> Column:
+    """Engine-portable variant of ``_hash_bucket``: first 8 hex chars of
+    md5(f"{id}:{seed}") mod 2^20. Any engine with md5 reproduces the
+    SAME sample membership (DuckDB:
+    ``CAST(('0x'||substr(md5(id||':s'),1,8)) AS BIGINT) % 1048576``) —
+    the property that makes a curation sample auditable outside Spark.
+    ~3x the per-row hash cost of xxhash64; both are narrow."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(id_col.cast("string"), F.lit(f":{seed}"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(_BUCKETS))
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,
@@ -39,6 +56,7 @@ def stratified_sample(
     id_col: str = "doc_id",
     default_fraction: float = 0.0,
     seed: int = 7,
+    portable: bool = False,
 ) -> DataFrame:
     """Keep each row with its stratum's fraction, deterministically.
 
@@ -48,7 +66,10 @@ def stratified_sample(
     ``hash(id, seed) mod 2^20 < fraction * 2^20`` — reproducible across
     runs, partitionings, and engines, and a pushdown-friendly narrow
     filter (no shuffle, no state). Same shape as `sampleBy`, minus the
-    PRNG nondeterminism."""
+    PRNG nondeterminism. ``portable=True`` swaps xxhash64 for the
+    md5-based ``portable_hash_bucket`` so the membership is
+    reproducible OUTSIDE Spark too (audits, oracles)."""
+    bucket = portable_hash_bucket if portable else _hash_bucket
     thresholds = F.create_map(
         *[
             x
@@ -60,7 +81,7 @@ def stratified_sample(
         thresholds.getItem(F.col(strata_col)),
         F.lit(int(default_fraction * _BUCKETS)),
     )
-    return df.filter(_hash_bucket(F.col(id_col), seed) < thr)
+    return df.filter(bucket(F.col(id_col), seed) < thr)
 
 
 def reservoir_per_stratum(
@@ -69,6 +90,7 @@ def reservoir_per_stratum(
     k: int,
     id_col: str = "doc_id",
     seed: int = 7,
+    portable: bool = False,
 ) -> DataFrame:
     """Exactly min(k, |stratum|) rows per stratum, by hash order.
 
@@ -76,9 +98,11 @@ def reservoir_per_stratum(
     uniform-without-replacement sample that is a pure function of the
     data — the distributed analog of reservoir sampling, as one ranked
     window (single shuffle on the strata columns). Ties are impossible
-    (id is unique), so the result is total-order deterministic."""
+    (id is unique), so the result is total-order deterministic.
+    ``portable=True`` uses the md5-based engine-portable hash."""
+    bucket = portable_hash_bucket if portable else _hash_bucket
     w = Window.partitionBy(*strata_cols).orderBy(
-        _hash_bucket(F.col(id_col), seed), F.col(id_col)
+        bucket(F.col(id_col), seed), F.col(id_col)
     )
     return (
         df.withColumn("_rk", F.row_number().over(w))

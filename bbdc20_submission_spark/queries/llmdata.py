@@ -876,3 +876,56 @@ def r1_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, "documents", sf_dir)
     return bm25_score(d, ["data", "fast", "query", "spark"])
+
+
+@query(
+    "d15_deterministic_sample",
+    oracle="""
+    WITH hashed AS (
+        SELECT doc_id, lang,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 8))
+                    AS BIGINT) % 1048576 AS bucket
+        FROM documents
+    ),
+    bern AS (
+        SELECT 'bernoulli' AS sample_kind, doc_id, lang
+        FROM hashed
+        WHERE bucket < CASE lang
+            WHEN 'en' THEN CAST(0.5 * 1048576 AS BIGINT)
+            WHEN 'de' THEN CAST(0.25 * 1048576 AS BIGINT)
+            ELSE CAST(0.1 * 1048576 AS BIGINT) END
+    ),
+    ranked AS (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang ORDER BY bucket, doc_id) AS rk
+        FROM hashed
+    ),
+    res AS (
+        SELECT 'reservoir' AS sample_kind, doc_id, lang
+        FROM ranked WHERE rk <= 10
+    )
+    SELECT * FROM bern UNION ALL SELECT * FROM res
+    """,
+)
+def d15_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic curation sampling, certified cross-engine: the
+    md5-based portable hash makes sample MEMBERSHIP itself (not just
+    counts) reproducible in any engine — stratified Bernoulli at
+    per-language rates plus an exactly-10-per-language hash-order
+    reservoir, unioned with a kind tag. Both are pure functions of the
+    data: one narrow filter and one stratum-keyed window — identical on
+    500 rows or 100 TB of splits, on any partitioning."""
+    from bbdc20_submission_spark.operators.sampling import (
+        reservoir_per_stratum,
+        stratified_sample,
+    )
+
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
+    bern = stratified_sample(
+        d, "lang", {"en": 0.5, "de": 0.25}, default_fraction=0.1,
+        seed=7, portable=True,
+    ).select(F.lit("bernoulli").alias("sample_kind"), "doc_id", "lang")
+    res = reservoir_per_stratum(
+        d, ["lang"], k=10, seed=7, portable=True
+    ).select(F.lit("reservoir").alias("sample_kind"), "doc_id", "lang")
+    return bern.unionByName(res)
