@@ -929,3 +929,83 @@ def d15_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, ["lang"], k=10, seed=7, portable=True
     ).select(F.lit("reservoir").alias("sample_kind"), "doc_id", "lang")
     return bern.unionByName(res)
+
+
+@query(
+    "s7_quantized_topk",
+    oracle="""
+    WITH scaled AS (
+        SELECT vec_id, embedding,
+               CASE WHEN m > 0 THEN m / 127.0 ELSE 1.0 END AS s
+        FROM (SELECT vec_id, embedding,
+                     list_max(list_transform(embedding,
+                         x -> abs(CAST(x AS DOUBLE)))) AS m
+              FROM embeddings)
+    ), qv AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> round(CAST(x AS DOUBLE) / s)) AS qe
+        FROM scaled
+    ), scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+               list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                      CAST(c.qe AS DOUBLE[])) AS sim
+        FROM qv c, qv q
+        WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+    ), ranked AS (
+        SELECT query_id, match_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, match_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, match_id, round(sim, 6) AS qsim, rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def s7_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-k over int8-QUANTIZED embeddings (q = round(x/s),
+    s = max|x|/127) — certifies the quantization arithmetic itself
+    cross-engine, not just its recall: DuckDB reproduces the per-vector
+    scale, the rounded int8 components, and the quantized cosine
+    bit-for-bit at 6 decimals. The 4x-smaller working set is what makes
+    the ANN paths memory-feasible at 100 TB; quantize + score stay pure
+    narrow array expressions."""
+    from bbdc20_submission_spark.operators.similarity import (
+        dequantize_cosine,
+        quantize_embeddings,
+    )
+
+    em = load_table(spark, "embeddings", sf_dir)
+    q = quantize_embeddings(em)
+    qa = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding_q").alias("_qa"),
+        F.col("embedding_q_scale").alias("_sa"),
+    ).filter(F.col("query_id") < 5)
+    qb = q.select(
+        F.col("vec_id").alias("match_id"),
+        F.col("embedding_q").alias("_qb"),
+        F.col("embedding_q_scale").alias("_sb"),
+    )
+    scored = (
+        qb.crossJoin(F.broadcast(qa))
+        .filter(F.col("match_id") != F.col("query_id"))
+        .select(
+            "query_id", "match_id",
+            dequantize_cosine(
+                F.col("_qa"), F.col("_sa"), F.col("_qb"), F.col("_sb")
+            ).alias("_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_sim").desc(), F.col("match_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "query_id", "match_id",
+            F.round("_sim", 6).alias("qsim"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
