@@ -1009,3 +1009,39 @@ def s7_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+@query(
+    "r2_tfidf",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, str_split(text, ' ') AS t FROM documents
+    ), stats AS (
+        SELECT count(*) AS n FROM toks
+    ), ex AS (
+        SELECT doc_id, len(t) AS dl, unnest(t) AS tok FROM toks
+    ), terms AS (
+        SELECT doc_id, tok, count(*) AS tf, max(dl) AS dl
+        FROM ex GROUP BY doc_id, tok
+    ), dfd AS (
+        SELECT tok, count(*) AS df FROM terms GROUP BY tok
+    )
+    SELECT t.doc_id, t.tok AS token,
+           CAST(t.tf AS BIGINT) AS tf,
+           CAST(d.df AS BIGINT) AS df,
+           round((t.tf * 1.0 / t.dl) * ln(s.n * 1.0 / d.df), 6) AS tfidf
+    FROM terms t
+    JOIN dfd d ON d.tok = t.tok
+    CROSS JOIN stats s
+    """,
+)
+def r2_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full TF-IDF matrix over the corpus — one token explode, two
+    hash aggregates (term counts per doc, document frequency per
+    term), one join on the term key; both aggregates get map-side
+    partials, and AQE broadcasts the per-term df dim when it measures
+    small. The whole formula is reproduced in SQL."""
+    from bbdc20_submission_spark.operators.ranking import tf_idf
+
+    d = load_table(spark, "documents", sf_dir)
+    return tf_idf(d)
