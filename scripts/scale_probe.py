@@ -29,6 +29,13 @@ QUERIES = [
     "d9_simhash_near_dups",
     "d12_dedup_clusters",
     "s1_cosine_topk",
+    "d11_boilerplate_strip",
+    "d13_contamination",
+    "d14_repetition_filter",
+    "d15_deterministic_sample",
+    "r1_bm25",
+    "s6_semdedup",
+    "s7_quantized_topk",
 ]
 
 
