@@ -243,13 +243,14 @@ def ivf_topk(
 def semantic_dedup(
     df: DataFrame,
     threshold: float = 0.95,
-    n_clusters: int = 8,
+    n_clusters: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7,
     max_iter: int = 20,
     fit_fraction: float = 1.0,
-    cap: int = 10_000,
+    cap: int = 4096,
+    target_cell_size: int = 300,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): KMeans
     the embedding space, then within each cell prune any vector that has
@@ -261,17 +262,24 @@ def semantic_dedup(
     kept. Greedy pairwise by design: transitive chains are finished by
     ``chunking.dedup_clusters`` when full clusters are needed.
 
-    Scale shape: the quantizer fits on a seeded sample (``fit_fraction``)
-    and assignment is one narrow pass, so the only wide work is the
-    within-cell self-join — cells are corpus/k in expectation, and hot
-    cells (embedding-space boilerplate) are hash-split at ``cap``
-    members via the same sub-bucket trick as the LSH dedup, bounding
-    pair generation at O(n * cap) with the documented recall trade."""
+    Scale shape: within-cell pair generation is O(sum of cell^2), so k
+    must GROW with the corpus — a fixed k makes the self-join quadratic
+    in n (measured 9x wall-clock on 4x data at k=16). With
+    ``n_clusters=None`` (default) k auto-scales to
+    ``n / target_cell_size`` (clamped to [8, 65536]; the SemDeDup paper
+    runs ~50k clusters for the same reason), keeping expected cell size
+    constant -> pair volume LINEAR in n. The quantizer fits on a seeded
+    sample (``fit_fraction``), assignment is one narrow pass, and
+    skew-hot cells are still hash-split at ``cap`` members via the same
+    sub-bucket trick as the LSH dedup, bounding the worst case at
+    O(n * cap) with the documented recall trade."""
     from pyspark.ml.functions import array_to_vector
 
     from bbdc20_submission_spark.operators.dedup import _cap_buckets
     from bbdc20_submission_spark.operators.similarity import cosine
 
+    if n_clusters is None:
+        n_clusters = int(min(max(df.count() // target_cell_size, 8), 65536))
     model = fit_quantizer(
         df, k=n_clusters, vec_col=vec_col, seed=seed,
         max_iter=max_iter, fit_fraction=fit_fraction,

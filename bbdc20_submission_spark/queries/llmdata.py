@@ -736,10 +736,11 @@ def s6_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     THRESH = 0.95
     em = load_table(spark, "embeddings", sf_dir)
-    # 16 cells: within-cell pair count falls quadratically with cell
-    # size; near-identical twins still co-locate (they quantize to the
-    # same centroid at any k), so planted recall is insensitive to k
-    out = semantic_dedup(em, threshold=THRESH, n_clusters=16, max_iter=5,
+    # auto-k (n / target_cell_size): constant expected cell size keeps
+    # within-cell pair volume LINEAR in corpus size; near-identical
+    # twins still co-locate (they quantize to the same centroid at any
+    # k), so prune recall is insensitive to k
+    out = semantic_dedup(em, threshold=THRESH, max_iter=5,
                          fit_fraction=0.5)
     vecs = em.select(
         F.col("vec_id").alias("_kid"), F.col("embedding").alias("_kv")

@@ -19,6 +19,17 @@ from bbdc20_submission_spark.sources.harness import load_table
 BASE = "/root/testdata/sf0.1"
 WORK = "/tmp/scale_probe"
 FACTORS = [1, 4, 16]
+REPS = int(os.environ.get("SCALE_PROBE_REPS", "2"))
+# Run factors can be restricted (e.g. SCALE_PROBE_FACTORS=16) so one
+# invocation fits a wall-clock budget; per-factor results accumulate in
+# RESULTS_JSON and SCALING.md regenerates once all FACTORS are present.
+RUN_FACTORS = [
+    int(x)
+    for x in os.environ.get(
+        "SCALE_PROBE_FACTORS", ",".join(map(str, FACTORS))
+    ).split(",")
+]
+RESULTS_JSON = f"{WORK}/results.json"
 QUERIES = [
     "w6_sessionize_rle",
     "w9_j3_context_stats",
@@ -85,31 +96,10 @@ def replicate(spark, factor: int) -> str:
 
 
 def main() -> None:
+    import json
+
     spark = get_spark("scale-probe")
     registry.load_all()
-    results: dict[str, dict[int, float]] = {q: {} for q in QUERIES}
-    rows: dict[int, int] = {}
-    for f in FACTORS:
-        d = replicate(spark, f)
-        # warm the page cache: the replicas may have just been written,
-        # and a cold first read would be charged to the first query
-        for t in ["events", "documents", "embeddings", "lineitem", "orders"]:
-            spark.read.parquet(os.path.join(d, f"{t}.parquet")).count()
-        rows[f] = spark.read.parquet(os.path.join(d, "events.parquet")).count()
-        for q in QUERIES:
-            best = None
-            for _ in range(2):  # min-of-2: single passes ride load noise
-                spark.catalog.clearCache()
-                t0 = time.perf_counter()
-                registry.QUERIES[q](spark, d).write.mode("overwrite").format("noop").save()
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-            results[q][f] = round(best, 2)
-            print(f, q, results[q][f], flush=True)
-
-    # extension operators (not in the driver registry): the curation
-    # DAG end-to-end and BM25 query scoring over the same replicas
-    from pyspark.sql import functions as _F
 
     from bbdc20_submission_spark.operators.ranking import bm25_score
     from bbdc20_submission_spark.plans.curation import curate
@@ -124,20 +114,57 @@ def main() -> None:
         return bm25_score(docs, ["the", "data", "model", "quick"])
 
     EXT = {"curation_dag": _curate, "bm25_score": _bm25}
-    ext_results: dict[str, dict[int, float]] = {q: {} for q in EXT}
-    for f in FACTORS:
+
+    store = {"queries": {}, "ext": {}, "rows": {}}
+    if os.path.exists(RESULTS_JSON):
+        store = json.load(open(RESULTS_JSON))
+
+    for f in RUN_FACTORS:
         d = replicate(spark, f)
-        for q, fn in EXT.items():
+        # warm the page cache: the replicas may have just been written,
+        # and a cold first read would be charged to the first query
+        for t in ["events", "documents", "embeddings", "lineitem", "orders"]:
+            spark.read.parquet(os.path.join(d, f"{t}.parquet")).count()
+        store["rows"][str(f)] = spark.read.parquet(
+            os.path.join(d, "events.parquet")
+        ).count()
+
+        def _measure(build):
             best = None
-            for _ in range(2):
+            for _ in range(REPS):  # min-of-REPS: singles ride load noise
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
-                fn(spark, d).write.mode("overwrite").format("noop").save()
+                build().write.mode("overwrite").format("noop").save()
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
-            ext_results[q][f] = round(best, 2)
-            print(f, q, ext_results[q][f], flush=True)
+            return round(best, 2)
 
+        for q in QUERIES:
+            t = _measure(lambda: registry.QUERIES[q](spark, d))
+            store["queries"].setdefault(q, {})[str(f)] = t
+            print(f, q, t, flush=True)
+        for q, fn in EXT.items():
+            t = _measure(lambda: fn(spark, d))
+            store["ext"].setdefault(q, {})[str(f)] = t
+            print(f, q, t, flush=True)
+        json.dump(store, open(RESULTS_JSON, "w"))
+
+    done = all(
+        str(f) in store["queries"].get(q, {}) for f in FACTORS for q in QUERIES
+    ) and all(str(f) in store["ext"].get(q, {}) for f in FACTORS for q in EXT)
+    if not done:
+        print("partial run recorded; SCALING.md not rewritten yet")
+        return
+
+    def _table(names, source):
+        out = []
+        for q in names:
+            r = {int(k): v for k, v in source[q].items()}
+            ratio = round(r[16] / r[1], 1) if r[1] > 0 else float("inf")
+            out.append(f"| {q} | {r[1]} | {r[4]} | {r[16]} | {ratio}x |")
+        return out
+
+    rows = {int(k): v for k, v in store["rows"].items()}
     lines = [
         "# SCALING — measured wall-clock vs data volume\n",
         "sf0.1 tables replicated with shifted keys/timestamps (so key",
@@ -145,35 +172,23 @@ def main() -> None:
         "`scripts/scale_probe.py`.\n",
         "| query | 1x (s) | 4x (s) | 16x (s) | 16x/1x |",
         "|---|---|---|---|---|",
-    ]
-    for q in QUERIES:
-        r = results[q]
-        ratio = round(r[16] / r[1], 1) if r[1] > 0 else float("inf")
-        lines.append(f"| {q} | {r[1]} | {r[4]} | {r[16]} | {ratio}x |")
-    lines.append("\nExtension operators (not in the driver registry):\n")
-    lines.append("| operator | 1x (s) | 4x (s) | 16x (s) | 16x/1x |")
-    lines.append("|---|---|---|---|---|")
-    for q in EXT:
-        r = ext_results[q]
-        ratio = round(r[16] / r[1], 1) if r[1] > 0 else float("inf")
-        lines.append(f"| {q} | {r[1]} | {r[4]} | {r[16]} | {ratio}x |")
-    lines.append(
-        f"\nevents rows: 1x={rows[1]:,} / 4x={rows[4]:,} / 16x={rows[16]:,}."
-    )
-    lines.append(
+        *_table(QUERIES, store["queries"]),
+        "\nExtension operators (not in the driver registry):\n",
+        "| operator | 1x (s) | 4x (s) | 16x (s) | 16x/1x |",
+        "|---|---|---|---|---|",
+        *_table(list(EXT), store["ext"]),
+        f"\nevents rows: 1x={rows[1]:,} / 4x={rows[4]:,} / 16x={rows[16]:,}.",
         "\nA ratio near (or below) 16x on 16x data means the operator is"
         " at-worst linear in input on fixed hardware — shuffles stay"
         " partition-parallel and nothing degenerates quadratically. Sub-"
-        "linear ratios reflect fixed job overhead amortizing away."
-    )
-    lines.append(
+        "linear ratios reflect fixed job overhead amortizing away.",
         "\nDocument replication is duplicate-FREE (every token salted"
         " with the replica id), so the dedup rows measure the input-"
         "proportional signature/banding/verify stages rather than an"
         " artificially 16x-duplicated corpus; the duplicated-corpus"
         " regime (hot buckets) is bounded by the bucket cap and pinned"
-        " by test_hot_bucket_cap_bounds_pair_count."
-    )
+        " by test_hot_bucket_cap_bounds_pair_count.",
+    ]
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md"), "w") as fh:
         fh.write("\n".join(lines) + "\n")
     print("SCALING.md written")
