@@ -1046,3 +1046,122 @@ def r2_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, "documents", sf_dir)
     return tf_idf(d)
+
+
+# The end-to-end curation DAG, certified as ONE oracle query: every
+# stage's SQL is the same formula its per-operator oracle uses (d1
+# exact dedup, d12 recursive-CTE clusters, d2 quality, d4 language,
+# d10 scrub+chunk), composed in the curate() order.
+_C1_ORACLE = f"""
+    WITH RECURSIVE
+    keep AS (SELECT min(doc_id) AS kid FROM documents GROUP BY md5(text)),
+    eu AS (SELECT d.* FROM documents d JOIN keep k ON k.kid = d.doc_id),
+    toks AS MATERIALIZED (SELECT doc_id, str_split(text, ' ') AS t FROM eu),
+    sh AS MATERIALIZED (
+        SELECT doc_id,
+               list_distinct([array_to_string(t[i:i+2], ' ')
+                              for i in generate_series(1, greatest(len(t)-2, 1))]) AS s
+        FROM toks
+    ),
+    ex AS MATERIALIZED (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_filter(a.s, x -> list_contains(b.s, x)))
+                     / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    ),
+    edges AS MATERIALIZED (
+        SELECT id_a AS a, id_b AS b FROM ex WHERE jaccard >= 0.5
+        UNION ALL
+        SELECT id_b AS a, id_a AS b FROM ex WHERE jaccard >= 0.5
+    ),
+    reach(id, rid) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, r.rid FROM edges e JOIN reach r ON r.id = e.b
+    ),
+    comp AS (SELECT id, min(rid) AS component FROM reach GROUP BY id),
+    nu AS (
+        SELECT e.* FROM eu e LEFT JOIN comp c ON c.id = e.doc_id
+        WHERE coalesce(c.component, e.doc_id) = e.doc_id
+    ),
+    feats AS (
+        SELECT doc_id, text,
+               length(text) AS n_chars,
+               len(str_split(text, ' ')) AS n_tokens,
+               length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
+               length(text)
+                 - length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                 - length(regexp_replace(text, '[^0-9]', '', 'g'))
+                 - length(regexp_replace(text, '[^ ]', '', 'g')) AS punct,
+               len(list_filter(str_split(text, ' '),
+                   x -> x IN ('the','a','of','and','is','to','in','that'))) AS sw,
+               len(list_filter(str_split(text,' '), x -> x IN {tuple(STOPWORDS['de'])})) AS h_de,
+               len(list_filter(str_split(text,' '), x -> x IN {tuple(STOPWORDS['en'])})) AS h_en,
+               len(list_filter(str_split(text,' '), x -> x IN {tuple(STOPWORDS['es'])})) AS h_es,
+               len(list_filter(str_split(text,' '), x -> x IN {tuple(STOPWORDS['fr'])})) AS h_fr,
+               len(list_filter(str_split(text,' '), x -> x IN {tuple(STOPWORDS['zh'])})) AS h_zh
+        FROM nu
+    ),
+    scored AS (
+        SELECT doc_id, text,
+               round(least(n_tokens / 32.0, 1.0) * 0.4
+                     + least(sw / n_tokens * 4.0, 1.0) * 0.3
+                     + (1.0 - least(punct / n_chars * 4.0, 1.0)) * 0.2
+                     + (1.0 - least(digits / n_chars * 4.0, 1.0)) * 0.1, 6) AS quality,
+               CASE WHEN h_de = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'de'
+                    WHEN h_en = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
+                    WHEN h_es = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
+                    WHEN h_fr = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
+                    ELSE 'zh' END AS lang_pred
+        FROM feats
+    ),
+    filt AS (
+        SELECT * FROM scored
+        WHERE quality >= 0.5 AND lang_pred IN ('en', 'de', 'es', 'fr')
+    ),
+    scrubbed AS (
+        SELECT doc_id, lang_pred, quality,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(text,
+                       '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{{2,}}', '<EMAIL>', 'g'),
+                     '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b', '<IP>', 'g'),
+                   '\\b\\+?\\d[\\d\\s().-]{{7,}}\\d\\b', '<PHONE>', 'g'),
+                 'https?://[^\\s]+', '<URL>', 'g') AS text
+        FROM filt
+    ),
+    ct AS (
+        SELECT doc_id, lang_pred, quality, str_split(text, ' ') AS t FROM scrubbed
+    ),
+    chunks AS (
+        SELECT doc_id, lang_pred, quality, t,
+               unnest(generate_series(0,
+                   CAST(greatest(ceil(len(t) / 32.0), 1) AS BIGINT) - 1)) AS chunk_id
+        FROM ct
+    )
+    SELECT doc_id, chunk_id,
+           array_to_string(t[(chunk_id * 32 + 1):(chunk_id * 32 + 32)], ' ') AS chunk_text,
+           CAST(least(len(t) - chunk_id * 32, 32) AS BIGINT) AS n_tokens,
+           lang_pred, quality
+    FROM chunks
+"""
+
+
+@query("c1_curation_dag", oracle=_C1_ORACLE)
+def c1_curation_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE curation pipeline — exact dedup -> near-dup cluster
+    representatives -> quality + language filter -> PII scrub -> token
+    chunking — certified end to end as one composed plan. Each stage's
+    oracle SQL is the identical formula its per-operator query uses;
+    composition correctness (stage order, survivor joins, metadata
+    re-attachment) is what this query adds over d1/d12/d2/d4/d10.
+    Sampling is off here because its certified form (d15) uses the
+    portable hash while the DAG's default uses xxhash64."""
+    from bbdc20_submission_spark.plans.curation import CurationConfig, curate
+
+    d = load_table(spark, "documents", sf_dir)
+    out, _ = curate(d, CurationConfig())
+    return out.select(
+        "doc_id", "chunk_id", "chunk_text", "n_tokens", "lang_pred", "quality"
+    )
