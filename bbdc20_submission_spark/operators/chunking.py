@@ -15,6 +15,8 @@
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -28,11 +30,16 @@ def chunk_by_tokens(
     id_col: str = "doc_id",
     chunk_tokens: int = 32,
     overlap: int = 0,
+    keep_cols: Sequence[str] = (),
 ) -> DataFrame:
-    """Emit one row per chunk: [id, chunk_id, chunk_text, n_tokens].
+    """Emit one row per chunk: [id, chunk_id, chunk_text, n_tokens,
+    *keep_cols].
 
     Chunk i covers tokens [i*stride, i*stride + chunk_tokens) with
     stride = chunk_tokens - overlap; the ragged tail chunk is kept.
+    ``keep_cols`` are doc-level columns threaded through the explode so
+    callers don't need a join back on the id (join-free = usable in a
+    stateless streaming plan).
     """
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("need 0 <= overlap < chunk_tokens")
@@ -46,6 +53,7 @@ def chunk_by_tokens(
         F.col(id_col),
         F.col(text_col).alias("_text"),
         toks.alias("_toks"),
+        *[F.col(c) for c in keep_cols],
         F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("long"))).alias("chunk_id"),
     )
     chunk = F.slice(
@@ -56,6 +64,7 @@ def chunk_by_tokens(
         F.col("chunk_id").cast("long").alias("chunk_id"),
         F.concat_ws(" ", chunk).alias("chunk_text"),
         F.size(chunk).cast("long").alias("n_tokens"),
+        *keep_cols,
     )
 
 

@@ -195,7 +195,17 @@ def repetition_stats(
     Tokens are MATERIALIZED into a column before the gram transform:
     Catalyst does not CSE across HOF lambdas, so an inline tokenizer
     would re-split the text per 2-gram index (O(tokens^2))."""
+    exprs = _repetition_exprs(top_frac_max, dup_2gram_max)
     df = df.select(F.col(id_col), ws_tokens(text_col).alias("_toks"))
+    return df.select(F.col(id_col), *exprs)
+
+
+def _repetition_exprs(
+    top_frac_max: float, dup_2gram_max: float
+) -> list[Column]:
+    """The repetition metric expressions over a materialized ``_toks``
+    token-array column (see repetition_stats for why it must be
+    materialized). Shared by the stats frame and the streaming filter."""
     toks = F.col("_toks")
     n = F.size(toks)
     zero = F.struct(
@@ -222,8 +232,7 @@ def repetition_stats(
     d2 = F.size(F.array_distinct(grams))
     top_frac = F.round(topc / n, 6)
     dup_frac = F.round(F.lit(1.0) - d2 / n2, 6)
-    return df.select(
-        F.col(id_col),
+    return [
         n.cast("long").alias("n_tokens"),
         topc.cast("long").alias("top_word_count"),
         top_frac.alias("top_word_frac"),
@@ -231,4 +240,19 @@ def repetition_stats(
         ((top_frac <= top_frac_max) & (dup_frac <= dup_2gram_max))
         .cast("long")
         .alias("repetition_ok"),
-    )
+    ]
+
+
+def with_repetition_flag(
+    df: DataFrame,
+    text_col: str = "text",
+    top_frac_max: float = 0.2,
+    dup_2gram_max: float = 0.2,
+    out_col: str = "repetition_ok",
+) -> DataFrame:
+    """Append only the pass/fail repetition flag, keeping every input
+    column — the filter-stage form (streaming-safe: pure narrow maps,
+    no joins, no state)."""
+    flagged = df.withColumn("_toks", ws_tokens(text_col))
+    flag = _repetition_exprs(top_frac_max, dup_2gram_max)[-1]
+    return flagged.withColumn(out_col, flag).drop("_toks")

@@ -813,3 +813,58 @@ def p_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("p_name", r"^([a-z]+)", 1).alias("first_word"),
         F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
     )
+
+
+@query(
+    "q5_local_supplier",
+    oracle="""
+    SELECT n_name,
+           round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 4)
+               AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name ASC
+    """,
+)
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: the 6-way local-supplier join — the classic
+    join-ordering/broadcast-selection certification. region -> nation
+    -> supplier are broadcast dims; the customer-orders-lineitem spine
+    shuffles on its keys once each; the c_nationkey = s_nationkey
+    residual makes the supplier join a REAL equi-join on two keys, not
+    a fan-out. Catalyst + AQE pick the join order from sizes —
+    declared, not hand-scheduled."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )

@@ -270,3 +270,39 @@ def test_repetition_filter_runs_on_streams(spark, sf_dir, tmp_path):
         for r in repetition_stats(spark.read.parquet(staged)).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_curate_matches_batch_and_is_stateless(spark, sf_dir, tmp_path):
+    """The stateless curation chain must produce IDENTICAL chunks on a
+    stream and on the same data as a batch, and its streaming plan must
+    need no state store (no watermark, no stateful operator) — the
+    property that lets it run at any ingestion rate."""
+    from bbdc20_submission_spark.streaming.curation import stream_curate
+
+    staged = str(tmp_path / "docs")
+    load_table(spark, "documents", sf_dir).limit(300).write.mode(
+        "overwrite"
+    ).parquet(staged)
+    schema = spark.read.parquet(staged).schema
+    stream = spark.readStream.schema(schema).parquet(staged)
+    _run_to_memory(stream_curate(stream), "t_scurate")
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_tokens"],
+                                       r["lang_pred"], r["quality"])
+        for r in spark.sql("SELECT * FROM t_scurate").collect()
+    }
+    want = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_tokens"],
+                                       r["lang_pred"], r["quality"])
+        for r in stream_curate(spark.read.parquet(staged)).collect()
+    }
+    assert len(got) > 0
+    assert got == want
+    # stateless: the batch plan of the same chain has no Exchange at all
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        stream_curate(spark.read.parquet(staged)).explain("formatted")
+    assert "Exchange" not in buf.getvalue()
