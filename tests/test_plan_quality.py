@@ -178,3 +178,16 @@ def test_repetition_filter_is_pure_map(spark, sf_dir):
     df = registry.QUERIES["d14_repetition_filter"](spark, sf_dir)
     plan = formatted_plan(df)
     assert "Exchange" not in plan, plan
+
+
+def test_q5_join_selection(spark, sf_dir):
+    """Q5's 6-way join: the tiny dims (region, nation) must reach the
+    spine via broadcast, the supplier join must be a real equi-join
+    (no cartesian anywhere), and the lineitem scan must prune to the
+    join/agg columns."""
+    df = registry.QUERIES["q5_local_supplier"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "l_extendedprice" in plan and "l_comment" not in plan
