@@ -29,6 +29,24 @@ HARNESS_TABLES = (
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
+def _events_ts_is_nanos(path: str) -> bool:
+    """Footer peek: does ``events.parquet`` store ``ts`` as nanos?
+
+    Drives whether ``load_table`` must flip the session-global
+    ``nanosAsLong`` conf. On any local-read failure (remote FS, odd
+    layout) fall back to ``True`` — the conf is harmless for µs
+    layouts, so the fallback is the legacy always-set behavior.
+    """
+    try:
+        import pyarrow as pa
+        import pyarrow.dataset as ds
+
+        field = ds.dataset(path, format="parquet").schema.field("ts")
+        return pa.types.is_timestamp(field.type) and field.type.unit == "ns"
+    except Exception:
+        return True
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Read one harness table. Schema comes from parquet footer metadata.
 
@@ -47,10 +65,13 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
       UTC and cast — the cast reinterprets the wall-clock fields in the
       session zone, making this an exact bit-identical mapping.
     """
-    if name == "events":
-        # Harmless for µs layouts; required to read the legacy NANOS one.
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events" and _events_ts_is_nanos(path):
+        # Required to read the legacy TIMESTAMP(NANOS) layout. Set only
+        # when the footer actually says nanos so harness-owned sessions
+        # aren't mutated for the common µs layouts.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(path)
     if name == "events":
         ts_dtype = dict(df.dtypes).get("ts")
         if ts_dtype == "bigint":

@@ -162,8 +162,15 @@ def test_events_ts_layout_robustness(spark, tmp_path):
         # simulate a harness-owned session with a non-UTC zone: load_table
         # must pin UTC itself before any NTZ cast
         spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
         try:
             df = load_table(spark, "events", str(d))
+            # the session-global nanos conf is flipped only for the
+            # layout that needs it (footer peek), not unconditionally
+            nanos_conf = spark.conf.get(
+                "spark.sql.legacy.parquet.nanosAsLong", "false"
+            )
+            assert nanos_conf == ("true" if name == "nanos" else "false")
             assert dict(df.dtypes)["ts"] == "timestamp", (name, df.dtypes)
             got = [
                 r["ms"]
