@@ -216,29 +216,132 @@ def d12_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                len(list_filter(str_split(text, ' '),
                    x -> x IN ('the','a','of','and','is','to','in','that'))) AS sw
         FROM documents
+    ),
+    stats AS (
+        SELECT doc_id,
+               CAST(n_chars AS BIGINT) AS stat_n_chars,
+               CAST(n_tokens AS BIGINT) AS stat_n_tokens,
+               round(n_chars / n_tokens, 6) AS stat_avg_token_len,
+               round(punct / n_chars, 6) AS stat_punct_ratio,
+               round(digits / n_chars, 6) AS stat_digit_ratio,
+               round(sw / n_tokens, 6) AS stat_stopword_ratio,
+               round(least(n_tokens / 32.0, 1.0) * 0.4
+                     + least(sw / n_tokens * 4.0, 1.0) * 0.3
+                     + (1.0 - least(punct / n_chars * 4.0, 1.0)) * 0.2
+                     + (1.0 - least(digits / n_chars * 4.0, 1.0)) * 0.1, 6) AS quality
+        FROM s
+    ),
+    toks AS (
+        SELECT doc_id, str_split(text, ' ') AS ws FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, w, count(*) AS c
+        FROM (SELECT doc_id, unnest(ws) AS w FROM toks)
+        GROUP BY doc_id, w
+    ),
+    top AS (
+        SELECT doc_id, max(c) AS topc, CAST(sum(c) AS BIGINT) AS nt
+        FROM tf GROUP BY doc_id
+    ),
+    bg AS (
+        SELECT doc_id,
+               list_transform(
+                   generate_series(1, greatest(len(ws) - 1, 1)),
+                   i -> array_to_string(list_slice(ws, i, i + 1), ' ')) AS gs
+        FROM toks
+    ),
+    bga AS (
+        SELECT doc_id, len(gs) AS n2, len(list_distinct(gs)) AS d2 FROM bg
+    ),
+    rep AS (
+        SELECT t.doc_id,
+               CAST(t.topc AS BIGINT) AS top_word_count,
+               round(t.topc * 1.0 / t.nt, 6) AS top_word_frac,
+               round(1.0 - b.d2 * 1.0 / b.n2, 6) AS dup_2gram_frac,
+               CAST(round(t.topc * 1.0 / t.nt, 6) <= 0.2
+                    AND round(1.0 - b.d2 * 1.0 / b.n2, 6) <= 0.2 AS BIGINT)
+                   AS repetition_ok
+        FROM top t JOIN bga b ON b.doc_id = t.doc_id
+    ),
+    grams AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(ws) - 4, 1)),
+                   i -> array_to_string(list_slice(ws, i, i + 4), ' '))) AS gs
+        FROM toks
+    ),
+    eval_grams AS (
+        SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 100 = 0
+    ),
+    corpus AS (
+        SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id % 100 <> 0
+    ),
+    hits AS (
+        SELECT c.doc_id, count(*) AS n_shared
+        FROM corpus c JOIN eval_grams e ON c.g = e.g
+        GROUP BY c.doc_id
     )
-    SELECT doc_id,
-           CAST(n_chars AS BIGINT) AS stat_n_chars,
-           CAST(n_tokens AS BIGINT) AS stat_n_tokens,
-           round(n_chars / n_tokens, 6) AS stat_avg_token_len,
-           round(punct / n_chars, 6) AS stat_punct_ratio,
-           round(digits / n_chars, 6) AS stat_digit_ratio,
-           round(sw / n_tokens, 6) AS stat_stopword_ratio,
-           round(least(n_tokens / 32.0, 1.0) * 0.4
-                 + least(sw / n_tokens * 4.0, 1.0) * 0.3
-                 + (1.0 - least(punct / n_chars * 4.0, 1.0)) * 0.2
-                 + (1.0 - least(digits / n_chars * 4.0, 1.0)) * 0.1, 6) AS quality
-    FROM s
+    SELECT st.doc_id,
+           st.stat_n_chars, st.stat_n_tokens, st.stat_avg_token_len,
+           st.stat_punct_ratio, st.stat_digit_ratio, st.stat_stopword_ratio,
+           st.quality,
+           r.top_word_count, r.top_word_frac, r.dup_2gram_frac,
+           r.repetition_ok,
+           CASE WHEN st.doc_id % 100 = 0 THEN CAST(-1 AS BIGINT)
+                ELSE CAST(coalesce(h.n_shared, 0) AS BIGINT) END AS n_shared,
+           CASE WHEN st.doc_id % 100 = 0 THEN CAST(-1 AS BIGINT)
+                ELSE CAST(coalesce(h.n_shared, 0) > 0 AS BIGINT) END AS contaminated
+    FROM stats st
+    JOIN rep r ON r.doc_id = st.doc_id
+    LEFT JOIN hits h ON h.doc_id = st.doc_id
     """,
 )
 def d2_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality-scoring stats block (lengths, ratios, stopwords) plus
-    the composite [0,1] quality score, in one narrow projection.
-    The score is built from the UNROUNDED ratio expressions (via
-    operators.text.quality_score) with a single final rounding, so it
-    matches the oracle's single-rounding formula bit-for-bit."""
+    """Per-document curation-quality SUITE: the quality-scoring stats
+    block + composite score, the Gopher-style repetition filters
+    (Rae et al. 2021: top-word fraction, duplicate-2-gram fraction,
+    pass flag), and the benchmark-contamination decontamination pass
+    (every 100th doc plays the held-out benchmark; corpus docs are
+    flagged by shared 5-gram count, eval docs carry a -1 sentinel).
+
+    Shape: quality + repetition columns come out of ONE narrow
+    projection over the documents scan (no shuffle — the score
+    combines UNROUNDED ratios with a single final rounding so it
+    matches the oracle's single-rounding formula bit-for-bit, and the
+    repetition metrics are array folds over a materialized token
+    column). Contamination broadcasts the tiny distinct eval-shingle
+    set — corpus text never shuffles; the only wide exchange is the
+    per-doc hit count, re-attached here by a doc_id join. The
+    zero-shuffle property of the repetition block alone is pinned by
+    test_plan_quality.py::test_repetition_filter_is_pure_map against
+    operators.text.repetition_stats directly."""
+    from bbdc20_submission_spark.operators.dedup import contamination_flags
+    from bbdc20_submission_spark.operators.text import _repetition_exprs
+
     d = load_table(spark, "documents", sf_dir)
-    return quality_score(d).select(
+    # [1:] drops _repetition_exprs' n_tokens — identical to
+    # stat_n_tokens (both = whitespace token count), kept once
+    rep_exprs = _repetition_exprs(0.2, 0.2)[1:]
+    narrow = (
+        quality_score(d)
+        .withColumn("_toks", ws_tokens(F.col("text")))
+        .select(
+            "doc_id",
+            "stat_n_chars",
+            "stat_n_tokens",
+            "stat_avg_token_len",
+            "stat_punct_ratio",
+            "stat_digit_ratio",
+            "stat_stopword_ratio",
+            "quality",
+            *rep_exprs,
+        )
+    )
+    eval_set = d.filter(F.col("doc_id") % 100 == 0)
+    corpus = d.filter(F.col("doc_id") % 100 != 0)
+    cont = contamination_flags(corpus, eval_set, k=5)
+    is_eval = F.col("doc_id") % 100 == 0
+    return narrow.join(cont, "doc_id", "left").select(
         "doc_id",
         "stat_n_chars",
         "stat_n_tokens",
@@ -247,6 +350,18 @@ def d2_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stat_digit_ratio",
         "stat_stopword_ratio",
         "quality",
+        "top_word_count",
+        "top_word_frac",
+        "dup_2gram_frac",
+        "repetition_ok",
+        F.when(is_eval, F.lit(-1))
+        .otherwise(F.coalesce(F.col("n_shared"), F.lit(0)))
+        .cast("long")
+        .alias("n_shared"),
+        F.when(is_eval, F.lit(-1))
+        .otherwise(F.coalesce(F.col("contaminated"), F.lit(0)))
+        .cast("long")
+        .alias("contaminated"),
     )
 
 
@@ -261,51 +376,186 @@ def d2_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                len(list_filter(str_split(text,' '), x -> x IN {tuple(STOPWORDS['fr'])})) AS h_fr,
                len(list_filter(str_split(text,' '), x -> x IN {tuple(STOPWORDS['zh'])})) AS h_zh
         FROM documents
+    ),
+    lang AS (
+        SELECT doc_id,
+               CASE WHEN h_de = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'de'
+                    WHEN h_en = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
+                    WHEN h_es = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
+                    WHEN h_fr = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
+                    ELSE 'zh' END AS lang_pred
+        FROM h
+    ),
+    hashed AS (
+        SELECT doc_id, lang,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 8))
+                    AS BIGINT) % 1048576 AS bucket
+        FROM documents
+    ),
+    bern AS (
+        SELECT doc_id FROM hashed
+        WHERE bucket < CASE lang
+            WHEN 'en' THEN CAST(0.5 * 1048576 AS BIGINT)
+            WHEN 'de' THEN CAST(0.25 * 1048576 AS BIGINT)
+            ELSE CAST(0.1 * 1048576 AS BIGINT) END
+    ),
+    res AS (
+        SELECT doc_id FROM (
+            SELECT doc_id,
+                   row_number() OVER (PARTITION BY lang ORDER BY bucket, doc_id) AS rk
+            FROM hashed
+        ) WHERE rk <= 10
     )
-    SELECT doc_id,
-           CASE WHEN h_de = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'de'
-                WHEN h_en = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
-                WHEN h_es = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
-                WHEN h_fr = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
-                ELSE 'zh' END AS lang_pred
-    FROM h
+    SELECT l.doc_id, l.lang_pred,
+           CAST(b.doc_id IS NOT NULL AS BIGINT) AS in_bernoulli,
+           CAST(r.doc_id IS NOT NULL AS BIGINT) AS in_reservoir
+    FROM lang l
+    LEFT JOIN bern b ON b.doc_id = l.doc_id
+    LEFT JOIN res r ON r.doc_id = l.doc_id
     """,
 )
 def d4_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic stopword-vote language ID; ties -> alphabetical."""
+    """Language/stratum SUITE: heuristic stopword-vote language ID
+    (ties -> alphabetical) plus deterministic curation-sampling
+    MEMBERSHIP over the table's lang strata — in_bernoulli (stratified
+    Bernoulli at per-language rates via the engine-portable md5 hash,
+    so the sample set itself is reproducible in any engine) and
+    in_reservoir (exactly-10-per-language hash-order reservoir). Both
+    samples are pure functions of the data — identical on 500 rows or
+    100 TB of splits, on any partitioning; certifying per-doc
+    membership flags is equivalent to certifying the sample sets."""
+    from bbdc20_submission_spark.operators.sampling import (
+        reservoir_per_stratum,
+        stratified_sample,
+    )
+
     d = load_table(spark, "documents", sf_dir)
-    return language_id(d).select("doc_id", "lang_pred")
+    lang = language_id(d).select("doc_id", "lang_pred")
+    dl = d.select("doc_id", "lang")
+    bern = stratified_sample(
+        dl, "lang", {"en": 0.5, "de": 0.25}, default_fraction=0.1,
+        seed=7, portable=True,
+    ).select("doc_id", F.lit(1).alias("_b"))
+    res = reservoir_per_stratum(
+        dl, ["lang"], k=10, seed=7, portable=True
+    ).select("doc_id", F.lit(1).alias("_r"))
+    return (
+        lang.join(bern, "doc_id", "left")
+        .join(res, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang_pred",
+            F.coalesce(F.col("_b"), F.lit(0)).cast("long").alias("in_bernoulli"),
+            F.coalesce(F.col("_r"), F.lit(0)).cast("long").alias("in_reservoir"),
+        )
+    )
+
+
+_BANNER = (
+    "this content is provided under the standard license agreement "
+    "all rights reserved see terms for details"
+)  # exactly 16 whitespace tokens = one chunk at chunk_tokens=16
 
 
 @query(
     "d5_token_fingerprint",
     oracle=f"""
-    SELECT doc_id,
-           CAST(len(str_split(text, ' ')) AS BIGINT) AS ws_tokens,
-           CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS BIGINT) AS bpe_tokens,
-           list_reduce(
-             list_prepend(CAST(0 AS BIGINT),
-               list_transform(str_split(text, ' '),
-                 x -> CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT) % 1000000007)),
-             (acc, x) -> (acc * 257 + x) % 1000000007) AS fingerprint
-    FROM documents
+    WITH fp AS (
+        SELECT doc_id,
+               CAST(len(str_split(text, ' ')) AS BIGINT) AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS BIGINT) AS bpe_tokens,
+               list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(str_split(text, ' '),
+                     x -> CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT) % 1000000007)),
+                 (acc, x) -> (acc * 257 + x) % 1000000007) AS fingerprint
+        FROM documents
+    ),
+    docs AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN '{_BANNER} ' || text
+                    ELSE text END AS text
+        FROM documents
+    ), btoks AS (
+        SELECT doc_id, str_split(text, ' ') AS t FROM docs
+    ), chunks AS (
+        SELECT doc_id, chunk_id,
+               array_to_string(t[(chunk_id * 16 + 1):(chunk_id * 16 + 16)], ' ')
+                   AS chunk_text
+        FROM (SELECT doc_id, t,
+                     unnest(generate_series(0,
+                         CAST(greatest(ceil(len(t) / 16.0), 1) AS BIGINT) - 1))
+                         AS chunk_id
+              FROM btoks)
+    ), hashed AS (
+        SELECT doc_id, chunk_id, chunk_text, md5(chunk_text) AS h FROM chunks
+    ), flagged AS (
+        SELECT h FROM hashed GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ), marked AS (
+        SELECT doc_id, chunk_id, chunk_text,
+               (h IN (SELECT h FROM flagged)) AS bp
+        FROM hashed
+    ), bpout AS (
+        SELECT doc_id,
+               CAST(count(*) FILTER (WHERE bp) AS BIGINT) AS n_chunks_removed,
+               md5(coalesce(
+                   string_agg(chunk_text, ' ' ORDER BY chunk_id)
+                       FILTER (WHERE NOT bp),
+                   '')) AS clean_hash
+        FROM marked GROUP BY doc_id
+    )
+    SELECT f.doc_id, f.ws_tokens, f.bpe_tokens, f.fingerprint,
+           b.n_chunks_removed, b.clean_hash
+    FROM fp f JOIN bpout b ON b.doc_id = f.doc_id
     """,
 )
 def d5_token_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting (whitespace + BPE-ish regex modes) and the
-    rolling polynomial document fingerprint, one projection.
+    """Document-fingerprint SUITE: token counting (whitespace + BPE-ish
+    regex modes), the rolling polynomial document fingerprint, and the
+    cross-document repeated-chunk boilerplate detect + strip end to end
+    (Lee-et-al-style chunk-granular substring dedup).
 
     The fingerprint uses the engine-portable md5-prefix token hash so
     DuckDB reproduces it bit-for-bit (the xxhash64 variant in
-    operators/text.rolling_fingerprint is the max-throughput form)."""
+    operators/text.rolling_fingerprint is the max-throughput form).
+    For the boilerplate half, every 7th doc gets a 16-token license
+    banner prepended INSIDE the query (same arithmetic both engines),
+    so the certified result is non-vacuous: the banner chunk appears in
+    ~n/7 docs, gets flagged (min_docs=2), and is stripped; clean_hash
+    certifies the reassembled text byte-for-byte via md5. Text shuffles
+    only for flagged chunks."""
+    from bbdc20_submission_spark.operators.chunking import (
+        boilerplate_chunks,
+        strip_boilerplate,
+    )
+
     d = load_table(spark, "documents", sf_dir)
-    return d.select(
+    fp = d.select(
         "doc_id",
         F.size(ws_tokens("text")).cast("long").alias("ws_tokens"),
         F.size(F.regexp_extract_all("text", F.lit(TOKEN_PATTERN), 0))
         .cast("long")
         .alias("bpe_tokens"),
         portable_fingerprint(ws_tokens("text")).alias("fingerprint"),
+    )
+    docs = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(_BANNER + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    flagged = boilerplate_chunks(docs, chunk_tokens=16, min_docs=2)
+    stripped = strip_boilerplate(docs, flagged, chunk_tokens=16)
+    return fp.join(
+        stripped.select(
+            "doc_id",
+            "n_chunks_removed",
+            F.md5("text_clean").alias("clean_hash"),
+        ),
+        "doc_id",
     )
 
 
@@ -625,96 +875,6 @@ def d10_scrub_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "d13_contamination",
-    oracle="""
-    WITH toks AS (
-        SELECT doc_id, str_split(text, ' ') AS ws FROM documents
-    ),
-    grams AS (
-        SELECT doc_id,
-               list_distinct(list_transform(
-                   generate_series(1, greatest(len(ws) - 4, 1)),
-                   i -> array_to_string(list_slice(ws, i, i + 4), ' '))) AS gs
-        FROM toks
-    ),
-    eval_grams AS (
-        SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 100 = 0
-    ),
-    corpus AS (
-        SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id % 100 <> 0
-    ),
-    hits AS (
-        SELECT c.doc_id, count(*) AS n_shared
-        FROM corpus c JOIN eval_grams e ON c.g = e.g
-        GROUP BY c.doc_id
-    )
-    SELECT d.doc_id,
-           CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
-           CAST(coalesce(h.n_shared, 0) > 0 AS BIGINT) AS contaminated
-    FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
-    WHERE d.doc_id % 100 <> 0
-    """,
-)
-def d13_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark-contamination decontamination pass: every 100th doc
-    plays the held-out benchmark; the rest are the corpus, flagged by
-    shared 5-gram count. The eval shingle set is broadcast — corpus
-    text never shuffles (the 100 TB decontamination shape)."""
-    from bbdc20_submission_spark.operators.dedup import contamination_flags
-
-    d = load_table(spark, "documents", sf_dir)
-    eval_set = d.filter(F.col("doc_id") % 100 == 0)
-    corpus = d.filter(F.col("doc_id") % 100 != 0)
-    return contamination_flags(corpus, eval_set, k=5)
-
-
-@query(
-    "d14_repetition_filter",
-    oracle="""
-    WITH toks AS (
-        SELECT doc_id, str_split(text, ' ') AS ws FROM documents
-    ),
-    tf AS (
-        SELECT doc_id, w, count(*) AS c
-        FROM (SELECT doc_id, unnest(ws) AS w FROM toks)
-        GROUP BY doc_id, w
-    ),
-    top AS (
-        SELECT doc_id, max(c) AS topc, CAST(sum(c) AS BIGINT) AS n_tokens
-        FROM tf GROUP BY doc_id
-    ),
-    bg AS (
-        SELECT doc_id,
-               list_transform(
-                   generate_series(1, greatest(len(ws) - 1, 1)),
-                   i -> array_to_string(list_slice(ws, i, i + 1), ' ')) AS gs
-        FROM toks
-    ),
-    bga AS (
-        SELECT doc_id, len(gs) AS n2, len(list_distinct(gs)) AS d2 FROM bg
-    )
-    SELECT t.doc_id,
-           t.n_tokens,
-           CAST(t.topc AS BIGINT) AS top_word_count,
-           round(t.topc * 1.0 / t.n_tokens, 6) AS top_word_frac,
-           round(1.0 - b.d2 * 1.0 / b.n2, 6) AS dup_2gram_frac,
-           CAST(round(t.topc * 1.0 / t.n_tokens, 6) <= 0.2
-                AND round(1.0 - b.d2 * 1.0 / b.n2, 6) <= 0.2 AS BIGINT)
-               AS repetition_ok
-    FROM top t JOIN bga b ON b.doc_id = t.doc_id
-    """,
-)
-def d14_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style repetition quality filter (top-word fraction +
-    duplicate-2-gram fraction + pass flag) — entirely narrow, no
-    shuffle: a pure map stage at any corpus size."""
-    from bbdc20_submission_spark.operators.text import repetition_stats
-
-    d = load_table(spark, "documents", sf_dir)
-    return repetition_stats(d)
-
-
-@query(
     "s6_semdedup",
     oracle="""
     SELECT vec_id,
@@ -764,81 +924,6 @@ def s6_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BANNER = (
-    "this content is provided under the standard license agreement "
-    "all rights reserved see terms for details"
-)  # exactly 16 whitespace tokens = one chunk at chunk_tokens=16
-
-
-@query(
-    "d11_boilerplate_strip",
-    oracle=f"""
-    WITH docs AS (
-        SELECT doc_id,
-               CASE WHEN doc_id % 7 = 0 THEN '{_BANNER} ' || text
-                    ELSE text END AS text
-        FROM documents
-    ), toks AS (
-        SELECT doc_id, str_split(text, ' ') AS t FROM docs
-    ), chunks AS (
-        SELECT doc_id, chunk_id,
-               array_to_string(t[(chunk_id * 16 + 1):(chunk_id * 16 + 16)], ' ')
-                   AS chunk_text
-        FROM (SELECT doc_id, t,
-                     unnest(generate_series(0,
-                         CAST(greatest(ceil(len(t) / 16.0), 1) AS BIGINT) - 1))
-                         AS chunk_id
-              FROM toks)
-    ), hashed AS (
-        SELECT doc_id, chunk_id, chunk_text, md5(chunk_text) AS h FROM chunks
-    ), flagged AS (
-        SELECT h FROM hashed GROUP BY h HAVING count(DISTINCT doc_id) >= 2
-    ), marked AS (
-        SELECT doc_id, chunk_id, chunk_text,
-               (h IN (SELECT h FROM flagged)) AS bp
-        FROM hashed
-    )
-    SELECT doc_id,
-           CAST(count(*) FILTER (WHERE bp) AS BIGINT) AS n_chunks_removed,
-           md5(coalesce(
-               string_agg(chunk_text, ' ' ORDER BY chunk_id)
-                   FILTER (WHERE NOT bp),
-               '')) AS clean_hash
-    FROM marked GROUP BY doc_id
-    """,
-)
-def d11_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-document repeated-chunk boilerplate detect + strip, end to
-    end (Lee-et-al-style chunk-granular substring dedup). Every 7th doc
-    gets a 16-token license banner prepended INSIDE the query (same
-    arithmetic both engines), so the certified result is non-vacuous:
-    the banner chunk appears in ~n/7 docs, gets flagged (min_docs=2),
-    and is stripped; clean_hash certifies the reassembled text
-    byte-for-byte via md5. Text shuffles only for flagged chunks."""
-    from bbdc20_submission_spark.operators.chunking import (
-        boilerplate_chunks,
-        strip_boilerplate,
-    )
-
-    d = load_table(spark, "documents", sf_dir)
-    docs = d.select(
-        "doc_id",
-        F.when(
-            F.col("doc_id") % 7 == 0,
-            F.concat(F.lit(_BANNER + " "), F.col("text")),
-        )
-        .otherwise(F.col("text"))
-        .alias("text"),
-    )
-    flagged = boilerplate_chunks(docs, chunk_tokens=16, min_docs=2)
-    stripped = strip_boilerplate(docs, flagged, chunk_tokens=16)
-    return stripped.select(
-        "doc_id",
-        "n_chunks_removed",
-        F.md5("text_clean").alias("clean_hash"),
-    )
-
-
 @query(
     "r1_bm25",
     oracle="""
@@ -877,59 +962,6 @@ def r1_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, "documents", sf_dir)
     return bm25_score(d, ["data", "fast", "query", "spark"])
-
-
-@query(
-    "d15_deterministic_sample",
-    oracle="""
-    WITH hashed AS (
-        SELECT doc_id, lang,
-               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 8))
-                    AS BIGINT) % 1048576 AS bucket
-        FROM documents
-    ),
-    bern AS (
-        SELECT 'bernoulli' AS sample_kind, doc_id, lang
-        FROM hashed
-        WHERE bucket < CASE lang
-            WHEN 'en' THEN CAST(0.5 * 1048576 AS BIGINT)
-            WHEN 'de' THEN CAST(0.25 * 1048576 AS BIGINT)
-            ELSE CAST(0.1 * 1048576 AS BIGINT) END
-    ),
-    ranked AS (
-        SELECT doc_id, lang,
-               row_number() OVER (PARTITION BY lang ORDER BY bucket, doc_id) AS rk
-        FROM hashed
-    ),
-    res AS (
-        SELECT 'reservoir' AS sample_kind, doc_id, lang
-        FROM ranked WHERE rk <= 10
-    )
-    SELECT * FROM bern UNION ALL SELECT * FROM res
-    """,
-)
-def d15_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic curation sampling, certified cross-engine: the
-    md5-based portable hash makes sample MEMBERSHIP itself (not just
-    counts) reproducible in any engine — stratified Bernoulli at
-    per-language rates plus an exactly-10-per-language hash-order
-    reservoir, unioned with a kind tag. Both are pure functions of the
-    data: one narrow filter and one stratum-keyed window — identical on
-    500 rows or 100 TB of splits, on any partitioning."""
-    from bbdc20_submission_spark.operators.sampling import (
-        reservoir_per_stratum,
-        stratified_sample,
-    )
-
-    d = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
-    bern = stratified_sample(
-        d, "lang", {"en": 0.5, "de": 0.25}, default_fraction=0.1,
-        seed=7, portable=True,
-    ).select(F.lit("bernoulli").alias("sample_kind"), "doc_id", "lang")
-    res = reservoir_per_stratum(
-        d, ["lang"], k=10, seed=7, portable=True
-    ).select(F.lit("reservoir").alias("sample_kind"), "doc_id", "lang")
-    return bern.unionByName(res)
 
 
 @query(

@@ -163,19 +163,23 @@ def test_ivf_topk_no_distinct_exchange_over_vectors(spark, sf_dir):
 
 
 def test_contamination_broadcasts_eval_grams(spark, sf_dir):
-    """d13: the eval-shingle set must reach the corpus via broadcast —
-    corpus text must never shuffle — and the gram join must not be a
-    sort-merge over exploded text."""
-    df = registry.QUERIES["d13_contamination"](spark, sf_dir)
+    """Contamination (now inside the d2 suite): the eval-shingle set
+    must reach the corpus via broadcast — corpus text must never
+    shuffle — and the gram join must not be a sort-merge over exploded
+    text."""
+    df = registry.QUERIES["d2_text_quality"](spark, sf_dir)
     plan = formatted_plan(df)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
 
 
 def test_repetition_filter_is_pure_map(spark, sf_dir):
-    """d14 is designed as a zero-shuffle narrow pass: no Exchange may
-    appear anywhere in its physical plan."""
-    df = registry.QUERIES["d14_repetition_filter"](spark, sf_dir)
+    """repetition_stats (certified inside the d2 suite) is designed as
+    a zero-shuffle narrow pass: no Exchange may appear anywhere in its
+    standalone physical plan."""
+    from bbdc20_submission_spark.operators.text import repetition_stats
+
+    df = repetition_stats(load_table(spark, "documents", sf_dir))
     plan = formatted_plan(df)
     assert "Exchange" not in plan, plan
 
