@@ -561,33 +561,6 @@ def d5_token_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------- similarity
 
-@query(
-    "s1_cosine_topk",
-    oracle="""
-    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
-    scored AS (
-        SELECT q.query_id, c.vec_id AS match_id,
-               list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
-                                      CAST(c.embedding AS DOUBLE[])) AS sim
-        FROM embeddings c, q
-        WHERE c.vec_id <> q.query_id
-    ), ranked AS (
-        SELECT query_id, match_id, sim,
-               row_number() OVER (PARTITION BY query_id
-                                  ORDER BY sim DESC, match_id ASC) AS rank
-        FROM scored
-    )
-    SELECT query_id, match_id, round(sim, 6) AS cosine_sim, rank
-    FROM ranked WHERE rank <= 3
-    """,
-)
-def s1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-3 for query vectors (vec_id < 5) —
-    the exact baseline; broadcast queries, one corpus pass."""
-    em = load_table(spark, "embeddings", sf_dir)
-    return cosine_topk_bruteforce(em, em.filter(F.col("vec_id") < 5), k=3)
-
-
 def _lsh_bucket_sql(dim: int = 64, n_planes: int = 6) -> str:
     """DuckDB expression reproducing lsh_bucket_signature exactly: the
     hyperplanes are deterministic literals, so the oracle recomputes
@@ -601,35 +574,147 @@ def _lsh_bucket_sql(dim: int = 64, n_planes: int = 6) -> str:
 
 
 @query(
-    "s2_cosine_topk_lsh",
+    "s_topk_suite",
     oracle=f"""
-    WITH sig AS (
-        SELECT vec_id, embedding, {_lsh_bucket_sql(64, 6)} AS bucket FROM embeddings
-    ), q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM sig WHERE vec_id < 5),
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
     scored AS (
         SELECT q.query_id, c.vec_id AS match_id,
-               list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS sim
-        FROM sig c JOIN q USING (bucket)
+               list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])) AS sim
+        FROM embeddings c, q
         WHERE c.vec_id <> q.query_id
-    ), ranked AS (
+    ), exact_ranked AS (
         SELECT query_id, match_id, sim,
                row_number() OVER (PARTITION BY query_id
                                   ORDER BY sim DESC, match_id ASC) AS rank
         FROM scored
+    ),
+    lsig AS (
+        SELECT vec_id, embedding, {_lsh_bucket_sql(64, 6)} AS bucket FROM embeddings
+    ), lq AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM lsig WHERE vec_id < 5),
+    lscored AS (
+        SELECT lq.query_id, c.vec_id AS match_id,
+               list_cosine_similarity(CAST(lq.qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS sim
+        FROM lsig c JOIN lq USING (bucket)
+        WHERE c.vec_id <> lq.query_id
+    ), lsh_ranked AS (
+        SELECT query_id, match_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, match_id ASC) AS rank
+        FROM lscored
+    ),
+    qscaled AS (
+        SELECT vec_id, embedding,
+               CASE WHEN m > 0 THEN m / 127.0 ELSE 1.0 END AS s
+        FROM (SELECT vec_id, embedding,
+                     list_max(list_transform(embedding,
+                         x -> abs(CAST(x AS DOUBLE)))) AS m
+              FROM embeddings)
+    ), qv AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> round(CAST(x AS DOUBLE) / s)) AS qe
+        FROM qscaled
+    ), qscored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+               list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                      CAST(c.qe AS DOUBLE[])) AS sim
+        FROM qv c, qv q
+        WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+    ), quant_ranked AS (
+        SELECT query_id, match_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, match_id ASC) AS rank
+        FROM qscored
     )
-    SELECT query_id, match_id, round(sim, 6) AS cosine_sim, rank
-    FROM ranked WHERE rank <= 3
+    SELECT 'exact' AS family, query_id, match_id, round(sim, 6) AS sim, rank
+    FROM exact_ranked WHERE rank <= 3
+    UNION ALL
+    SELECT 'lsh' AS family, query_id, match_id, round(sim, 6) AS sim, rank
+    FROM lsh_ranked WHERE rank <= 3
+    UNION ALL
+    SELECT 'quantized' AS family, query_id, match_id, round(sim, 6) AS sim, rank
+    FROM quant_ranked WHERE rank <= 3
     """,
 )
-def s2_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (the scale path: a bucket
-    equi-join replaces the cross product). Fully oracle-checked: the
-    hyperplanes are deterministic literals, so DuckDB recomputes the
-    identical sign buckets and within-bucket ranking — a green hash
-    certifies the whole LSH mechanism, not just its shape. Recall vs
-    brute force is asserted separately in tests/test_similarity.py."""
+def s_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k SUITE: three cosine top-3 retrieval paths for the same
+    query set (vec_id < 5), unioned with a family tag —
+
+    - ``exact``: brute-force baseline; broadcast queries, one corpus
+      pass (the exactness yardstick; at scale callers use the others).
+    - ``lsh``: LSH-bucketed approximate top-k (the scale path: a bucket
+      equi-join replaces the cross product). The hyperplanes are
+      deterministic literals, so DuckDB recomputes the identical sign
+      buckets and within-bucket ranking — a green hash certifies the
+      whole LSH mechanism, not just its shape. Recall vs brute force is
+      asserted separately in tests/test_similarity.py.
+    - ``quantized``: top-k over int8-QUANTIZED embeddings
+      (q = round(x/s), s = max|x|/127) — certifies the quantization
+      arithmetic itself cross-engine: DuckDB reproduces the per-vector
+      scale, the rounded int8 components, and the quantized cosine
+      bit-for-bit at 6 decimals. The 4x-smaller working set is what
+      makes the ANN paths memory-feasible at 100 TB; quantize + score
+      stay pure narrow array expressions."""
+    from bbdc20_submission_spark.operators.similarity import (
+        dequantize_cosine,
+        quantize_embeddings,
+    )
+
     em = load_table(spark, "embeddings", sf_dir)
-    return cosine_topk_lsh(em, em.filter(F.col("vec_id") < 5), dim=64, k=3, n_planes=6)
+    queries = em.filter(F.col("vec_id") < 5)
+
+    exact = cosine_topk_bruteforce(em, queries, k=3)
+    lsh = cosine_topk_lsh(em, queries, dim=64, k=3, n_planes=6)
+
+    qz = quantize_embeddings(em)
+    qa = qz.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding_q").alias("_qa"),
+        F.col("embedding_q_scale").alias("_sa"),
+    ).filter(F.col("query_id") < 5)
+    qb = qz.select(
+        F.col("vec_id").alias("match_id"),
+        F.col("embedding_q").alias("_qb"),
+        F.col("embedding_q_scale").alias("_sb"),
+    )
+    qscored = (
+        qb.crossJoin(F.broadcast(qa))
+        .filter(F.col("match_id") != F.col("query_id"))
+        .select(
+            "query_id", "match_id",
+            dequantize_cosine(
+                F.col("_qa"), F.col("_sa"), F.col("_qb"), F.col("_sb")
+            ).alias("_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_sim").desc(), F.col("match_id").asc()
+    )
+    quant = (
+        qscored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "query_id", "match_id",
+            F.round("_sim", 6).alias("sim"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+    def tag(df: DataFrame, family: str, sim_col: str) -> DataFrame:
+        return df.select(
+            F.lit(family).alias("family"),
+            "query_id",
+            "match_id",
+            F.col(sim_col).alias("sim"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+
+    return (
+        tag(exact, "exact", "cosine_sim")
+        .unionByName(tag(lsh, "lsh", "cosine_sim"))
+        .unionByName(tag(quant, "quantized", "sim"))
+    )
 
 
 @query(
@@ -683,28 +768,66 @@ def s3_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT vec_id,
            CAST(list_position(embedding, list_max(embedding)) - 1 AS BIGINT) AS argmax_idx,
-           CAST(1 AS BIGINT) AS nearest_ok
+           CAST(1 AS BIGINT) AS nearest_ok,
+           CAST(1 AS BIGINT) AS keeper_valid,
+           CAST(1 AS BIGINT) AS cosine_valid
     FROM embeddings
     """,
 )
 def s4_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark ML KMeans over embeddings (corpus stratification / IVF
-    coarse quantizer) + A13 argmax certification.
+    """Clustering SUITE: Spark ML KMeans over embeddings (corpus
+    stratification / IVF coarse quantizer) + A13 argmax certification,
+    plus SemDeDup semantic deduplication built on the same quantizer.
 
     Cluster ids depend on the sampled init (engine/partitioning-
     specific), so they are not hashed; instead each row carries
-    nearest_ok — a recomputation that the assigned centroid is the
-    argmin distance over all k centroids — which is 1 iff the
-    assignment is correct, on any engine. argmax_idx (ties -> first,
-    ref probs.argmax(axis=1), generate_submission.py:487) is exactly
-    oracle-checked."""
-    from bbdc20_submission_spark.operators.clustering import kmeans_assign_checked
+    recomputed invariants that are 1 iff the result is correct on any
+    engine: nearest_ok (the assigned centroid is the argmin distance
+    over all k centroids), keeper_valid (a pruned row's keeper has a
+    lower id; 1 for kept rows), cosine_valid (cosine(vec, keeper_vec)
+    really clears the SemDeDup threshold; vacuously 1 for kept rows).
+    argmax_idx (ties -> first, ref probs.argmax(axis=1),
+    generate_submission.py:487) is exactly oracle-checked. SemDeDup
+    prune/recall behavior is property-tested with planted duplicates in
+    tests/test_similarity.py."""
+    from bbdc20_submission_spark.operators.clustering import (
+        kmeans_assign_checked,
+        semantic_dedup,
+    )
+    from bbdc20_submission_spark.operators.similarity import cosine
 
+    THRESH = 0.95
     em = load_table(spark, "embeddings", sf_dir)
     checked = kmeans_assign_checked(em, k=8, max_iter=5, fit_fraction=0.2)
+    # SemDeDup auto-k (n / target_cell_size): constant expected cell
+    # size keeps within-cell pair volume LINEAR in corpus size;
+    # near-identical twins still co-locate (they quantize to the same
+    # centroid at any k), so prune recall is insensitive to k
+    sd = semantic_dedup(em, threshold=THRESH, max_iter=5, fit_fraction=0.5)
+    vecs = em.select(
+        F.col("vec_id").alias("_kid"), F.col("embedding").alias("_kv")
+    )
+    sd_flags = (
+        sd.join(em.select("vec_id", "embedding"), "vec_id")
+        .join(vecs, sd["keeper_id"] == vecs["_kid"], "left")
+        .select(
+            "vec_id",
+            F.when(F.col("pruned") == 0, F.lit(1))
+            .otherwise((F.col("keeper_id") < F.col("vec_id")).cast("int"))
+            .cast("long")
+            .alias("keeper_valid"),
+            F.when(F.col("pruned") == 0, F.lit(1))
+            .otherwise(
+                (cosine(F.col("embedding"), F.col("_kv")) >= F.lit(THRESH)).cast("int")
+            )
+            .cast("long")
+            .alias("cosine_valid"),
+        )
+    )
     return (
         em.select("vec_id", argmax_array("embedding").alias("argmax_idx"))
         .join(checked.select("vec_id", "nearest_ok"), "vec_id")
+        .join(sd_flags, "vec_id")
     )
 
 
@@ -875,57 +998,7 @@ def d10_scrub_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "s6_semdedup",
-    oracle="""
-    SELECT vec_id,
-           CAST(1 AS BIGINT) AS keeper_valid,
-           CAST(1 AS BIGINT) AS cosine_valid
-    FROM embeddings
-    """,
-)
-def s6_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup semantic deduplication over embeddings. Cell membership
-    depends on the trained quantizer (engine-specific), so the
-    certified output is per-vector invariant flags recomputed from the
-    actual result: keeper_valid = keeper is a lower id (or row kept);
-    cosine_valid = cosine(vec, keeper_vec) really clears the threshold
-    (vacuously 1 for kept rows). Prune/recall behavior is
-    property-tested with planted duplicates in tests/test_similarity.py."""
-    from bbdc20_submission_spark.operators.clustering import semantic_dedup
-    from bbdc20_submission_spark.operators.similarity import cosine
-
-    THRESH = 0.95
-    em = load_table(spark, "embeddings", sf_dir)
-    # auto-k (n / target_cell_size): constant expected cell size keeps
-    # within-cell pair volume LINEAR in corpus size; near-identical
-    # twins still co-locate (they quantize to the same centroid at any
-    # k), so prune recall is insensitive to k
-    out = semantic_dedup(em, threshold=THRESH, max_iter=5,
-                         fit_fraction=0.5)
-    vecs = em.select(
-        F.col("vec_id").alias("_kid"), F.col("embedding").alias("_kv")
-    )
-    joined = (
-        out.join(em.select("vec_id", "embedding"), "vec_id")
-        .join(vecs, out["keeper_id"] == vecs["_kid"], "left")
-    )
-    return joined.select(
-        "vec_id",
-        F.when(F.col("pruned") == 0, F.lit(1))
-        .otherwise((F.col("keeper_id") < F.col("vec_id")).cast("int"))
-        .cast("long")
-        .alias("keeper_valid"),
-        F.when(F.col("pruned") == 0, F.lit(1))
-        .otherwise(
-            (cosine(F.col("embedding"), F.col("_kv")) >= F.lit(THRESH)).cast("int")
-        )
-        .cast("long")
-        .alias("cosine_valid"),
-    )
-
-
-@query(
-    "r1_bm25",
+    "r_ranking_suite",
     oracle="""
     WITH toks AS (
         SELECT doc_id, str_split(text, ' ') AS t FROM documents
@@ -933,151 +1006,78 @@ def s6_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT count(*) AS n, avg(len(t)) AS avgdl FROM toks
     ), ex AS (
         SELECT doc_id, len(t) AS dl, unnest(t) AS tok FROM toks
-    ), terms AS (
+    ), bterms AS (
         SELECT doc_id, tok, count(*) AS tf, max(dl) AS dl
         FROM ex WHERE tok IN ('data', 'fast', 'query', 'spark')
         GROUP BY doc_id, tok
-    ), dfd AS (
-        SELECT tok, count(*) AS df FROM terms GROUP BY tok
-    )
-    SELECT t.doc_id,
-           round(sum(
-               ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
-               * (t.tf * (1.2 + 1))
-               / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.dl / s.avgdl))
-           ), 6) AS score
-    FROM terms t
-    JOIN dfd d ON d.tok = t.tok
-    CROSS JOIN stats s
-    GROUP BY t.doc_id
-    """,
-)
-def r1_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Okapi BM25 of the corpus against a fixed 4-token query —
-    query-targeted corpus slicing/retrieval for curation. The df dim
-    is computed only for the query's terms and broadcast (|query|
-    rows); no full-vocabulary state — the 100 TB retrieval shape.
-    Zero-overlap docs are omitted (sparse semantics), matching SQL."""
-    from bbdc20_submission_spark.operators.ranking import bm25_score
-
-    d = load_table(spark, "documents", sf_dir)
-    return bm25_score(d, ["data", "fast", "query", "spark"])
-
-
-@query(
-    "s7_quantized_topk",
-    oracle="""
-    WITH scaled AS (
-        SELECT vec_id, embedding,
-               CASE WHEN m > 0 THEN m / 127.0 ELSE 1.0 END AS s
-        FROM (SELECT vec_id, embedding,
-                     list_max(list_transform(embedding,
-                         x -> abs(CAST(x AS DOUBLE)))) AS m
-              FROM embeddings)
-    ), qv AS (
-        SELECT vec_id,
-               list_transform(embedding,
-                   x -> round(CAST(x AS DOUBLE) / s)) AS qe
-        FROM scaled
-    ), scored AS (
-        SELECT q.vec_id AS query_id, c.vec_id AS match_id,
-               list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
-                                      CAST(c.qe AS DOUBLE[])) AS sim
-        FROM qv c, qv q
-        WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
-    ), ranked AS (
-        SELECT query_id, match_id, sim,
-               row_number() OVER (PARTITION BY query_id
-                                  ORDER BY sim DESC, match_id ASC) AS rank
-        FROM scored
-    )
-    SELECT query_id, match_id, round(sim, 6) AS qsim, rank
-    FROM ranked WHERE rank <= 3
-    """,
-)
-def s7_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cosine top-k over int8-QUANTIZED embeddings (q = round(x/s),
-    s = max|x|/127) — certifies the quantization arithmetic itself
-    cross-engine, not just its recall: DuckDB reproduces the per-vector
-    scale, the rounded int8 components, and the quantized cosine
-    bit-for-bit at 6 decimals. The 4x-smaller working set is what makes
-    the ANN paths memory-feasible at 100 TB; quantize + score stay pure
-    narrow array expressions."""
-    from bbdc20_submission_spark.operators.similarity import (
-        dequantize_cosine,
-        quantize_embeddings,
-    )
-
-    em = load_table(spark, "embeddings", sf_dir)
-    q = quantize_embeddings(em)
-    qa = q.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding_q").alias("_qa"),
-        F.col("embedding_q_scale").alias("_sa"),
-    ).filter(F.col("query_id") < 5)
-    qb = q.select(
-        F.col("vec_id").alias("match_id"),
-        F.col("embedding_q").alias("_qb"),
-        F.col("embedding_q_scale").alias("_sb"),
-    )
-    scored = (
-        qb.crossJoin(F.broadcast(qa))
-        .filter(F.col("match_id") != F.col("query_id"))
-        .select(
-            "query_id", "match_id",
-            dequantize_cosine(
-                F.col("_qa"), F.col("_sa"), F.col("_qb"), F.col("_sb")
-            ).alias("_sim"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("_sim").desc(), F.col("match_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
-        .select(
-            "query_id", "match_id",
-            F.round("_sim", 6).alias("qsim"),
-            F.col("rank").cast("long").alias("rank"),
-        )
-    )
-
-
-@query(
-    "r2_tfidf",
-    oracle="""
-    WITH toks AS (
-        SELECT doc_id, str_split(text, ' ') AS t FROM documents
-    ), stats AS (
-        SELECT count(*) AS n FROM toks
-    ), ex AS (
-        SELECT doc_id, len(t) AS dl, unnest(t) AS tok FROM toks
+    ), bdfd AS (
+        SELECT tok, count(*) AS df FROM bterms GROUP BY tok
+    ), bm25 AS (
+        SELECT t.doc_id,
+               round(sum(
+                   ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                   * (t.tf * (1.2 + 1))
+                   / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.dl / s.avgdl))
+               ), 6) AS score
+        FROM bterms t
+        JOIN bdfd d ON d.tok = t.tok
+        CROSS JOIN stats s
+        GROUP BY t.doc_id
     ), terms AS (
         SELECT doc_id, tok, count(*) AS tf, max(dl) AS dl
         FROM ex GROUP BY doc_id, tok
     ), dfd AS (
         SELECT tok, count(*) AS df FROM terms GROUP BY tok
+    ), tfidf AS (
+        SELECT t.doc_id, t.tok AS token,
+               CAST(t.tf AS BIGINT) AS tf,
+               CAST(d.df AS BIGINT) AS df,
+               round((t.tf * 1.0 / t.dl) * ln(s.n * 1.0 / d.df), 6) AS score
+        FROM terms t
+        JOIN dfd d ON d.tok = t.tok
+        CROSS JOIN stats s
     )
-    SELECT t.doc_id, t.tok AS token,
-           CAST(t.tf AS BIGINT) AS tf,
-           CAST(d.df AS BIGINT) AS df,
-           round((t.tf * 1.0 / t.dl) * ln(s.n * 1.0 / d.df), 6) AS tfidf
-    FROM terms t
-    JOIN dfd d ON d.tok = t.tok
-    CROSS JOIN stats s
+    SELECT 'bm25' AS family, doc_id, '' AS token,
+           CAST(-1 AS BIGINT) AS tf, CAST(-1 AS BIGINT) AS df, score
+    FROM bm25
+    UNION ALL
+    SELECT 'tfidf' AS family, doc_id, token, tf, df, score FROM tfidf
     """,
 )
-def r2_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full TF-IDF matrix over the corpus — one token explode, two
-    hash aggregates (term counts per doc, document frequency per
-    term), one join on the term key; both aggregates get map-side
-    partials, and AQE broadcasts the per-term df dim when it measures
-    small. The whole formula is reproduced in SQL."""
-    from bbdc20_submission_spark.operators.ranking import tf_idf
+def r_ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-scoring SUITE, unioned with a family tag —
+
+    - ``bm25``: Okapi BM25 of the corpus against a fixed 4-token query
+      (query-targeted corpus slicing/retrieval for curation). The df
+      dim is computed only for the query's terms and broadcast
+      (|query| rows); no full-vocabulary state — the 100 TB retrieval
+      shape. Zero-overlap docs are omitted (sparse semantics); their
+      tf/df slots carry a -1 sentinel.
+    - ``tfidf``: the full TF-IDF matrix over the corpus — one token
+      explode, two hash aggregates (term counts per doc, document
+      frequency per term), one join on the term key; both aggregates
+      get map-side partials, and AQE broadcasts the per-term df dim
+      when it measures small. The whole formula is reproduced in SQL."""
+    from bbdc20_submission_spark.operators.ranking import bm25_score, tf_idf
 
     d = load_table(spark, "documents", sf_dir)
-    return tf_idf(d)
+    bm25 = bm25_score(d, ["data", "fast", "query", "spark"]).select(
+        F.lit("bm25").alias("family"),
+        "doc_id",
+        F.lit("").alias("token"),
+        F.lit(-1).cast("long").alias("tf"),
+        F.lit(-1).cast("long").alias("df"),
+        "score",
+    )
+    tfidf = tf_idf(d).select(
+        F.lit("tfidf").alias("family"),
+        "doc_id",
+        "token",
+        "tf",
+        "df",
+        F.col("tfidf").alias("score"),
+    )
+    return bm25.unionByName(tfidf)
 
 
 # The end-to-end curation DAG, certified as ONE oracle query: every

@@ -232,7 +232,7 @@ def j5_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- W2: frame extraction (ref utils.py:10-16)
 @query(
-    "w2_frames",
+    "w2_w4_frames",
     oracle="""
     WITH tagged AS (
         SELECT user_id, value,
@@ -240,60 +240,59 @@ def j5_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                     // 10 AS BIGINT) AS frame
         FROM events
     )
-    SELECT user_id, frame, count(*) AS n_rows, round(avg(value), 6) AS frame_mean
+    SELECT user_id, frame,
+           count(*) AS n_rows,
+           round(avg(value), 6)                          AS mean_v,
+           round(avg(abs(value - 100.0)), 6)             AS abs_mean_v,
+           round(max(abs(value - 100.0)), 6)             AS abs_max_v,
+           round(CASE WHEN -min(value - 100.0) > max(value - 100.0)
+                      THEN min(value - 100.0) ELSE max(value - 100.0) END, 6)
+               AS signed_abs_max_v
     FROM tagged GROUP BY user_id, frame
     """,
 )
-def w2_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W2+A5: non-overlapping 10-row frames per user (win=shift, cut=0
-    keeps the ragged tail — the main-path configuration at
-    generate_submission.py:374) + per-frame mean."""
+def w2_w4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 framing + the W4 downsample-dispatch SUITE in one per-frame
+    aggregate: non-overlapping 10-row frames per user (win=shift,
+    cut=0 keeps the ragged tail — the main-path configuration at
+    generate_submission.py:374), then every reference downsample mode
+    per frame (utils.py:19-35): count, mean, abs-mean (A5), abs-max,
+    and signed abs-max (A6, _abs_max_orig utils.py:38-45). Values
+    centered at 100 so both signs occur. One window pass + one
+    grouped aggregate — frame assignment and all aggregates share the
+    same user_id partitioning, so certifying them together adds no
+    extra shuffle."""
+    from bbdc20_submission_spark.operators.aggregates import signed_abs_max
+
     e = load_table(spark, "events", sf_dir)
     framed = frame_id(
         e, keys=["user_id"], order_by=["ts", "event_id"], win_size=10, cut=0
     )
+    centered = F.col("value") - 100.0
     return framed.groupBy("user_id", "frame").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.round(F.avg("value"), 6).alias("frame_mean"),
+        F.round(F.avg("value"), 6).alias("mean_v"),
+        F.round(F.avg(F.abs(centered)), 6).alias("abs_mean_v"),
+        F.round(F.max(F.abs(centered)), 6).alias("abs_max_v"),
+        F.round(signed_abs_max(centered), 6).alias("signed_abs_max_v"),
     )
 
 
-# --- W3: trailing moving average (ref utils.py:4-7)
+# --- W3 + W7: per-event value transforms (ref utils.py:4-7 +
+# load_data.py:95) — both are windows over the SAME (user_id; ts,
+# event_id) partitioning, so certifying them together reuses one sort.
 @query(
-    "w3_moving_average",
-    oracle="""
-    WITH m AS (
-        SELECT event_id,
-               avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS mavg,
-               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-        FROM events
-    )
-    SELECT event_id, round(mavg, 6) AS mavg FROM m WHERE rn >= 5
-    """,
-)
-def w3_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W3: trailing 5-row moving average, numpy-'valid' semantics
-    (first n-1 rows dropped). The built-in window agg is already
-    incremental — the reference's cumsum trick is the engine's job."""
-    e = load_table(spark, "events", sf_dir)
-    out = trailing_moving_average(
-        e, keys=["user_id"], order_by=["ts", "event_id"], value_col="value", n=5
-    )
-    return out.select("event_id", F.round("mavg", 6).alias("mavg"))
-
-
-# --- W7: linear interpolation of nulls (ref load_data.py:95)
-@query(
-    "w7_interpolate",
+    "w3_w7_event_values",
     oracle="""
     WITH base AS (
-        SELECT event_id, user_id, ts,
+        SELECT event_id, user_id, ts, value,
                CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v,
-               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos,
+               avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS mavg
         FROM events
     ), filled AS (
-        SELECT event_id, v, pos,
+        SELECT event_id, v, pos, mavg,
                last_value(v IGNORE NULLS) OVER wp AS pv,
                last_value(CASE WHEN v IS NOT NULL THEN pos END IGNORE NULLS) OVER wp AS pp,
                first_value(v IGNORE NULLS) OVER wf AS nv,
@@ -309,22 +308,51 @@ def w3_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
                       WHEN pp IS NULL THEN 0.0
                       WHEN np IS NULL THEN pv
                       ELSE pv + (nv - pv) * (pos - pp) / (np - pp)
-                 END, 6) AS value_interp
+                 END, 6) AS value_interp,
+           CASE WHEN pos >= 5 THEN round(mavg, 6) ELSE 0.0 END AS mavg,
+           CAST(pos >= 5 AS BIGINT) AS has_mavg
     FROM filled
     """,
 )
-def w7_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W7: pandas-1.0 ``interpolate(linear).fillna(0)`` semantics —
-    interior nulls linear in row position, trailing nulls ffilled,
-    leading nulls -> 0 (ref load_data.py:95). Nulls synthesized by
-    masking 'error' rows. Pure window composition, no UDF."""
+def w3_w7_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 + W7 per-event value-transform SUITE over one ordered
+    partition scan:
+
+    - ``value_interp`` (W7): pandas-1.0 ``interpolate(linear).
+      fillna(0)`` semantics — interior nulls linear in row position,
+      trailing nulls ffilled, leading nulls -> 0 (ref
+      load_data.py:95). Nulls synthesized by masking 'error' rows.
+      Pure window composition, no UDF.
+    - ``mavg`` (W3): trailing 5-row moving average of the RAW value,
+      numpy-'valid' semantics via has_mavg (warmup rows carry flag 0
+      and a 0.0 sentinel — same arithmetic both engines; the
+      reference's cumsum trick is the engine's job).
+
+    Both windows share the (user_id; ts, event_id) partitioning, so
+    Catalyst plans ONE sort/exchange for the whole suite — cheaper
+    than certifying the two operators in separate queries."""
     e = load_table(spark, "events", sf_dir).withColumn(
         "v", F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value"))
     )
-    out = interpolate_linear(
+    i = interpolate_linear(
         e, keys=["user_id"], order_by=["ts", "event_id"], value_cols=["v"]
     )
-    return out.select("event_id", F.round("v", 6).alias("value_interp"))
+    m = trailing_moving_average(
+        i, keys=["user_id"], order_by=["ts", "event_id"], value_col="value",
+        n=5, valid_only=False,
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        m.withColumn("_rn", F.row_number().over(w))
+        .select(
+            "event_id",
+            F.round("v", 6).alias("value_interp"),
+            F.when(F.col("_rn") >= 5, F.round("mavg", 6))
+            .otherwise(F.lit(0.0))
+            .alias("mavg"),
+            (F.col("_rn") >= 5).cast("long").alias("has_mavg"),
+        )
+    )
 
 
 # --- W8: dense grid + padding (ref utils.py:66-73)
@@ -364,46 +392,6 @@ def w8_grid_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.unix_millis("day").alias("day_ms"),
         F.round("total", 6).alias("total"),
-    )
-
-
-# --- W4/A5/A6: downsample-by-frame-aggregate family (ref utils.py:19-45)
-@query(
-    "w4_downsample_frames",
-    oracle="""
-    WITH tagged AS (
-        SELECT user_id, value,
-               CAST((row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1)
-                    // 10 AS BIGINT) AS frame
-        FROM events
-    )
-    SELECT user_id, frame,
-           round(avg(value), 6)                          AS mean_v,
-           round(avg(abs(value - 100.0)), 6)             AS abs_mean_v,
-           round(max(abs(value - 100.0)), 6)             AS abs_max_v,
-           round(CASE WHEN -min(value - 100.0) > max(value - 100.0)
-                      THEN min(value - 100.0) ELSE max(value - 100.0) END, 6)
-               AS signed_abs_max_v
-    FROM tagged GROUP BY user_id, frame
-    """,
-)
-def w4_downsample_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W4 dispatch (utils.py:19-35): mean / abs-mean / abs-max /
-    signed-abs-max per 10-row frame — covers A5 (mean-abs) and A6
-    (signed abs-max, _abs_max_orig utils.py:38-45). Values centered at
-    100 so both signs occur."""
-    from bbdc20_submission_spark.operators.aggregates import signed_abs_max
-
-    e = load_table(spark, "events", sf_dir)
-    framed = frame_id(
-        e, keys=["user_id"], order_by=["ts", "event_id"], win_size=10, cut=0
-    )
-    centered = F.col("value") - 100.0
-    return framed.groupBy("user_id", "frame").agg(
-        F.round(F.avg("value"), 6).alias("mean_v"),
-        F.round(F.avg(F.abs(centered)), 6).alias("abs_mean_v"),
-        F.round(F.max(F.abs(centered)), 6).alias("abs_max_v"),
-        F.round(signed_abs_max(centered), 6).alias("signed_abs_max_v"),
     )
 
 

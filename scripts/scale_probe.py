@@ -39,14 +39,12 @@ QUERIES = [
     "d8_minhash_lsh",
     "d9_simhash_near_dups",
     "d12_dedup_clusters",
-    "s1_cosine_topk",
-    "d11_boilerplate_strip",
-    "d13_contamination",
-    "d14_repetition_filter",
-    "d15_deterministic_sample",
-    "r1_bm25",
-    "s6_semdedup",
-    "s7_quantized_topk",
+    "s_topk_suite",
+    "d5_token_fingerprint",
+    "d2_text_quality",
+    "d4_language_id",
+    "r_ranking_suite",
+    "s4_kmeans_clusters",
 ]
 
 
