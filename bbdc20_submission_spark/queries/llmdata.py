@@ -103,7 +103,7 @@ def d8_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     impossible — every emitted pair passed the exact verify)."""
     d = load_table(spark, "documents", sf_dir)
     cands = minhash_lsh_candidates(d, shingle_k=3, num_hashes=16, bands=4)
-    return jaccard_pairs(d, cands, shingle_k=3, min_jaccard=0.5).filter(F.col("jaccard") >= 0.5)
+    return jaccard_pairs(d, cands, shingle_k=3, min_jaccard=0.5, broadcast_sets=True).filter(F.col("jaccard") >= 0.5)
 
 
 @query(
@@ -129,7 +129,7 @@ def d9_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     price of recalling genuinely-distant pairs."""
     d = load_table(spark, "documents", sf_dir)
     cands = simhash_near_dups(d, max_hamming=13).select("id_a", "id_b")
-    return jaccard_pairs(d, cands, shingle_k=3, min_jaccard=0.5).filter(F.col("jaccard") >= 0.5)
+    return jaccard_pairs(d, cands, shingle_k=3, min_jaccard=0.5, broadcast_sets=True).filter(F.col("jaccard") >= 0.5)
 
 
 @query(
@@ -192,7 +192,7 @@ def d12_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, "documents", sf_dir)
     cands = minhash_lsh_candidates(d, shingle_k=3, num_hashes=16, bands=4)
-    pairs = jaccard_pairs(d, cands, shingle_k=3, min_jaccard=0.5).filter(F.col("jaccard") >= 0.5)
+    pairs = jaccard_pairs(d, cands, shingle_k=3, min_jaccard=0.5, broadcast_sets=True).filter(F.col("jaccard") >= 0.5)
     out = dedup_clusters(d, pairs)
     return out.select(
         "doc_id", "keep_id", F.col("is_duplicate").cast("long").alias("is_duplicate")
