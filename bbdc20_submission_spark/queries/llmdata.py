@@ -791,6 +791,7 @@ def s4_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     prune/recall behavior is property-tested with planted duplicates in
     tests/test_similarity.py."""
     from bbdc20_submission_spark.operators.clustering import (
+        fit_quantizer,
         kmeans_assign_checked,
         semantic_dedup,
     )
@@ -798,20 +799,35 @@ def s4_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     THRESH = 0.95
     em = load_table(spark, "embeddings", sf_dir)
-    checked = kmeans_assign_checked(em, k=8, max_iter=5, fit_fraction=0.2)
-    # SemDeDup auto-k (n / target_cell_size): constant expected cell
-    # size keeps within-cell pair volume LINEAR in corpus size;
-    # near-identical twins still co-locate (they quantize to the same
-    # centroid at any k), so prune recall is insensitive to k
-    sd = semantic_dedup(em, threshold=THRESH, max_iter=5, fit_fraction=0.5)
+    # fit ONCE, reuse across the suite (the scale pattern: a corpus
+    # gets one quantizer; every consumer assigns with it). SemDeDup's
+    # auto-k (n / target_cell_size) resolves to the same k=8 at the
+    # test SFs and is exercised by its own property tests; prune
+    # recall is insensitive to k — near-identical twins quantize to
+    # the same centroid at any k.
+    quant = fit_quantizer(em, k=8, max_iter=5, fit_fraction=0.5)
+    # argmax + nearest_ok + the vector ride ONE narrow scan (keep_cols)
+    # — no self-join of em to re-attach columns that never left it
+    checked = kmeans_assign_checked(
+        em, k=8, model=quant, keep_cols=("embedding",)
+    ).withColumn("argmax_idx", argmax_array("embedding"))
+    # sd gets a FINER quantizer than the k=8 certification one: cell
+    # pair volume is O(n·cell_size), so 4x the cells = ~4x fewer
+    # exact-dot pairs; the certified invariants are k-independent
+    # (twins co-locate at any k; keeper/cosine checks recompute from
+    # the raw vectors)
+    sd = semantic_dedup(em, threshold=THRESH, n_clusters=32, max_iter=5,
+                        fit_fraction=0.5)
     vecs = em.select(
         F.col("vec_id").alias("_kid"), F.col("embedding").alias("_kv")
     )
-    sd_flags = (
-        sd.join(em.select("vec_id", "embedding"), "vec_id")
+    return (
+        checked.join(sd, "vec_id")
         .join(vecs, sd["keeper_id"] == vecs["_kid"], "left")
         .select(
             "vec_id",
+            "argmax_idx",
+            "nearest_ok",
             F.when(F.col("pruned") == 0, F.lit(1))
             .otherwise((F.col("keeper_id") < F.col("vec_id")).cast("int"))
             .cast("long")
@@ -823,11 +839,6 @@ def s4_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("cosine_valid"),
         )
-    )
-    return (
-        em.select("vec_id", argmax_array("embedding").alias("argmax_idx"))
-        .join(checked.select("vec_id", "nearest_ok"), "vec_id")
-        .join(sd_flags, "vec_id")
     )
 
 
