@@ -194,18 +194,24 @@ def repetition_stats(
 
     Tokens are MATERIALIZED into a column before the gram transform:
     Catalyst does not CSE across HOF lambdas, so an inline tokenizer
-    would re-split the text per 2-gram index (O(tokens^2))."""
-    exprs = _repetition_exprs(top_frac_max, dup_2gram_max)
+    would re-split the text per 2-gram index (O(tokens^2)). The
+    expensive folds themselves are likewise materialized through a
+    dedicated projection (``_repetition_raw_exprs``): higher-order
+    functions are interpreted (no codegen subexpression elimination),
+    so a flat projection referencing the fold from several output
+    columns re-evaluates it per reference."""
     df = df.select(F.col(id_col), ws_tokens(text_col).alias("_toks"))
-    return df.select(F.col(id_col), *exprs)
+    raw = df.select(F.col(id_col), *_repetition_raw_exprs())
+    return raw.select(
+        F.col(id_col), *_repetition_final_exprs(top_frac_max, dup_2gram_max)
+    )
 
 
-def _repetition_exprs(
-    top_frac_max: float, dup_2gram_max: float
-) -> list[Column]:
-    """The repetition metric expressions over a materialized ``_toks``
-    token-array column (see repetition_stats for why it must be
-    materialized). Shared by the stats frame and the streaming filter."""
+def _repetition_raw_exprs() -> list[Column]:
+    """Stage 1 of the repetition metrics: the expensive interpreted
+    folds over a materialized ``_toks`` column, each emitted EXACTLY
+    once — project these into columns, then derive outputs with
+    ``_repetition_final_exprs``. Output: [_rep_n, _rep_topc, _grams]."""
     toks = F.col("_toks")
     n = F.size(toks)
     zero = F.struct(
@@ -228,12 +234,28 @@ def _repetition_exprs(
     topc = F.aggregate(F.array_sort(toks), zero, step, lambda acc: acc["best"])
     idx = F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1)))
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
-    n2 = F.size(grams)
-    d2 = F.size(F.array_distinct(grams))
+    return [
+        n.cast("long").alias("_rep_n"),
+        topc.alias("_rep_topc"),
+        grams.alias("_grams"),
+    ]
+
+
+def _repetition_final_exprs(
+    top_frac_max: float, dup_2gram_max: float
+) -> list[Column]:
+    """Stage 2: cheap derivations over the ``_repetition_raw_exprs``
+    columns. The projection boundary between the stages is what keeps
+    each interpreted fold at one evaluation per row (multi-referenced
+    non-trivial aliases are not re-inlined by CollapseProject)."""
+    n = F.col("_rep_n")
+    topc = F.col("_rep_topc")
+    n2 = F.size(F.col("_grams"))
+    d2 = F.size(F.array_distinct(F.col("_grams")))
     top_frac = F.round(topc / n, 6)
     dup_frac = F.round(F.lit(1.0) - d2 / n2, 6)
     return [
-        n.cast("long").alias("n_tokens"),
+        n.alias("n_tokens"),
         topc.cast("long").alias("top_word_count"),
         top_frac.alias("top_word_frac"),
         dup_frac.alias("dup_2gram_frac"),
@@ -253,6 +275,8 @@ def with_repetition_flag(
     """Append only the pass/fail repetition flag, keeping every input
     column — the filter-stage form (streaming-safe: pure narrow maps,
     no joins, no state)."""
-    flagged = df.withColumn("_toks", ws_tokens(text_col))
-    flag = _repetition_exprs(top_frac_max, dup_2gram_max)[-1]
-    return flagged.withColumn(out_col, flag).drop("_toks")
+    raw = df.withColumn("_toks", ws_tokens(text_col)).select(
+        "*", *_repetition_raw_exprs()
+    )
+    flag = _repetition_final_exprs(top_frac_max, dup_2gram_max)[-1]
+    return raw.select(*df.columns, flag.alias(out_col))

@@ -34,6 +34,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from bbdc20_submission_spark.caching import managed_persist
 from bbdc20_submission_spark.operators.chunking import (
     chunk_by_tokens,
     dedup_clusters,
@@ -91,8 +92,15 @@ def curate(
     # the (tiny relative to corpus) keep-id set? No — the group frame
     # is O(unique docs); join on the id which both sides hash-shuffle
     # once. At 100 TB the text column never enters the exchange.
-    keep = exact_dedup_groups(docs, text_col, id_col).select(
-        F.col("keep_id").alias(id_col)
+    # The keep-id frame (ids only, O(unique docs) longs) is persisted:
+    # the md5 group-agg would otherwise re-run for every consumer of
+    # the survivor set (LSH signature build, cluster finishing, the
+    # final output plan) — three full scans + shuffles for one tiny
+    # reusable id set.
+    keep = managed_persist(
+        exact_dedup_groups(docs, text_col, id_col).select(
+            F.col("keep_id").alias(id_col)
+        )
     )
     exact_unique = docs.join(keep, id_col, "left_semi")
     _tap("exact_unique", exact_unique)

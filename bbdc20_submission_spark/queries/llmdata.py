@@ -316,26 +316,30 @@ def d2_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     test_plan_quality.py::test_repetition_filter_is_pure_map against
     operators.text.repetition_stats directly."""
     from bbdc20_submission_spark.operators.dedup import contamination_flags
-    from bbdc20_submission_spark.operators.text import _repetition_exprs
+    from bbdc20_submission_spark.operators.text import (
+        _repetition_final_exprs,
+        _repetition_raw_exprs,
+    )
 
     d = load_table(spark, "documents", sf_dir)
-    # [1:] drops _repetition_exprs' n_tokens — identical to
+    stat_cols = [
+        "doc_id",
+        "stat_n_chars",
+        "stat_n_tokens",
+        "stat_avg_token_len",
+        "stat_punct_ratio",
+        "stat_digit_ratio",
+        "stat_stopword_ratio",
+        "quality",
+    ]
+    # two-stage repetition block (raw folds materialized once per row,
+    # then cheap derivations); [1:] drops its n_tokens — identical to
     # stat_n_tokens (both = whitespace token count), kept once
-    rep_exprs = _repetition_exprs(0.2, 0.2)[1:]
     narrow = (
         quality_score(d)
         .withColumn("_toks", ws_tokens(F.col("text")))
-        .select(
-            "doc_id",
-            "stat_n_chars",
-            "stat_n_tokens",
-            "stat_avg_token_len",
-            "stat_punct_ratio",
-            "stat_digit_ratio",
-            "stat_stopword_ratio",
-            "quality",
-            *rep_exprs,
-        )
+        .select(*stat_cols, *_repetition_raw_exprs())
+        .select(*stat_cols, *_repetition_final_exprs(0.2, 0.2)[1:])
     )
     eval_set = d.filter(F.col("doc_id") % 100 == 0)
     corpus = d.filter(F.col("doc_id") % 100 != 0)
