@@ -44,11 +44,32 @@ def _cap_buckets(
     over-cap buckets and broadcast back — on a healthy corpus that dim
     is empty, so the hot path costs one broadcast of nothing instead
     of a per-row window sort."""
-    hot = (
-        banded.groupBy(*bucket_cols)
+    hot = _hot_buckets(banded, bucket_cols, cap)
+    return _apply_sub_buckets(banded, hot, bucket_cols, id_col, cap)
+
+
+def _hot_buckets(frame: DataFrame, bucket_cols: list[str], cap: int) -> DataFrame:
+    """Buckets of ``frame`` with more than ``cap`` members (their
+    member counts attached). Broadcast-sized by construction."""
+    return (
+        frame.groupBy(*bucket_cols)
         .agg(F.count(F.lit(1)).alias("_bn"))
         .filter(F.col("_bn") > cap)
     )
+
+
+def _apply_sub_buckets(
+    frame: DataFrame,
+    hot: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    cap: int,
+) -> DataFrame:
+    """Attach the deterministic ``sub_bucket`` column derived from a
+    SHARED hot-bucket dim: the sub assignment hashes only the row id,
+    so two frames tagged against the same ``hot`` agree on every id —
+    what lets an asymmetric (index/probe) self-join sub-split both
+    sides consistently."""
     sub = (
         F.when(
             F.col("_bn").isNotNull(),
@@ -58,7 +79,7 @@ def _cap_buckets(
         .cast("long")
     )
     return (
-        banded.join(F.broadcast(hot), bucket_cols, "left")
+        frame.join(F.broadcast(hot), bucket_cols, "left")
         .withColumn("sub_bucket", sub)
         .drop("_bn")
     )
@@ -378,6 +399,19 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def _block_slices(n_blocks: int) -> list[tuple[int, int]]:
+    """(offset, width) per block splitting 64 bits into ``n_blocks``
+    contiguous slices; the first ``64 % n_blocks`` get one extra bit."""
+    base_w, extra = divmod(64, n_blocks)
+    slices = []
+    off = 0
+    for b in range(n_blocks):
+        w = base_w + (1 if b < extra else 0)
+        slices.append((off, w))
+        off += w
+    return slices
+
+
 def simhash_near_dups(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -386,22 +420,36 @@ def simhash_near_dups(
     bands: int | None = None,
     bucket_cap: int = 1024,
 ) -> DataFrame:
-    """SimHash near-dup pairs with guaranteed recall: band the 64-bit
-    fingerprint into ``bands`` slices with ``bands > max_hamming``
-    (default ``max_hamming + 1``); by pigeonhole, a pair differing in
-    at most ``max_hamming`` bits cannot differ in all ``bands`` slices,
-    so it collides on at least one slice -> equi-join on (band, slice),
-    then verify the exact Hamming distance. Recall over
-    hamming <= max_hamming is exactly 1 by construction (when no
-    bucket exceeds ``bucket_cap`` — over-full buckets are hash-split to
-    bound the self-join, see _cap_buckets).
+    """SimHash near-dup pairs with guaranteed recall via multi-index
+    Hamming search (the HmSearch/multi-index-hashing family): split
+    the 64-bit fingerprint into ``s = max_hamming//2 + 1`` blocks. A
+    pair within the hamming budget must have SOME block differing in
+    at most ONE bit (all blocks >= 2 diffs would total >= 2s >
+    max_hamming), so an equi-join of exact block values (index side)
+    against each doc's block value plus its ``w`` one-bit flips (probe
+    side) finds every such pair on at least one block — recall 1 by
+    construction, then the exact Hamming distance verifies.
 
-    Slice widths are 64/bands rounded (the first ``64 % bands`` slices
-    get one extra bit); passing an explicit ``bands <= max_hamming``
-    raises, because that configuration silently loses pairs."""
-    if bands is None:
-        bands = max_hamming + 1
-    if bands <= max_hamming:
+    Why not the classic ``max_hamming+1`` equality-only bands: twice
+    the blocks means half the bits per slice, and bucket selectivity
+    degrades EXPONENTIALLY in slice width. At max_hamming=13 the
+    banded scheme needs 14 slices of 4-5 bits (random-pair collision
+    ~0.63 per doc pair summed over bands) while this scheme uses 7
+    blocks of 9-10 bits probed at radius 1 (~0.13) — ~5x fewer false
+    candidates through the verify at the same guarantee (measured
+    ~1.9x end-to-end on d9 at sf0.1). Probe fanout costs s*(w+1) ~ 73
+    small rows/doc in the exchange instead of 14 — cheap next to the
+    avoided candidate pairs.
+
+    Hot buckets are hash-split at ``bucket_cap`` members of the INDEX
+    side, sub-assigning BOTH sides by id hash against the shared hot
+    dim (same recall trade as _cap_buckets, bounding the join at
+    O(n * cap * (w+1))).
+
+    ``bands`` (legacy): force the equality-only banded scheme with
+    that many slices; ``bands <= max_hamming`` raises, because that
+    configuration silently loses pairs."""
+    if bands is not None and bands <= max_hamming:
         raise ValueError(
             f"bands={bands} <= max_hamming={max_hamming} breaks the "
             "pigeonhole recall guarantee; use bands > max_hamming"
@@ -410,44 +458,79 @@ def simhash_near_dups(
     # the expensive stage, and the plan reads them three times
     # (hot-bucket counts + both self-join sides)
     fp = managed_persist(simhash_df(df, id_col, text_col))
-    base_w, extra = divmod(64, bands)
-    slices = []  # (offset, width) per band
-    off = 0
-    for b in range(bands):
-        w = base_w + (1 if b < extra else 0)
-        slices.append((off, w))
-        off += w
-    banded = fp.select(
-        "_id",
-        "_fp",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright("_fp", o)
-                        .bitwiseAND(F.lit((1 << w) - 1))
-                        .alias("slice"),
-                    )
-                    for b, (o, w) in enumerate(slices)
-                ]
-            )
-        ).alias("bb"),
-    ).select("_id", "_fp", "bb.band", "bb.slice")
-    banded = _cap_buckets(banded, ["band", "slice"], "_id", bucket_cap)
-    left = banded.select(
-        F.col("_id").alias("id_a"), F.col("_fp").alias("fp_a"), "band", "slice", "sub_bucket"
-    )
-    right = banded.select(
-        F.col("_id").alias("id_b"), F.col("_fp").alias("fp_b"), "band", "slice", "sub_bucket"
-    )
+
+    if bands is not None:
+        # legacy equality-only pigeonhole: bands > max_hamming slices
+        banded = fp.select(
+            "_id",
+            "_fp",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.shiftright("_fp", o)
+                            .bitwiseAND(F.lit((1 << w) - 1))
+                            .alias("slice"),
+                        )
+                        for b, (o, w) in enumerate(_block_slices(bands))
+                    ]
+                )
+            ).alias("bb"),
+        ).select("_id", "_fp", "bb.band", "bb.slice")
+        banded = _cap_buckets(banded, ["band", "slice"], "_id", bucket_cap)
+        left = banded.select(
+            F.col("_id").alias("id_a"), F.col("_fp").alias("fp_a"),
+            "band", "slice", "sub_bucket",
+        )
+        right = banded.select(
+            F.col("_id").alias("id_b"), F.col("_fp").alias("fp_b"),
+            "band", "slice", "sub_bucket",
+        )
+        joined = left.join(right, ["band", "slice", "sub_bucket"])
+    else:
+        slices = _block_slices(max_hamming // 2 + 1)
+        # SQL-string expression build (one JVM parse, no per-literal
+        # py4j tax). Index side: s exact block values; probe side:
+        # each block value plus its w one-bit flips.
+        def slice_sql(o: int, w: int) -> str:
+            return f"(shiftright(_fp, {o}) & {(1 << w) - 1})"
+
+        idx_sql = "array(%s)" % ",".join(
+            f"named_struct('band', {b}, 'slice', {slice_sql(o, w)})"
+            for b, (o, w) in enumerate(slices)
+        )
+        probe_sql = "array(%s)" % ",".join(
+            f"named_struct('band', {b}, 'slice', ({slice_sql(o, w)} ^ {flip}))"
+            for b, (o, w) in enumerate(slices)
+            for flip in [0] + [1 << j for j in range(w)]
+        )
+        index = fp.select(
+            "_id", "_fp", F.explode(F.expr(idx_sql)).alias("bb")
+        ).select("_id", "_fp", "bb.band", "bb.slice")
+        probe = fp.select(
+            "_id", "_fp", F.explode(F.expr(probe_sql)).alias("bb")
+        ).select("_id", "_fp", "bb.band", "bb.slice")
+        hot = _hot_buckets(index, ["band", "slice"], bucket_cap)
+        left = _apply_sub_buckets(
+            index, hot, ["band", "slice"], "_id", bucket_cap
+        ).select(
+            F.col("_id").alias("id_a"), F.col("_fp").alias("fp_a"),
+            "band", "slice", "sub_bucket",
+        )
+        right = _apply_sub_buckets(
+            probe, hot, ["band", "slice"], "_id", bucket_cap
+        ).select(
+            F.col("_id").alias("id_b"), F.col("_fp").alias("fp_b"),
+            "band", "slice", "sub_bucket",
+        )
+        joined = left.join(right, ["band", "slice", "sub_bucket"])
+
     return (
-        left.join(right, ["band", "slice", "sub_bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        joined.filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", hamming64(F.col("fp_a"), F.col("fp_b")).alias("hamming"))
-        # filter BEFORE distinct: the band self-join emits every
-        # within-bucket pair (millions of rows at sf0.1 — short slices
-        # mean big buckets), while the pairs that survive the hamming
+        # filter BEFORE distinct: the block self-join emits every
+        # within-bucket pair, while the pairs that survive the hamming
         # budget are a tiny set. Deduplicating after the filter
         # shuffles only survivors instead of the full candidate fanout
         # (measured ~2x on d9 at sf0.1).
