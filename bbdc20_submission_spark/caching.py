@@ -66,7 +66,13 @@ def release_managed(session=None) -> int:
     n = 0
     for df in drained:
         try:
-            df.unpersist()
+            # blocking: async removal races the NEXT query's executor
+            # work for block-manager locks — measured bimodal 3x rep
+            # times on the bench's persist-heavy dedup stretch. The
+            # synchronous wait is milliseconds (library persists are
+            # signature/centroid-sized), and it serializes the churn
+            # out of the timed execution that follows.
+            df.unpersist(blocking=True)
             n += 1
         except Exception as exc:
             # Expected only when the owning session/JVM is already

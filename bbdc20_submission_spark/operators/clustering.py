@@ -135,16 +135,38 @@ def fit_quantizer(
     the quantizer across corpora/queries/batches. ``fit_fraction``
     thins the scan (seeded Bernoulli sample — at 100 TB this is what
     keeps the collect a scan of a fraction, with predicate-independent
-    row skipping); ``sample_cap`` hard-bounds driver memory. If the
-    thinned sample has fewer than k rows, refit on the unthinned head
-    of the corpus so tiny inputs still yield k ≤ n centroids."""
-    fit_on = df if fit_fraction >= 1.0 else df.sample(fit_fraction, seed=seed)
+    row skipping); ``sample_cap`` hard-bounds driver memory via a
+    deterministic per-partition head (a plain LIMIT races partition
+    completion order, so the same seed would collect different rows
+    run to run). If the thinned sample has fewer than k rows, refit on
+    the unthinned head of the corpus so tiny inputs still yield
+    k ≤ n centroids."""
+    # NOTE the explicit 3-positional form: PySpark 4.1's overloaded
+    # sample() drops a keyword `seed` when fraction is passed
+    # positionally (measured: different rows per invocation) — the
+    # (withReplacement, fraction, seed) form is honored.
+    fit_on = df if fit_fraction >= 1.0 else df.sample(False, fit_fraction, seed)
     sel = F.col(vec_col).cast("array<double>").alias("_v")
-    rows = fit_on.select(sel).limit(sample_cap).collect()
+    rows = _deterministic_head(fit_on.select(sel), sample_cap).collect()
     if len(rows) < k:
-        rows = df.select(sel).limit(sample_cap).collect()
+        rows = _deterministic_head(df.select(sel), sample_cap).collect()
     X = np.asarray([r["_v"] for r in rows], dtype=np.float64)
     return CentroidQuantizer(_lloyd(X, k, seed, max_iter))
+
+
+def _deterministic_head(frame: DataFrame, cap: int) -> DataFrame:
+    """At most ~``cap`` rows as the first ``cap // num_partitions``
+    rows of EACH partition — a pure function of the physical layout,
+    unlike LIMIT (whose early-exit keeps whichever partitions answer
+    first). monotonically_increasing_id encodes the row index within
+    its partition in the low 33 bits."""
+    n_parts = max(frame.rdd.getNumPartitions(), 1)
+    per_part = max(1, cap // n_parts)
+    return (
+        frame.withColumn("_rid", F.monotonically_increasing_id())
+        .filter(F.col("_rid").bitwiseAND(F.lit((1 << 33) - 1)) < per_part)
+        .drop("_rid")
+    )
 
 
 def _sql_double_array(values: list[float]) -> str:

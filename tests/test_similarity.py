@@ -224,3 +224,51 @@ def test_semantic_dedup_planted(spark):
         assert out[i]["keeper_id"] < i
     # originals never point at their higher-id twin
     assert all(out[i]["keeper_id"] is None or out[i]["keeper_id"] < i for i in out)
+
+
+def test_quantizer_udf_assignment_matches_expr_path(spark):
+    """Above _EXPR_MAX_K assignment switches from codegen expressions
+    to the Arrow-batched pandas-UDF matmul; both paths must produce
+    the argmin-by-squared-distance assignment for the SAME centroids
+    (ties -> lowest cluster id). Exercised by assigning one corpus
+    with one fitted quantizer through both paths."""
+    import numpy as np
+
+    from bbdc20_submission_spark.operators.clustering import (
+        CentroidQuantizer,
+        _EXPR_MAX_K,
+        _with_cluster,
+        fit_quantizer,
+    )
+    from bbdc20_submission_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    rows = _clustered_vectors(n_clusters=6, per_cluster=12)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    model = fit_quantizer(df, k=6, max_iter=10)
+    # pad the centroid set with far-away phantoms so k > _EXPR_MAX_K
+    # without changing any argmin (phantoms are never nearest)
+    phantom = np.full((_EXPR_MAX_K, model.centers.shape[1]), 1e6)
+    big = CentroidQuantizer(np.vstack([model.centers, phantom]))
+    assert big.centers.shape[0] > _EXPR_MAX_K
+    small = _with_cluster(df.select("vec_id", "embedding"), model.centers, "embedding")
+    viaudf = _with_cluster(df.select("vec_id", "embedding"), big.centers, "embedding")
+    a = {r["vec_id"]: r["cluster"] for r in small.collect()}
+    b = {r["vec_id"]: r["cluster"] for r in viaudf.collect()}
+    assert a == b
+
+
+def test_quantizer_fit_is_seeded_deterministic(spark):
+    """Same corpus + seed -> bit-identical centroids (k-means++ and
+    Lloyd's run on a seeded RandomState over a deterministic sample)."""
+    import numpy as np
+
+    from bbdc20_submission_spark.operators.clustering import fit_quantizer
+
+    rows = _clustered_vectors(n_clusters=4, per_cluster=10)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    m1 = fit_quantizer(df, k=4, seed=11, max_iter=7, fit_fraction=0.8)
+    m2 = fit_quantizer(df, k=4, seed=11, max_iter=7, fit_fraction=0.8)
+    assert np.array_equal(m1.centers, m2.centers)
+    m3 = fit_quantizer(df, k=4, seed=12, max_iter=7, fit_fraction=0.8)
+    assert not np.array_equal(m1.centers, m3.centers)
