@@ -415,14 +415,22 @@ def a4_block_sum_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a7_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7: global one-pass stats — Spark's partial+final aggregation is
     the reference's hand-rolled partial_fit (load_data.py:66-82).
-    Exact percentile, not approx (SURVEY §4)."""
+    Exact percentile, not approx (SURVEY §4), via the two-pass
+    bracketed operator: the builtin ``percentile`` aggregate merges a
+    value->count map of EVERY distinct value in one final task
+    (measured 2.3 s of the old 2.6 s at sf0.1; hostile at 100 TB),
+    while the bracket passes keep state bounded by the sketch accuracy
+    and return the bit-identical linear-interpolated value."""
+    from bbdc20_submission_spark.operators.quantiles import exact_percentile
+
     li = load_table(spark, "lineitem", sf_dir)
+    med = exact_percentile(li, "l_extendedprice", 0.5)
     return li.agg(
         F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
         F.round(F.stddev_samp("l_extendedprice"), 6).alias("std_price"),
         F.round(F.min("l_extendedprice"), 6).alias("min_price"),
         F.round(F.max("l_extendedprice"), 6).alias("max_price"),
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("med_price"),
+        F.round(F.lit(med), 6).alias("med_price"),
         F.count(F.lit(1)).alias("n_rows"),
     )
 
