@@ -816,12 +816,14 @@ def s4_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         em, k=8, model=quant, keep_cols=("embedding",)
     ).withColumn("argmax_idx", argmax_array("embedding"))
     # sd gets a FINER quantizer than the k=8 certification one: cell
-    # pair volume is O(n·cell_size), so 4x the cells = ~4x fewer
-    # exact-dot pairs; the certified invariants are k-independent
+    # pair volume is O(n·cell_size), so smaller cells = fewer
+    # exact-dot pairs, and auto-k (n / target_cell_size) keeps that
+    # volume LINEAR in n — a fixed k measured 22.9x wall on 16x data
+    # in the scale probe. The certified invariants are k-independent
     # (twins co-locate at any k; keeper/cosine checks recompute from
-    # the raw vectors)
-    sd = semantic_dedup(em, threshold=THRESH, n_clusters=32, max_iter=5,
-                        fit_fraction=0.5)
+    # the raw vectors).
+    sd = semantic_dedup(em, threshold=THRESH, max_iter=5,
+                        fit_fraction=0.5, target_cell_size=64)
     vecs = em.select(
         F.col("vec_id").alias("_kid"), F.col("embedding").alias("_kv")
     )
