@@ -84,3 +84,108 @@ def exact_percentiles_by_group(
         F.expr(f"percentile({col}, {p})").alias(f"p{int(p * 100)}") for p in ps
     ]
     return df.groupBy(*keys).agg(*aggs)
+
+
+def exact_percentile_by(
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    p: float,
+    accuracy: int = 10_000,
+    max_groups: int = 10_000,
+) -> list[tuple]:
+    """Bracketed two-pass EXACT percentile PER GROUP, bit-equal to
+    ``percentile(col, p)`` within each group.
+
+    The complement of ``exact_percentiles_by_group`` (builtin — fine
+    when per-group cardinality is bounded): this is for the
+    low-cardinality analytic grouping over a huge fact table (return
+    flags, status codes), where each group's value->count map is the
+    scale hazard but the group COUNT is driver-trivial. Per-group
+    state here is bounded by the sketch accuracy, and the whole pass
+    structure is two jobs regardless of group count (all groups'
+    brackets ride one broadcast dim; the rare bracket-miss retries
+    only the missed groups). Raises above ``max_groups`` — by
+    contract this is the few-groups/huge-groups shape.
+
+    Returns driver-side rows ``[(key..., value), ...]`` (group count
+    is bounded by contract); callers needing a DataFrame broadcast a
+    local frame from them."""
+    spark = df.sparkSession
+    base = df.select(*keys, F.col(col).alias("_v")).filter(
+        F.col("_v").isNotNull()
+    )
+    first = (
+        base.groupBy(*keys)
+        .agg(
+            F.count("_v").alias("n"),
+            F.min("_v").alias("lo_all"),
+            F.max("_v").alias("hi_all"),
+            F.percentile_approx(
+                "_v", [max(0.0, p - 0.01), min(1.0, p + 0.01)], accuracy
+            ).alias("bracket"),
+        )
+        .collect()
+    )
+    if len(first) > max_groups:
+        raise ValueError(
+            f"exact_percentile_by: {len(first)} groups exceeds "
+            f"max_groups={max_groups}; use exact_percentiles_by_group "
+            "for high-cardinality keys"
+        )
+    pend: dict[tuple, tuple] = {}
+    meta: dict[tuple, tuple] = {}
+    res: dict[tuple, float] = {}
+    for r in first:
+        gk = tuple(r[k] for k in keys)
+        n = r["n"]
+        rank = (n - 1) * p
+        k = int(rank)
+        meta[gk] = (k, rank - k, r["lo_all"], r["hi_all"])
+        pend[gk] = (r["bracket"][0], r["bracket"][1])
+    while pend:
+        bdim = spark.createDataFrame(
+            [(*gk, lo, hi) for gk, (lo, hi) in pend.items()],
+            schema=base.select(
+                *keys, F.col("_v").alias("_lo"), F.col("_v").alias("_hi")
+            ).schema,
+        )
+        got = (
+            base.join(F.broadcast(bdim), keys)
+            .groupBy(*keys)
+            .agg(
+                F.sum(
+                    F.when(F.col("_v") < F.col("_lo"), 1).otherwise(0)
+                ).alias("below"),
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            (F.col("_v") >= F.col("_lo"))
+                            & (F.col("_v") <= F.col("_hi")),
+                            F.col("_v"),
+                        )
+                    )
+                ).alias("vals"),
+            )
+            .collect()
+        )
+        nxt: dict[tuple, tuple] = {}
+        for r in got:
+            gk = tuple(r[k] for k in keys)
+            k, frac, lo_all, hi_all = meta[gk]
+            below, vals = r["below"], r["vals"]
+            last_needed = k + (1 if frac > 0 else 0)
+            if below <= k and last_needed < below + len(vals):
+                vk = vals[k - below]
+                if frac == 0:
+                    res[gk] = float(vk)
+                else:
+                    # same evaluation order as Spark Percentile /
+                    # DuckDB quantile_cont (see exact_percentile)
+                    res[gk] = float(
+                        vk * (1 - frac) + vals[last_needed - below] * frac
+                    )
+            else:  # sketch-violating corner: widen to the full range
+                nxt[gk] = (lo_all, hi_all)
+        pend = nxt
+    return [(*gk, res[gk]) for gk in sorted(res)]

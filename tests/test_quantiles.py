@@ -24,3 +24,29 @@ def test_handles_tiny_and_null_inputs(spark):
     assert exact_percentile(one, "v", 0.9) == 7.0
     empty = spark.createDataFrame([], "v double")
     assert exact_percentile(empty, "v", 0.5) is None
+
+
+@pytest.mark.parametrize("p", [0.0, 0.5, 0.9])
+def test_grouped_two_pass_matches_builtin(spark, sf_dir, p):
+    """exact_percentile_by (bracketed two-pass per group) must be
+    bit-equal to the builtin grouped percentile — the few-groups/
+    huge-groups scale shape."""
+    from bbdc20_submission_spark.operators.quantiles import exact_percentile_by
+
+    li = load_table(spark, "lineitem", sf_dir)
+    want = {
+        r["l_returnflag"]: r["m"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.expr(f"percentile(l_extendedprice, {p})").alias("m"))
+        .collect()
+    }
+    got = dict(exact_percentile_by(li, ["l_returnflag"], "l_extendedprice", p))
+    assert got == want
+
+
+def test_grouped_two_pass_guards_group_cardinality(spark, sf_dir):
+    from bbdc20_submission_spark.operators.quantiles import exact_percentile_by
+
+    li = load_table(spark, "lineitem", sf_dir)
+    with pytest.raises(ValueError, match="max_groups"):
+        exact_percentile_by(li, ["l_orderkey"], "l_extendedprice", 0.5, max_groups=5)
