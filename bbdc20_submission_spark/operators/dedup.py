@@ -449,16 +449,34 @@ def simhash_near_dups(
     ``bands`` (legacy): force the equality-only banded scheme with
     that many slices; ``bands <= max_hamming`` raises, because that
     configuration silently loses pairs."""
+    # persist the fingerprints (2 longs/doc): the 64 bit-vote sums are
+    # the expensive stage, and the plan reads them three times
+    # (hot-bucket counts + both self-join sides)
+    fp = managed_persist(simhash_df(df, id_col, text_col))
+    return hamming_near_pairs(
+        fp, max_hamming=max_hamming, bands=bands, bucket_cap=bucket_cap
+    )
+
+
+def hamming_near_pairs(
+    fp: DataFrame,
+    max_hamming: int = 8,
+    bands: int | None = None,
+    bucket_cap: int = 1024,
+) -> DataFrame:
+    """All pairs of a ``[_id, _fp]`` fingerprint frame within the
+    hamming budget — the candidate-join core of ``simhash_near_dups``
+    (see there for the multi-index scheme and its guarantee), exposed
+    over raw fingerprints so any 64-bit signature source (simhash,
+    sign-LSH packed to a long, perceptual image hashes riding the
+    multimodal tables) can reuse it and so the pigeonhole recall is
+    property-testable with constructed fingerprints.
+    Output: [id_a, id_b, hamming], id_a < id_b, distinct."""
     if bands is not None and bands <= max_hamming:
         raise ValueError(
             f"bands={bands} <= max_hamming={max_hamming} breaks the "
             "pigeonhole recall guarantee; use bands > max_hamming"
         )
-    # persist the fingerprints (2 longs/doc): the 64 bit-vote sums are
-    # the expensive stage, and the plan reads them three times
-    # (hot-bucket counts + both self-join sides)
-    fp = managed_persist(simhash_df(df, id_col, text_col))
-
     if bands is not None:
         # legacy equality-only pigeonhole: bands > max_hamming slices
         banded = fp.select(

@@ -189,3 +189,39 @@ def test_repetition_stats_flags_spam(spark):
     # output is rounded to 6 decimals
     assert abs(got[3]["dup_2gram_frac"] - (1 - 2 / 9)) < 1e-6
     assert got[3]["repetition_ok"] == 0
+
+
+def test_hamming_near_pairs_pigeonhole_recall(spark):
+    """Constructed-fingerprint proof of the multi-index guarantee:
+    every pair at hamming h <= max_hamming MUST be emitted with its
+    exact distance (pigeonhole over the block/probe scheme), including
+    pairs at exactly the budget; nothing beyond the budget survives
+    the exact-hamming filter."""
+    import random
+
+    from bbdc20_submission_spark.operators.dedup import hamming_near_pairs
+
+    def signed(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    rng = random.Random(5)
+    rows, expected = [], {}
+    nid = 0
+    for h in (0, 1, 7, 12, 13):
+        for _ in range(6):
+            base = rng.getrandbits(64)
+            flipped = base
+            for pos in rng.sample(range(64), h):
+                flipped ^= 1 << pos
+            a, b = nid, nid + 1
+            nid += 2
+            rows += [(a, signed(base)), (b, signed(flipped))]
+            expected[(a, b)] = h
+    df = spark.createDataFrame(rows, "_id long, _fp long")
+    out = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_near_pairs(df, max_hamming=13).collect()
+    }
+    for pair, h in expected.items():
+        assert out.get(pair) == h, (pair, h, out.get(pair))
+    assert all(v <= 13 for v in out.values())
