@@ -135,3 +135,72 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
     # few partitions: with n~64 rows, one Arrow batch per partition —
     # avoids spawning a Python UDF worker per (mostly empty) partition
     return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(4)
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("_id", T.LongType(), False),
+        T.StructField("_fp", T.LongType(), False),
+    ]
+)
+
+
+def perceptual_hash(
+    media: DataFrame,
+    decode_fn: Callable[[bytes], np.ndarray] = fake_decode_image,
+    taps: int = 65,
+) -> DataFrame:
+    """64-bit difference-hash (dHash) per blob: resample the decoded
+    signal to ``taps`` points, bit i = 1 iff tap[i+1] > tap[i]. With a
+    real decoder this is the standard image dHash (gradient-sign
+    sketch, robust to re-encoding/scaling); here the deterministic
+    fake decoder stands in, but the Spark-side shape — Arrow batches
+    in, one signed-long fingerprint per blob out — is the production
+    one. Output: [_id, _fp], ready for ``dedup.hamming_near_pairs``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = 1 << np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            ids, fps = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr = decode_fn(payload)
+                if arr.size < 2:
+                    arr = np.pad(arr, (0, 2 - arr.size))
+                sig = np.interp(
+                    np.linspace(0, arr.size - 1, taps),
+                    np.arange(arr.size),
+                    arr,
+                )
+                bits = (sig[1:65] > sig[:64]).astype(np.uint64)
+                v = int((bits * weights).sum())
+                ids.append(mid)
+                fps.append(v - (1 << 64) if v >= (1 << 63) else v)
+            yield pd.DataFrame(
+                {
+                    "_id": pd.Series(ids, dtype="int64"),
+                    "_fp": pd.Series(fps, dtype="int64"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, schema=PHASH_SCHEMA)
+
+
+def media_near_dups(
+    media: DataFrame,
+    max_hamming: int = 8,
+    decode_fn: Callable[[bytes], np.ndarray] = fake_decode_image,
+    bucket_cap: int = 1024,
+) -> DataFrame:
+    """Near-duplicate media detection: perceptual dHash, then the
+    multi-index Hamming candidate join (pigeonhole recall 1 over the
+    budget — same machinery as the SimHash text path, which is the
+    point: one scale-safe fingerprint-join operator serves every
+    64-bit signature source). Fingerprints are persisted (2 longs per
+    blob) because the join reads them from three sides; payloads are
+    decoded exactly once and never shuffle.
+    Output: [id_a, id_b, hamming]."""
+    from bbdc20_submission_spark.caching import managed_persist
+    from bbdc20_submission_spark.operators.dedup import hamming_near_pairs
+
+    fp = managed_persist(perceptual_hash(media, decode_fn))
+    return hamming_near_pairs(fp, max_hamming=max_hamming, bucket_cap=bucket_cap)

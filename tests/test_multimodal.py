@@ -41,3 +41,41 @@ def test_frame_sampling_counts(spark):
 def test_strict_decode_raises():
     with pytest.raises(NotImplementedError):
         decode_image_strict(b"xx")
+
+
+def test_media_near_dups_finds_perturbed_copies(spark):
+    """Perceptual-hash dedup: byte-identical payloads pair at hamming
+    0; a one-byte perturbation stays within a small budget (dHash is a
+    gradient-sign sketch — one changed byte moves only nearby taps);
+    unrelated blobs do not enter the verified pair set at a tight
+    budget."""
+    from bbdc20_submission_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        media_near_dups,
+        synthetic_media,
+    )
+
+    base = synthetic_media(spark, n=12).collect()
+    rows = [tuple(r) for r in base]
+    exact, perturbed = set(), set()
+    for r in base[:4]:
+        dup_id = r["media_id"] + 1000
+        rows.append((dup_id, r["kind"], r["mime"], r["width"], r["height"],
+                     r["duration_ms"], r["payload"]))
+        exact.add((r["media_id"], dup_id))
+    for r in base[4:8]:
+        dup_id = r["media_id"] + 2000
+        payload = bytearray(r["payload"])
+        payload[3] = (payload[3] + 2) % 256
+        rows.append((dup_id, r["kind"], r["mime"], r["width"], r["height"],
+                     r["duration_ms"], bytes(payload)))
+        perturbed.add((r["media_id"], dup_id))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in media_near_dups(media, max_hamming=8).collect()
+    }
+    for pair in exact:
+        assert out.get(pair) == 0, (pair, out.get(pair))
+    for pair in perturbed:
+        assert pair in out and out[pair] <= 8, (pair, out.get(pair))
