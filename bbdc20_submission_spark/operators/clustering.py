@@ -220,31 +220,29 @@ def _with_cluster(
 
     C = centers
     c2 = (C * C).sum(axis=1)
+    step = max(1, (1 << 24) // max(int(C.shape[0]), 1))
 
+    # The closure must reference ONLY local ndarrays/ints and library
+    # imports: a module-level helper would be cloudpickled BY
+    # REFERENCE, requiring the package on executor PYTHONPATH — which
+    # a harness-owned session from a foreign cwd doesn't have.
     @pandas_udf("long")
     def _nearest(v):  # pd.Series of array<double>
-        import pandas as pd
+        import numpy as _np
+        import pandas as _pd
 
         if len(v) == 0:
-            return pd.Series([], dtype="int64")
-        X = np.asarray(v.tolist(), dtype=np.float64)
-        return pd.Series(_argmin_with(X, C, c2))
+            return _pd.Series([], dtype="int64")
+        X = _np.asarray(v.tolist(), dtype=_np.float64)
+        out = _np.empty(X.shape[0], dtype=_np.int64)
+        for lo in range(0, X.shape[0], step):
+            d = X[lo : lo + step] @ C.T
+            d *= -2.0
+            d += c2[None, :]
+            out[lo : lo + step] = _np.argmin(d, axis=1)
+        return _pd.Series(out)
 
     return df.withColumn(out_col, _nearest(F.col(vec_col).cast("array<double>")))
-
-
-def _argmin_with(X: np.ndarray, C: np.ndarray, c2: np.ndarray) -> np.ndarray:
-    """Chunked argmin with precomputed ‖c‖² — shared by the UDF path
-    (self-contained: only numpy in the closure, so executors need no
-    package import)."""
-    step = max(1, (1 << 24) // max(C.shape[0], 1))
-    out = np.empty(X.shape[0], dtype=np.int64)
-    for lo in range(0, X.shape[0], step):
-        d = X[lo : lo + step] @ C.T
-        d *= -2.0
-        d += c2[None, :]
-        out[lo : lo + step] = np.argmin(d, axis=1)
-    return out
 
 
 def assign_clusters(

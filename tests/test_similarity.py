@@ -240,9 +240,10 @@ def test_quantizer_udf_assignment_matches_expr_path(spark):
         _with_cluster,
         fit_quantizer,
     )
-    from bbdc20_submission_spark.session import ensure_package_shipped
 
-    ensure_package_shipped(spark)
+    # no ensure_package_shipped: the UDF closure is self-contained by
+    # design (ndarray + library imports only, no package symbols), so
+    # it must run on workers that cannot import the package
     rows = _clustered_vectors(n_clusters=6, per_cluster=12)
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
     model = fit_quantizer(df, k=6, max_iter=10)
