@@ -127,6 +127,7 @@ def fit_quantizer(
     max_iter: int = 20,
     fit_fraction: float = 1.0,
     sample_cap: int = _DEFAULT_SAMPLE_CAP,
+    approx_n: int | None = None,
 ) -> CentroidQuantizer:
     """Train the coarse quantizer on a bounded seeded sample and return
     it as a :class:`CentroidQuantizer`.
@@ -146,6 +147,18 @@ def fit_quantizer(
     # positionally (measured: different rows per invocation) — the
     # (withReplacement, fraction, seed) form is honored.
     fit_on = df if fit_fraction >= 1.0 else df.sample(False, fit_fraction, seed)
+    # When the (possibly already-thinned) scan is known to dwarf the
+    # cap, the deterministic head alone would train on a scan-order
+    # PREFIX of each partition — biased on sorted/clustered layouts.
+    # A seeded Bernoulli thin down to ~4x the cap first makes the cap
+    # trim a random sample instead; 4x oversampling keeps the chance
+    # of under-filling the cap negligible. Needs ``approx_n`` (an
+    # external row-count hint, e.g. parquet footer counts) — without
+    # it no thinning happens, matching the documented head semantics.
+    if approx_n is not None:
+        eff_n = approx_n * min(fit_fraction, 1.0)
+        if eff_n > 4 * sample_cap:
+            fit_on = fit_on.sample(False, 4 * sample_cap / eff_n, seed + 1)
     sel = F.col(vec_col).cast("array<double>").alias("_v")
     rows = _deterministic_head(fit_on.select(sel), sample_cap).collect()
     if len(rows) < k:
@@ -215,17 +228,28 @@ def _with_cluster(
         return out if keep_dists else out.drop("_d")
     if keep_dists:
         raise ValueError("keep_dists requires k <= %d" % _EXPR_MAX_K)
+    nearest = _nearest_pandas_udf(df.sparkSession, centers)
+    return df.withColumn(out_col, nearest(F.col(vec_col).cast("array<double>")))
 
+
+def _nearest_pandas_udf(spark, centers: np.ndarray):
+    """Arrow-batched nearest-centroid UDF (one numpy matmul per batch,
+    ``‖x‖²``-dropped distance, ties → lowest index). The centroid
+    matrix rides an EXPLICIT ``sparkContext.broadcast`` — at auto-k
+    scale (k·dim doubles can be MBs) the matrix ships to each executor
+    once via the broadcast manager instead of re-serializing inside
+    every task's pickled command."""
     from pyspark.sql.functions import pandas_udf
 
-    C = centers
-    c2 = (C * C).sum(axis=1)
+    C = np.asarray(centers, dtype=np.float64)
+    bc = spark.sparkContext.broadcast(C)
     step = max(1, (1 << 24) // max(int(C.shape[0]), 1))
 
-    # The closure must reference ONLY local ndarrays/ints and library
-    # imports: a module-level helper would be cloudpickled BY
-    # REFERENCE, requiring the package on executor PYTHONPATH — which
-    # a harness-owned session from a foreign cwd doesn't have.
+    # The closure must reference ONLY local vars (the Broadcast handle
+    # is fine — workers fetch its value from the broadcast manager)
+    # and library imports: a module-level helper would be cloudpickled
+    # BY REFERENCE, requiring the package on executor PYTHONPATH —
+    # which a harness-owned session from a foreign cwd doesn't have.
     @pandas_udf("long")
     def _nearest(v):  # pd.Series of array<double>
         import numpy as _np
@@ -233,16 +257,18 @@ def _with_cluster(
 
         if len(v) == 0:
             return _pd.Series([], dtype="int64")
+        Cw = bc.value
+        c2w = (Cw * Cw).sum(axis=1)
         X = _np.asarray(v.tolist(), dtype=_np.float64)
         out = _np.empty(X.shape[0], dtype=_np.int64)
         for lo in range(0, X.shape[0], step):
-            d = X[lo : lo + step] @ C.T
+            d = X[lo : lo + step] @ Cw.T
             d *= -2.0
-            d += c2[None, :]
+            d += c2w[None, :]
             out[lo : lo + step] = _np.argmin(d, axis=1)
         return _pd.Series(out)
 
-    return df.withColumn(out_col, _nearest(F.col(vec_col).cast("array<double>")))
+    return _nearest
 
 
 def assign_clusters(
@@ -295,12 +321,17 @@ def kmeans_assign_checked(
 
     Output: [id_col, *keep_cols, cluster, nearest_ok] — ``keep_cols``
     ride the same narrow pass (so a caller needing e.g. the vector
-    downstream doesn't re-scan/join). nearest_ok = 1 iff the
-    assigned centroid's squared distance is within 1e-9 of the min
-    over all k centroids, recomputed from the ``_d`` distance array.
-    Cluster ids depend on the fit sample (physical-layout-specific),
-    but nearest_ok is an invariant of any correct assignment — it
-    certifies the operator on any engine without hashing the labels.
+    downstream doesn't re-scan/join). nearest_ok = 1 iff an
+    INDEPENDENT assignment path agrees: the expression-path argmin
+    (literal per-centroid ``Σ(x−c)²`` fold + array_position) is
+    cross-checked against the Arrow-batched numpy matmul argmin
+    (``−2x·c + ‖c‖²`` — different arithmetic, different engine path),
+    with a 1e-9 distance tolerance excusing genuine ties the two
+    roundings may break differently. Cluster ids depend on the fit
+    sample (physical-layout-specific), but cross-path agreement is an
+    invariant of any correct assignment — it certifies the operator
+    without hashing the labels, and unlike a recomputation from the
+    shared ``_d`` array it cannot be satisfied by construction.
     Small-k only (the expression check needs the distance array).
     Pass a pre-fit ``model`` to skip training (fit-once reuse)."""
     if model is None:
@@ -312,13 +343,23 @@ def kmeans_assign_checked(
     assigned = _with_cluster(
         df.select(*in_cols), model.centers, vec_col, keep_dists=True
     )
+    alt_nearest = _nearest_pandas_udf(df.sparkSession, model.centers)
+    assigned = assigned.withColumn(
+        "_alt", alt_nearest(F.col(vec_col).cast("array<double>"))
+    )
     out_cols = list(dict.fromkeys([id_col, *keep_cols]))
     return assigned.select(
         *out_cols,
         "cluster",
         (
-            F.element_at("_d", (F.col("cluster") + 1).cast("int"))
-            <= F.array_min("_d") + F.lit(1e-9)
+            (F.col("cluster") == F.col("_alt"))
+            | (
+                F.abs(
+                    F.element_at("_d", (F.col("cluster") + 1).cast("int"))
+                    - F.element_at("_d", (F.col("_alt") + 1).cast("int"))
+                )
+                <= F.lit(1e-9)
+            )
         )
         .cast("long")
         .alias("nearest_ok"),
@@ -421,6 +462,7 @@ def semantic_dedup(
     cap: int = 4096,
     target_cell_size: int = 300,
     model: CentroidQuantizer | None = None,
+    approx_n: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): KMeans
     the embedding space, then within each cell prune any vector that has
@@ -445,16 +487,21 @@ def semantic_dedup(
     sub-bucket trick as the LSH dedup, bounding the worst case at
     O(n * cap) with the documented recall trade. Pass a pre-fit
     ``model`` to skip the count + fit entirely (fit-once reuse when a
-    suite already trained a quantizer on the same corpus)."""
+    suite already trained a quantizer on the same corpus), or
+    ``approx_n`` (a row-count hint — parquet footer counts or a count
+    the caller already materialized) so auto-k costs no extra
+    full-scan ``count()`` job; auto-k only needs the ORDER of n, so
+    any approximation within a small factor is fine."""
     from bbdc20_submission_spark.operators.dedup import _cap_buckets
     from bbdc20_submission_spark.operators.similarity import dot, l2_norm
 
     if model is None:
         if n_clusters is None:
-            n_clusters = int(min(max(df.count() // target_cell_size, 8), 65536))
+            n = approx_n if approx_n is not None else df.count()
+            n_clusters = int(min(max(n // target_cell_size, 8), 65536))
         model = fit_quantizer(
             df, k=n_clusters, vec_col=vec_col, seed=seed,
-            max_iter=max_iter, fit_fraction=fit_fraction,
+            max_iter=max_iter, fit_fraction=fit_fraction, approx_n=approx_n,
         )
     # compute each row's L2 norm ONCE and materialize it through the
     # persisted frame: pair cosine then costs a single dot product

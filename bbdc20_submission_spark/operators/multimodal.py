@@ -150,16 +150,24 @@ def perceptual_hash(
     decode_fn: Callable[[bytes], np.ndarray] = fake_decode_image,
     taps: int = 65,
 ) -> DataFrame:
-    """64-bit difference-hash (dHash) per blob: resample the decoded
-    signal to ``taps`` points, bit i = 1 iff tap[i+1] > tap[i]. With a
-    real decoder this is the standard image dHash (gradient-sign
-    sketch, robust to re-encoding/scaling); here the deterministic
-    fake decoder stands in, but the Spark-side shape — Arrow batches
-    in, one signed-long fingerprint per blob out — is the production
-    one. Output: [_id, _fp], ready for ``dedup.hamming_near_pairs``."""
+    """Difference-hash (dHash) per blob: resample the decoded signal
+    to ``taps`` points, bit i = 1 iff tap[i+1] > tap[i] — so ``taps``
+    points yield ``taps - 1`` bits (default 65 → the standard 64-bit
+    dHash; any 3..65 works, packed into the low bits of the long).
+    With a real decoder this is the standard image dHash
+    (gradient-sign sketch, robust to re-encoding/scaling); here the
+    deterministic fake decoder stands in, but the Spark-side shape —
+    Arrow batches in, one signed-long fingerprint per blob out — is
+    the production one. Output: [_id, _fp], ready for
+    ``dedup.hamming_near_pairs``."""
+    if not 3 <= taps <= 65:
+        raise ValueError(
+            f"taps={taps}: need 3..65 (taps-1 bits must fit a 64-bit long)"
+        )
+    n_bits = taps - 1
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        weights = 1 << np.arange(64, dtype=np.uint64)
+        weights = 1 << np.arange(n_bits, dtype=np.uint64)
         for pdf in batches:
             ids, fps = [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
@@ -171,7 +179,8 @@ def perceptual_hash(
                     np.arange(arr.size),
                     arr,
                 )
-                bits = (sig[1:65] > sig[:64]).astype(np.uint64)
+                bits = (sig[1:] > sig[:-1]).astype(np.uint64)
+                assert bits.size == n_bits
                 v = int((bits * weights).sum())
                 ids.append(mid)
                 fps.append(v - (1 << 64) if v >= (1 << 63) else v)

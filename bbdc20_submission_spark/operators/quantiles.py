@@ -74,6 +74,80 @@ def exact_percentile(
         lo, hi = first["lo_all"], first["hi_all"]
 
 
+def exact_percentile_frame(
+    df: DataFrame, col: str, p: float, accuracy: int = 10_000,
+    out_col: str = "pct",
+) -> DataFrame:
+    """LAZY single-plan variant of :func:`exact_percentile`: returns a
+    ONE-ROW DataFrame ``[out_col]`` whose execution (not construction)
+    runs both bracket passes — pass 1 rides a broadcast cross join into
+    pass 2, and the order-statistic interpolation finishes as a scalar
+    expression over the aggregated bracket. Callers that compose the
+    result into a bigger plan (cross join with other aggregates) get
+    the percentile recomputed per execution, with nothing evaluated at
+    plan-build time.
+
+    The eager function's bracket-miss retry is replaced by a proof:
+    ``percentile_approx``'s rank error is ≤ n/accuracy, and the
+    bracket margin is ±0.01·n ranks, so for n·(0.01 − 1/accuracy) ≥ 1
+    (n ≥ ~102 at the default accuracy) the bracket provably contains
+    the target order statistics; below a 10×-slack threshold of 1000
+    rows the bracket widens to the full [min, max] range, where the
+    in-bracket value list is trivially small. Result is bit-equal to
+    ``percentile(col, p)`` (same interpolation evaluation order)."""
+    if not 0.0 <= p <= 1.0:
+        raise ValueError(f"p={p} outside [0, 1]")
+    base = df.select(F.col(col).cast("double").alias("_v")).filter(
+        F.col("_v").isNotNull()
+    )
+    pass1 = base.agg(
+        F.count("_v").alias("_n"),
+        F.min("_v").alias("_lo_all"),
+        F.max("_v").alias("_hi_all"),
+        F.percentile_approx(
+            "_v", [max(0.0, p - 0.01), min(1.0, p + 0.01)], accuracy
+        ).alias("_bracket"),
+    ).select(
+        "_n",
+        F.when(F.col("_n") <= 1000, F.col("_lo_all"))
+        .otherwise(F.element_at("_bracket", 1))
+        .alias("_lo"),
+        F.when(F.col("_n") <= 1000, F.col("_hi_all"))
+        .otherwise(F.element_at("_bracket", 2))
+        .alias("_hi"),
+    )
+    pass2 = (
+        base.crossJoin(F.broadcast(pass1))
+        .agg(
+            F.sum(F.when(F.col("_v") < F.col("_lo"), 1).otherwise(0)).alias(
+                "_below"
+            ),
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        (F.col("_v") >= F.col("_lo")) & (F.col("_v") <= F.col("_hi")),
+                        F.col("_v"),
+                    )
+                )
+            ).alias("_vals"),
+            F.first("_n").alias("_n"),
+        )
+    )
+    rank = (F.col("_n") - 1) * F.lit(float(p))
+    k = F.floor(rank)
+    frac = rank - k
+    vk = F.element_at("_vals", (k - F.col("_below") + 1).cast("int"))
+    vk1 = F.element_at("_vals", (k - F.col("_below") + 2).cast("int"))
+    # lower*(1-frac) + higher*frac — the exact evaluation order Spark's
+    # Percentile and DuckDB's quantile_cont use (see exact_percentile)
+    return pass2.select(
+        F.when(F.col("_n").isNull() | (F.col("_n") == 0), F.lit(None).cast("double"))
+        .when(frac == 0, vk)
+        .otherwise(vk * (F.lit(1.0) - frac) + vk1 * frac)
+        .alias(out_col)
+    )
+
+
 def exact_percentiles_by_group(
     df: DataFrame, keys: list[str], col: str, ps: list[float]
 ) -> DataFrame:

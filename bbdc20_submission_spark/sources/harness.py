@@ -85,6 +85,26 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     return df
 
 
+def table_row_count(name: str, sf_dir: str = DEFAULT_SF_DIR) -> int | None:
+    """Exact row count of a harness table from parquet FOOTER metadata
+    only — O(number of files) driver-side reads, no Spark job, no data
+    pages touched. The cheap way to size auto-scaled knobs (SemDeDup
+    auto-k, sample thinning) without paying a full-scan ``count()``.
+    Returns None when the path isn't locally footer-readable (remote
+    FS, non-parquet source) — callers fall back to a real count."""
+    try:
+        import pyarrow.dataset as ds
+
+        dataset = ds.dataset(
+            os.path.join(sf_dir, f"{name}.parquet"), format="parquet"
+        )
+        return sum(
+            frag.metadata.num_rows for frag in dataset.get_fragments()
+        )
+    except Exception:
+        return None
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     """Read all harness tables into a name -> DataFrame dict."""
     return {name: load_table(spark, name, sf_dir) for name in HARNESS_TABLES}

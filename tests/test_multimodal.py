@@ -79,3 +79,25 @@ def test_media_near_dups_finds_perturbed_copies(spark):
         assert out.get(pair) == 0, (pair, out.get(pair))
     for pair in perturbed:
         assert pair in out and out[pair] <= 8, (pair, out.get(pair))
+
+
+def test_perceptual_hash_taps_variants(spark):
+    """taps controls bit width: taps points -> taps-1 bits (r5 advice:
+    non-65 taps used to raise a numpy shape mismatch or silently
+    truncate). Out-of-range taps must be rejected up front."""
+    import pytest
+
+    from bbdc20_submission_spark.operators.multimodal import (
+        perceptual_hash,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=6)
+    full = {r["_id"]: r["_fp"] for r in perceptual_hash(media, taps=65).collect()}
+    small = {r["_id"]: r["_fp"] for r in perceptual_hash(media, taps=33).collect()}
+    assert set(full) == set(small) == set(range(6))
+    for fp in small.values():  # 32 bits -> always fits unsigned 32
+        assert 0 <= fp < (1 << 32)
+    for bad in (1, 2, 66, 0, -3):
+        with pytest.raises(ValueError, match="taps"):
+            perceptual_hash(media, taps=bad)

@@ -273,3 +273,50 @@ def test_quantizer_fit_is_seeded_deterministic(spark):
     assert np.array_equal(m1.centers, m2.centers)
     m3 = fit_quantizer(df, k=4, seed=12, max_iter=7, fit_fraction=0.8)
     assert not np.array_equal(m1.centers, m3.centers)
+
+
+def test_semantic_dedup_approx_n_skips_count(spark):
+    """r5 advice: auto-k used to pay a full df.count() per invocation.
+    With an approx_n hint (parquet footer counts / a caller-cached
+    count) the operator must launch NO count job and still auto-scale
+    k from the hint."""
+    from unittest.mock import patch
+
+    from pyspark.sql import DataFrame
+
+    from bbdc20_submission_spark.operators.clustering import semantic_dedup
+
+    rng = random.Random(5)
+    rows = [
+        (i, [float(rng.gauss(0, 1)) for _ in range(DIM)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with patch.object(
+        DataFrame, "count", side_effect=AssertionError("count job launched")
+    ):
+        out = semantic_dedup(df, threshold=0.99, approx_n=40, seed=3)
+    assert out.count() == 40  # executes fine outside the patch
+
+
+def test_large_k_assignment_stays_narrow_with_broadcast(spark):
+    """Auto-k-scale assignment (k=2048, dim=16): the pandas-UDF path
+    must broadcast the centroid matrix explicitly and stay ONE narrow
+    pass — no Exchange anywhere in the assignment plan."""
+    import numpy as np
+
+    from bbdc20_submission_spark.operators.clustering import (
+        CentroidQuantizer,
+        _with_cluster,
+    )
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(2048, 16)
+    model = CentroidQuantizer(centers)
+    rows = [(i, [float(x) for x in centers[i % 2048]]) for i in range(64)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assigned = _with_cluster(df.select("vec_id", "embedding"), model.centers, "embedding")
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    got = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    # each vector IS a centroid -> assignment must hit its own index
+    assert all(got[i] == i % 2048 for i in got), got
