@@ -770,143 +770,169 @@ def s3_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "s4_kmeans_clusters",
     oracle="""
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+    ), planted AS (
+        SELECT vec_id + 100000 AS vec_id,
+               list_transform(generate_series(1, 64),
+                              i -> embedding[i] * 0.995 + embedding[65 - i] * 0.005) AS embedding
+        FROM base WHERE vec_id < 8
+    ), aug AS (
+        SELECT * FROM base UNION ALL SELECT * FROM planted
+    )
     SELECT vec_id,
            CAST(list_position(embedding, list_max(embedding)) - 1 AS BIGINT) AS argmax_idx,
            CAST(1 AS BIGINT) AS nearest_ok,
-           CAST(1 AS BIGINT) AS keeper_valid,
-           CAST(1 AS BIGINT) AS cosine_valid
-    FROM embeddings
+           CAST(vec_id >= 100000 AS BIGINT) AS pruned,
+           CASE WHEN vec_id >= 100000 THEN vec_id - 100000 END AS keeper_id
+    FROM aug
     """,
 )
 def s4_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Clustering SUITE: Spark ML KMeans over embeddings (corpus
-    stratification / IVF coarse quantizer) + A13 argmax certification,
-    plus SemDeDup semantic deduplication built on the same quantizer.
+    """Clustering SUITE: driver-fit KMeans quantizer over embeddings
+    (corpus stratification / IVF coarse quantizer) + A13 argmax
+    certification, plus SemDeDup semantic deduplication built on the
+    same corpus — certified against PLANTED GROUND TRUTH, not
+    self-checking flags (the r5 advice): 8 near-twins are planted
+    (vec_id+100000, e' = 0.995·e + 0.005·reverse(e), cosine ≈ 0.99999
+    to the original; the same arithmetic s3 certifies cross-engine),
+    and the oracle predicts SemDeDup's full output EXACTLY — every
+    planted row must be pruned with keeper_id = its original (the only
+    lower-id vector clearing the 0.95 threshold: i.i.d. background
+    pairs top out near cosine 0.5), every base row kept. A broken
+    cell assignment, pair generation, threshold, or keep-lowest-id
+    rule flips hashed values.
 
     Cluster ids depend on the sampled init (engine/partitioning-
-    specific), so they are not hashed; instead each row carries
-    recomputed invariants that are 1 iff the result is correct on any
-    engine: nearest_ok (the assigned centroid is the argmin distance
-    over all k centroids), keeper_valid (a pruned row's keeper has a
-    lower id; 1 for kept rows), cosine_valid (cosine(vec, keeper_vec)
-    really clears the SemDeDup threshold; vacuously 1 for kept rows).
-    argmax_idx (ties -> first, ref probs.argmax(axis=1),
-    generate_submission.py:487) is exactly oracle-checked. SemDeDup
-    prune/recall behavior is property-tested with planted duplicates in
-    tests/test_similarity.py."""
+    specific), so they are not hashed; nearest_ok instead certifies
+    assignment by CROSS-PATH agreement (codegen expression argmin vs
+    the Arrow-batched numpy matmul argmin — independent arithmetic;
+    see kmeans_assign_checked). argmax_idx (ties -> first, ref
+    probs.argmax(axis=1), generate_submission.py:487) is exactly
+    oracle-checked over base AND planted vectors. Row counts ride
+    parquet FOOTER metadata (table_row_count) into approx_n, so
+    SemDeDup's auto-k costs no extra count() scan."""
     from bbdc20_submission_spark.operators.clustering import (
         fit_quantizer,
         kmeans_assign_checked,
         semantic_dedup,
     )
-    from bbdc20_submission_spark.operators.similarity import cosine
+    from bbdc20_submission_spark.sources.harness import table_row_count
 
     THRESH = 0.95
     em = load_table(spark, "embeddings", sf_dir)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = em.select("vec_id", v.alias("embedding"))
+    planted = em.filter(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.zip_with(v, F.reverse(v), lambda x, y: x * 0.995 + y * 0.005).alias(
+            "embedding"
+        ),
+    )
+    aug = base.unionByName(planted)
+    n_hint = table_row_count("embeddings", sf_dir)
+    approx_n = (n_hint + 8) if n_hint is not None else None
     # fit ONCE, reuse across the suite (the scale pattern: a corpus
-    # gets one quantizer; every consumer assigns with it). SemDeDup's
-    # auto-k (n / target_cell_size) resolves to the same k=8 at the
-    # test SFs and is exercised by its own property tests; prune
-    # recall is insensitive to k — near-identical twins quantize to
-    # the same centroid at any k.
-    quant = fit_quantizer(em, k=8, max_iter=5, fit_fraction=0.5)
+    # gets one quantizer; every consumer assigns with it)
+    quant = fit_quantizer(aug, k=8, max_iter=5, fit_fraction=0.5,
+                          approx_n=approx_n)
     # argmax + nearest_ok + the vector ride ONE narrow scan (keep_cols)
-    # — no self-join of em to re-attach columns that never left it
+    # — no self-join of aug to re-attach columns that never left it
     checked = kmeans_assign_checked(
-        em, k=8, model=quant, keep_cols=("embedding",)
+        aug, k=8, model=quant, keep_cols=("embedding",)
     ).withColumn("argmax_idx", argmax_array("embedding"))
     # sd gets a FINER quantizer than the k=8 certification one: cell
     # pair volume is O(n·cell_size), so smaller cells = fewer
     # exact-dot pairs, and auto-k (n / target_cell_size) keeps that
     # volume LINEAR in n — a fixed k measured 22.9x wall on 16x data
-    # in the scale probe. The certified invariants are k-independent
-    # (twins co-locate at any k; keeper/cosine checks recompute from
-    # the raw vectors).
-    sd = semantic_dedup(em, threshold=THRESH, max_iter=5,
-                        fit_fraction=0.5, target_cell_size=64)
-    vecs = em.select(
-        F.col("vec_id").alias("_kid"), F.col("embedding").alias("_kv")
-    )
-    return (
-        checked.join(sd, "vec_id")
-        .join(vecs, sd["keeper_id"] == vecs["_kid"], "left")
-        .select(
-            "vec_id",
-            "argmax_idx",
-            "nearest_ok",
-            F.when(F.col("pruned") == 0, F.lit(1))
-            .otherwise((F.col("keeper_id") < F.col("vec_id")).cast("int"))
-            .cast("long")
-            .alias("keeper_valid"),
-            F.when(F.col("pruned") == 0, F.lit(1))
-            .otherwise(
-                (cosine(F.col("embedding"), F.col("_kv")) >= F.lit(THRESH)).cast("int")
-            )
-            .cast("long")
-            .alias("cosine_valid"),
-        )
+    # in the scale probe. The planted-twin predictions are
+    # k-independent (near-identical twins co-locate at any k).
+    sd = semantic_dedup(aug, threshold=THRESH, max_iter=5,
+                        fit_fraction=0.5, target_cell_size=64,
+                        approx_n=approx_n)
+    return checked.join(sd, "vec_id").select(
+        "vec_id", "argmax_idx", "nearest_ok", "pruned", "keeper_id"
     )
 
 
 @query(
     "s5_ivf_topk",
     oracle="""
-    SELECT vec_id AS query_id,
-           CAST(1 AS BIGINT) AS ordered_ok,
-           CAST(1 AS BIGINT) AS results_valid,
-           CAST(1 AS BIGINT) AS within_k
-    FROM embeddings WHERE vec_id < 5
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+    ), q AS (
+        SELECT * FROM base WHERE vec_id < 5
+    ), twins AS (
+        SELECT vec_id + 200000 AS vec_id,
+               list_transform(generate_series(1, 64),
+                              i -> embedding[i] * 0.995 + embedding[65 - i] * 0.005) AS embedding
+        FROM q
+    ), corpus AS (
+        SELECT * FROM base UNION ALL SELECT * FROM twins
+    ), scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+               list_cosine_similarity(q.embedding, c.embedding) AS sim
+        FROM corpus c, q WHERE c.vec_id <> q.vec_id
+    ), ranked AS (
+        SELECT query_id, match_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, match_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, match_id, round(sim, 6) AS cosine_sim, rank,
+           CAST(1 AS BIGINT) AS twin_found
+    FROM ranked WHERE rank <= 3
     """,
 )
 def s5_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (KMeans-cell) approximate cosine top-k — the clustered scale
-    path beside the LSH one. Cell membership depends on the trained
-    quantizer (engine-specific), so the certified output is a
-    per-query invariant block: results sorted by descending cosine
-    (ordered_ok), valid similarity range and no self-matches
-    (results_valid), at most k rows (within_k) — each recomputed from
-    the actual result rows, vacuously 1 for empty cells. Recall is
-    property-tested in tests/test_similarity.py."""
+    path beside the LSH one — certified against PLANTED GROUND TRUTH
+    plus the exact brute-force side (the r5 advice: the old oracle was
+    an all-1 invariant block).
+
+    A near-twin of every query is planted into the corpus
+    (vec_id+200000, e' = 0.995·e + 0.005·reverse(e), cosine ≈ 0.99999
+    — i.i.d. background pairs top out near 0.5, so the twin is the
+    undisputed exact top-1). The certified output is the EXACT top-3
+    (query_id, match_id, cosine, rank — every value recomputed by
+    DuckDB's own brute force, the s_topk exact pattern) joined with
+    ``twin_found``: 1 iff the IVF path actually retrieved the planted
+    twin among its top-k. The oracle predicts twin_found = 1 — true
+    only if quantizer assignment co-locates twin and query, nprobe
+    probing reaches the cell, and the within-cell re-rank surfaces it;
+    any breakage in those stages hash-mismatches. Honest-approximate
+    recall on the unplanted background (~0.5 at nprobe=2 on i.i.d.
+    vectors) stays property-tested in tests/test_similarity.py."""
     from bbdc20_submission_spark.operators.clustering import ivf_topk
 
     em = load_table(spark, "embeddings", sf_dir)
-    q = em.filter(F.col("vec_id") < 5)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = em.select("vec_id", v.alias("embedding"))
+    q = base.filter(F.col("vec_id") < 5)
+    twins = q.select(
+        (F.col("vec_id") + 200000).alias("vec_id"),
+        F.zip_with(
+            F.col("embedding"), F.reverse("embedding"),
+            lambda x, y: x * 0.995 + y * 0.005,
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(twins)
     # quantizer fit on a 25% seeded sample of the corpus only — the
     # scale pattern (centroid quality needs a fraction; assignment is
     # one narrow pass per side, no union/distinct of wide vectors)
-    res = ivf_topk(em, q, k=3, max_iter=5, fit_fraction=0.25, nprobe=2)
-    w = Window.partitionBy("query_id").orderBy("rank")
-    flags = (
-        res.withColumn("_prev", F.lag("cosine_sim").over(w))
+    ivf = ivf_topk(corpus, q, k=3, max_iter=5, fit_fraction=0.25, nprobe=2)
+    twin_hits = (
+        ivf.filter(F.col("match_id") == F.col("query_id") + 200000)
         .groupBy("query_id")
-        .agg(
-            F.min(
-                F.when(
-                    F.col("_prev").isNull()
-                    | (F.col("cosine_sim") <= F.col("_prev") + 1e-9),
-                    1,
-                ).otherwise(0)
-            ).alias("ordered_ok"),
-            F.min(
-                F.when(
-                    (F.col("cosine_sim") >= -1.000001)
-                    & (F.col("cosine_sim") <= 1.000001)
-                    & (F.col("match_id") != F.col("query_id")),
-                    1,
-                ).otherwise(0)
-            ).alias("results_valid"),
-            F.count(F.lit(1)).alias("_n"),
-        )
+        .agg(F.count(F.lit(1)).alias("_th"))
     )
-    return (
-        q.select(F.col("vec_id").alias("query_id"))
-        .join(flags, "query_id", "left")
-        .select(
-            "query_id",
-            F.coalesce("ordered_ok", F.lit(1)).cast("long").alias("ordered_ok"),
-            F.coalesce("results_valid", F.lit(1)).cast("long").alias("results_valid"),
-            F.coalesce(F.col("_n") <= 3, F.lit(True)).cast("long").alias("within_k"),
-        )
+    exact = cosine_topk_bruteforce(corpus, q, k=3)
+    return exact.join(twin_hits, "query_id", "left").select(
+        "query_id",
+        "match_id",
+        "cosine_sim",
+        "rank",
+        F.coalesce(F.col("_th") >= 1, F.lit(False)).cast("long").alias("twin_found"),
     )
 
 

@@ -20,10 +20,10 @@ def test_oracle_match(spark, sf_dir, name):
     assert rows >= 0
 
 
-@pytest.mark.parametrize("name", sorted(set(registry.QUERIES) - set(registry.ORACLE)))
-def test_rows_only_queries_run(spark, sf_dir, name):
-    df = registry.QUERIES[name](spark, sf_dir)
-    assert df.count() >= 0
+def test_every_query_has_an_oracle():
+    """Rows-only queries no longer exist — every registered query must
+    carry a DuckDB oracle (the strongest driver certification class)."""
+    assert set(registry.QUERIES) == set(registry.ORACLE)
 
 
 def test_asof_join_strict_excludes_equal_ts(spark):
