@@ -1206,8 +1206,31 @@ _C1_ORACLE = f"""
                  'https?://[^\\s]+', '<URL>', 'g') AS text
         FROM filt
     ),
-    ct AS (
+    bt AS (
         SELECT doc_id, lang_pred, quality, str_split(text, ' ') AS t FROM scrubbed
+    ),
+    bchunks AS (
+        SELECT doc_id, lang_pred, quality, chunk_id,
+               array_to_string(t[(chunk_id * 32 + 1):(chunk_id * 32 + 32)], ' ') AS ct
+        FROM (SELECT doc_id, lang_pred, quality, t,
+                     unnest(generate_series(0,
+                         CAST(greatest(ceil(len(t) / 32.0), 1) AS BIGINT) - 1)) AS chunk_id
+              FROM bt)
+    ),
+    bflag AS (
+        SELECT md5(ct) AS h FROM bchunks
+        GROUP BY md5(ct) HAVING count(DISTINCT doc_id) >= 2
+    ),
+    stripped AS (
+        SELECT doc_id, lang_pred, quality,
+               coalesce(string_agg(ct, ' ' ORDER BY chunk_id)
+                            FILTER (WHERE md5(ct) NOT IN (SELECT h FROM bflag)),
+                        '') AS text
+        FROM bchunks GROUP BY doc_id, lang_pred, quality
+    ),
+    ct AS (
+        SELECT doc_id, lang_pred, quality, str_split(text, ' ') AS t
+        FROM stripped WHERE length(text) > 0
     ),
     chunks AS (
         SELECT doc_id, lang_pred, quality, t,
@@ -1226,17 +1249,22 @@ _C1_ORACLE = f"""
 @query("c1_curation_dag", oracle=_C1_ORACLE)
 def c1_curation_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The WHOLE curation pipeline — exact dedup -> near-dup cluster
-    representatives -> quality + language filter -> PII scrub -> token
-    chunking — certified end to end as one composed plan. Each stage's
-    oracle SQL is the identical formula its per-operator query uses;
-    composition correctness (stage order, survivor joins, metadata
-    re-attachment) is what this query adds over d1/d12/d2/d4/d10.
-    Sampling is off here because its certified form (d15) uses the
-    portable hash while the DAG's default uses xxhash64."""
+    representatives -> quality + language filter -> PII scrub ->
+    cross-document boilerplate strip -> token chunking — certified end
+    to end as one composed plan. Each stage's oracle SQL is the
+    identical formula its per-operator query uses (the strip CTEs are
+    d5's md5-chunk formula at the DAG's 32-token width); composition
+    correctness (stage order, survivor joins, metadata re-attachment,
+    re-chunking of stripped text) is what this query adds over
+    d1/d12/d2/d4/d10/d5. The corpus carries naturally repeated
+    32-token chunks (27 across >=2 docs at sf0.01), so the strip stage
+    is non-vacuous on the certified path. Sampling is off here because
+    its certified form (d15) uses the portable hash while the DAG's
+    default uses xxhash64."""
     from bbdc20_submission_spark.plans.curation import CurationConfig, curate
 
     d = load_table(spark, "documents", sf_dir)
-    out, _ = curate(d, CurationConfig())
+    out, _ = curate(d, CurationConfig(strip_boilerplate_min_docs=2))
     return out.select(
         "doc_id", "chunk_id", "chunk_text", "n_tokens", "lang_pred", "quality"
     )
