@@ -7,6 +7,14 @@ Subcommands:
   or show rows.
 - ``curate --documents PATH [--out PATH] [--audit] [...]`` — run the
   LLM-data curation DAG over a documents parquet (doc_id, text).
+- ``stream-curate --documents PATH --out DIR [--checkpoint DIR]`` —
+  the stateless streaming curation chain as a real Structured
+  Streaming job: file-source readStream over the documents parquet,
+  one ``Trigger.AvailableNow`` drain into a parquet sink with a
+  checkpoint, then a summary count. The same entry a production
+  deployment would run continuously (drop the trigger) — here it
+  processes everything available and stops, which is what makes it
+  smoke-testable by a driver.
 - ``pipeline --labels CSV --emg DIR --mocap DIR --emg-test DIR
   --mocap-test DIR --out DIR`` — the full BBDC reference pipeline from
   native CSV layout to the submission CSV.
@@ -19,6 +27,7 @@ contract surface.
 from __future__ import annotations
 
 import argparse
+import os
 import json
 import sys
 
@@ -67,6 +76,41 @@ def _cmd_curate(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_stream_curate(args: argparse.Namespace) -> int:
+    from bbdc20_submission_spark.session import get_spark
+    from bbdc20_submission_spark.streaming.curation import stream_curate
+
+    spark = get_spark("stream-curate")
+    # file-source streams need an explicit schema: peek it from the
+    # parquet footer via a batch reader (no data pages scanned)
+    schema = spark.read.parquet(args.documents).schema
+    path = args.documents
+    if os.path.isfile(path):
+        # the file stream source requires a directory basePath and
+        # force-sets it to the given path; a glob that matches only
+        # this file makes the source infer the parent dir instead
+        path = path + "*"
+    stream = spark.readStream.schema(schema).parquet(path)
+    out = stream_curate(
+        stream,
+        min_quality=args.min_quality,
+        keep_langs=tuple(args.langs.split(",")),
+        chunk_tokens=args.chunk_tokens,
+    )
+    query = (
+        out.writeStream.format("parquet")
+        .option("path", args.out)
+        .option("checkpointLocation", args.checkpoint or args.out + "_ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    n = spark.read.parquet(args.out).count()
+    print(json.dumps({"chunks": n, "out": args.out}))
+    return 0
+
+
 def _cmd_pipeline(args: argparse.Namespace) -> int:
     from bbdc20_submission_spark.plans.pipeline import run_pipeline
     from bbdc20_submission_spark.session import get_spark
@@ -112,6 +156,18 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--chunk-tokens", type=int, default=32)
     c.add_argument("--strip-boilerplate-min-docs", type=int, default=None)
     c.set_defaults(fn=_cmd_curate)
+
+    s = sub.add_parser(
+        "stream-curate",
+        help="run the streaming curation chain once (Trigger.AvailableNow)",
+    )
+    s.add_argument("--documents", required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--checkpoint")
+    s.add_argument("--min-quality", type=float, default=0.5)
+    s.add_argument("--langs", default="en,de,es,fr")
+    s.add_argument("--chunk-tokens", type=int, default=32)
+    s.set_defaults(fn=_cmd_stream_curate)
 
     pl = sub.add_parser("pipeline", help="run the BBDC reference pipeline")
     pl.add_argument("--labels", required=True)

@@ -49,17 +49,23 @@ def main() -> None:
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in sorted(registry.QUERIES):
-        best = None
+        samples: list[float] = []
         try:
             for _ in range(reps):
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
                 force(registry.QUERIES[name](spark, sf_dir))
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-            timings[name] = round(best, 3)
+                samples.append(time.perf_counter() - t0)
+            # min = the steady-state floor (standard estimator on a
+            # shared box); median = the robustness companion — when
+            # min and median diverge across rounds the move is load/GC
+            # noise, when both move together it's a real plan change
+            samples.sort()
+            timings[name] = round(samples[0], 3)
+            medians[name] = round(samples[len(samples) // 2], 3)
         except Exception as exc:  # one bad query must not kill the run
             errors[name] = str(exc).splitlines()[0][:200]
 
@@ -68,6 +74,7 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "queries_median": medians,
         "sf": sf,
     }
     if errors:

@@ -35,3 +35,34 @@ def test_cli_curate_audit_json(sf_dir, tmp_path, capsys):
     audit = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert audit["raw"] >= audit["quality_lang_pass"] > 0
     assert audit["sampled"] == audit["chunks"] > 0  # chunks-per-doc >= 1
+
+
+def test_cli_stream_curate_available_now(spark, sf_dir, tmp_path, capsys):
+    """stream-curate runs a REAL Structured Streaming job (file source,
+    AvailableNow trigger, parquet sink + checkpoint) and its output
+    must equal the batch stream_curate over the same documents."""
+    from bbdc20_submission_spark.sources.harness import load_table
+    from bbdc20_submission_spark.streaming.curation import stream_curate
+
+    out = str(tmp_path / "chunks")
+    rc = main(
+        [
+            "stream-curate",
+            "--documents", f"{sf_dir}/documents.parquet",
+            "--out", out,
+            "--checkpoint", str(tmp_path / "ckpt"),
+        ]
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    batch = stream_curate(load_table(spark, "documents", sf_dir))
+    want = {
+        (r["doc_id"], r["chunk_id"], r["chunk_text"])
+        for r in batch.collect()
+    }
+    got = {
+        (r["doc_id"], r["chunk_id"], r["chunk_text"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == want
+    assert summary["chunks"] == len(want) > 0
