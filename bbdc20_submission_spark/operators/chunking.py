@@ -109,6 +109,29 @@ def boilerplate_chunks(
     )
 
 
+def boilerplate_hashes(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 16,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Detection-only variant of :func:`boilerplate_chunks` for
+    pipelines that immediately strip: just the flagged ``chunk_hash``
+    dim (no exemplar-text fetch — that second join exists for audit/
+    reporting, and is wasted work when the only consumer is
+    ``strip_boilerplate``). Output: [chunk_hash]."""
+    chunks = chunk_by_tokens(df, text_col, id_col, chunk_tokens).select(
+        id_col, F.md5("chunk_text").alias("chunk_hash")
+    )
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("chunk_hash")
+    )
+
+
 def strip_boilerplate(
     df: DataFrame,
     flagged: DataFrame,

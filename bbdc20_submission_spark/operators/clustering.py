@@ -292,6 +292,7 @@ def kmeans_assign(
     seed: int = 7,
     max_iter: int = 20,
     fit_fraction: float = 1.0,
+    approx_n: int | None = None,
 ) -> DataFrame:
     """Fit + assign in one call. Output: [id_col, cluster].
 
@@ -301,7 +302,7 @@ def kmeans_assign(
     cheap pass)."""
     model = fit_quantizer(
         df, k=k, vec_col=vec_col, seed=seed, max_iter=max_iter,
-        fit_fraction=fit_fraction,
+        fit_fraction=fit_fraction, approx_n=approx_n,
     )
     return assign_clusters(model, df, id_col=id_col, vec_col=vec_col)
 
@@ -316,6 +317,7 @@ def kmeans_assign_checked(
     fit_fraction: float = 1.0,
     model: CentroidQuantizer | None = None,
     keep_cols: tuple[str, ...] = (),
+    approx_n: int | None = None,
 ) -> DataFrame:
     """KMeans assignment with a deterministic self-check column.
 
@@ -337,7 +339,7 @@ def kmeans_assign_checked(
     if model is None:
         model = fit_quantizer(
             df, k=k, vec_col=vec_col, seed=seed, max_iter=max_iter,
-            fit_fraction=fit_fraction,
+            fit_fraction=fit_fraction, approx_n=approx_n,
         )
     in_cols = list(dict.fromkeys([id_col, *keep_cols, vec_col]))
     assigned = _with_cluster(
@@ -378,6 +380,7 @@ def ivf_topk(
     fit_fraction: float = 1.0,
     model: CentroidQuantizer | None = None,
     nprobe: int = 1,
+    approx_n: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: exact cosine re-rank restricted to the
     query's ``nprobe`` nearest KMeans cells. The clustered variant of
@@ -399,7 +402,7 @@ def ivf_topk(
     if model is None:
         model = fit_quantizer(
             corpus, k=n_clusters, vec_col=vec_col, seed=seed,
-            max_iter=max_iter, fit_fraction=fit_fraction,
+            max_iter=max_iter, fit_fraction=fit_fraction, approx_n=approx_n,
         )
 
     # corpus: single-cell assignment, one narrow pass; the vector

@@ -280,3 +280,83 @@ def with_repetition_flag(
     )
     flag = _repetition_final_exprs(top_frac_max, dup_2gram_max)[-1]
     return raw.select(*df.columns, flag.alias(out_col))
+
+
+def classifier_weights(n_features: int = 256, seed: int = 13) -> list[float]:
+    """Deterministic stand-in weight vector for the linear quality
+    classifier: portable LCG (the same generator family as the LSH
+    hyperplanes — no numpy state, reproducible on any engine) mapped
+    into (-1, 1). Real deployments replace this with the trained
+    fastText / logistic-regression weights; everything downstream is
+    agnostic to where the numbers came from."""
+    state = seed
+    out = []
+    for _ in range(n_features):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        out.append((state / float(1 << 64)) * 2.0 - 1.0)
+    return out
+
+
+def classifier_quality_score(
+    df: DataFrame,
+    text_col: str = "text",
+    n_features: int = 256,
+    seed: int = 13,
+    weights: Sequence[float] | None = None,
+    out_col: str = "clf_score",
+) -> DataFrame:
+    """Model-based quality scoring — the fastText/CCNet/DCLM filter
+    stage of a pretraining pipeline — as a linear classifier over
+    hashed bag-of-words features, mean-pooled and squashed with a
+    sigmoid:
+
+        score = sigmoid( Σ_t W[h(t) mod n_features] / n_tokens )
+
+    Evaluated entirely as Catalyst expressions: ONE narrow projection,
+    zero shuffle, zero Python; the weight vector is inlined as a
+    literal array, so at 100 TB the score costs a per-token hash +
+    array lookup inside whole-stage codegen with no side input at all
+    (a trained model still fitting a literal/broadcast rides the same
+    plan). Featurization uses the engine-portable md5-prefix token
+    hash (the ``portable_fingerprint`` family), so any engine
+    reproduces the exact score — which is what makes the operator
+    oracle-certifiable, unlike an opaque model binary.
+
+    ``weights`` defaults to :func:`classifier_weights` (seeded
+    stand-in); pass trained weights in production."""
+    if weights is None:
+        weights = classifier_weights(n_features, seed)
+    if len(weights) != n_features:
+        raise ValueError(
+            f"weights has {len(weights)} entries, expected n_features={n_features}"
+        )
+    W = F.array(*[F.lit(float(w)) for w in weights])
+    toks = ws_tokens(F.col(text_col))
+
+    def _w(x: Column) -> Column:
+        h = F.pmod(
+            F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long"),
+            F.lit(n_features),
+        )
+        return F.element_at(W, (h + 1).cast("int"))
+
+    z = F.aggregate(toks, F.lit(0.0), lambda acc, x: acc + _w(x)) / F.size(toks)
+    return df.withColumn(out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
+
+
+def classifier_score_sql(
+    text_expr: str = "text", n_features: int = 256, seed: int = 13
+) -> str:
+    """The DuckDB expression reproducing ``classifier_quality_score``
+    bit-for-bit (same left-fold order, same portable hash, same
+    literal weights) — the oracle side of the certification."""
+    w_sql = "[" + ", ".join(
+        repr(w) for w in classifier_weights(n_features, seed)
+    ) + "]"
+    return (
+        "1.0 / (1.0 + exp(-(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(str_split({text_expr}, ' '), "
+        f"x -> ({w_sql})[(CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT) "
+        f"% {n_features}) + 1])), (acc, x) -> acc + x) "
+        f"/ len(str_split({text_expr}, ' ')))))"
+    )

@@ -39,6 +39,8 @@ from bbdc20_submission_spark.operators.similarity import (
 from bbdc20_submission_spark.operators.text import (
     STOPWORDS,
     TOKEN_PATTERN,
+    classifier_quality_score,
+    classifier_score_sql,
     language_id,
     portable_fingerprint,
     quality_score,
@@ -203,7 +205,7 @@ def d12_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "d2_text_quality",
-    oracle="""
+    oracle=f"""
     WITH s AS (
         SELECT doc_id,
                length(text) AS n_chars,
@@ -280,11 +282,15 @@ def d12_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c.doc_id, count(*) AS n_shared
         FROM corpus c JOIN eval_grams e ON c.g = e.g
         GROUP BY c.doc_id
+    ),
+    clf AS (
+        SELECT doc_id, round({classifier_score_sql()}, 6) AS clf_score
+        FROM documents
     )
     SELECT st.doc_id,
            st.stat_n_chars, st.stat_n_tokens, st.stat_avg_token_len,
            st.stat_punct_ratio, st.stat_digit_ratio, st.stat_stopword_ratio,
-           st.quality,
+           st.quality, cl.clf_score,
            r.top_word_count, r.top_word_frac, r.dup_2gram_frac,
            r.repetition_ok,
            CASE WHEN st.doc_id % 100 = 0 THEN CAST(-1 AS BIGINT)
@@ -293,16 +299,21 @@ def d12_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE CAST(coalesce(h.n_shared, 0) > 0 AS BIGINT) END AS contaminated
     FROM stats st
     JOIN rep r ON r.doc_id = st.doc_id
+    JOIN clf cl ON cl.doc_id = st.doc_id
     LEFT JOIN hits h ON h.doc_id = st.doc_id
     """,
 )
 def d2_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document curation-quality SUITE: the quality-scoring stats
-    block + composite score, the Gopher-style repetition filters
-    (Rae et al. 2021: top-word fraction, duplicate-2-gram fraction,
-    pass flag), and the benchmark-contamination decontamination pass
-    (every 100th doc plays the held-out benchmark; corpus docs are
-    flagged by shared 5-gram count, eval docs carry a -1 sentinel).
+    block + composite score, the MODEL-BASED quality score (r6: the
+    fastText/CCNet/DCLM filter stage — hashed bag-of-words linear
+    classifier + sigmoid as pure codegen expressions, portable
+    md5-prefix featurization so the oracle reproduces the exact
+    score), the Gopher-style repetition filters (Rae et al. 2021:
+    top-word fraction, duplicate-2-gram fraction, pass flag), and the
+    benchmark-contamination decontamination pass (every 100th doc
+    plays the held-out benchmark; corpus docs are flagged by shared
+    5-gram count, eval docs carry a -1 sentinel).
 
     Shape: quality + repetition columns come out of ONE narrow
     projection over the documents scan (no shuffle — the score
@@ -336,10 +347,14 @@ def d2_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # then cheap derivations); [1:] drops its n_tokens — identical to
     # stat_n_tokens (both = whitespace token count), kept once
     narrow = (
-        quality_score(d)
+        classifier_quality_score(quality_score(d))
         .withColumn("_toks", ws_tokens(F.col("text")))
-        .select(*stat_cols, *_repetition_raw_exprs())
-        .select(*stat_cols, *_repetition_final_exprs(0.2, 0.2)[1:])
+        .select(
+            *stat_cols,
+            F.round("clf_score", 6).alias("clf_score"),
+            *_repetition_raw_exprs(),
+        )
+        .select(*stat_cols, "clf_score", *_repetition_final_exprs(0.2, 0.2)[1:])
     )
     eval_set = d.filter(F.col("doc_id") % 100 == 0)
     corpus = d.filter(F.col("doc_id") % 100 != 0)
@@ -354,6 +369,7 @@ def d2_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stat_digit_ratio",
         "stat_stopword_ratio",
         "quality",
+        "clf_score",
         "top_word_count",
         "top_word_frac",
         "dup_2gram_frac",

@@ -81,13 +81,31 @@ HEADLINERS = {
         "ride an exchange."
     ),
     "s4_kmeans_clusters": (
-        "Clustering suite: quantizer fit driver-side on a bounded "
-        "deterministic sample (k-means++ + Lloyd's, numpy), then ONE "
-        "narrow codegen pass computes assignment + argmax + the "
-        "nearest-centroid invariant (no re-join of em); SemDeDup runs "
-        "on a finer 32-cell quantizer (pair volume O(n*cell)) with "
-        "per-row L2 norms materialized through the persisted cell "
-        "frame so pair cosine is a single dot product."
+        "Clustering suite over the twin-augmented corpus (planted "
+        "ground truth): quantizer fit driver-side on a bounded "
+        "deterministic sample (k-means++ + Lloyd's, numpy; row count "
+        "from parquet footers — no count() job), then ONE narrow pass "
+        "computes assignment + argmax + the cross-path nearest_ok "
+        "(codegen argmin vs Arrow matmul argmin); SemDeDup runs on a "
+        "finer auto-k quantizer (pair volume O(n*cell)) with per-row "
+        "L2 norms materialized through the persisted cell frame so "
+        "pair cosine is a single dot product."
+    ),
+    "s5_ivf_topk": (
+        "IVF top-k vs planted ground truth: corpus+twins is a narrow "
+        "zero-shuffle Union; corpus side gets one narrow cell "
+        "assignment (vectors never shuffle on a key), query side "
+        "explodes its nprobe nearest cells and BROADCASTs into the "
+        "cell equi-join; exact brute-force side broadcasts the 5-query "
+        "dim. No distinct/exchange over the vector column anywhere."
+    ),
+    "a7_global_stats": (
+        "Global stats + EXACT median as one lazy plan: the two-pass "
+        "bracketed percentile rides a broadcast cross join (pass-1 "
+        "count+sketch row into pass-2 bracket agg), so per-node state "
+        "is O(sketch) instead of the builtin percentile's full "
+        "value->count map; interpolation finishes as a scalar "
+        "expression."
     ),
     "d9_simhash_near_dups": (
         "Multi-index Hamming search: fingerprints persisted (2 longs/"

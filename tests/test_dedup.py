@@ -225,3 +225,56 @@ def test_hamming_near_pairs_pigeonhole_recall(spark):
     for pair, h in expected.items():
         assert out.get(pair) == h, (pair, h, out.get(pair))
     assert all(v <= 13 for v in out.values())
+
+
+def test_classifier_quality_score_matches_reference_math(spark):
+    """The hashed-BoW linear scorer must equal an independent python
+    re-derivation (hashlib md5 featurization + float fold in token
+    order), and its plan must stay a pure narrow map (no Exchange)."""
+    import hashlib
+    import math
+
+    from bbdc20_submission_spark.operators.text import (
+        classifier_quality_score,
+        classifier_weights,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "a a a a a",
+        "data systems at scale need partition pruning",
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r["clf_score"]
+        for r in classifier_quality_score(df).collect()
+    }
+    W = classifier_weights()
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        acc = 0.0
+        for tok in toks:
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 256
+            acc = acc + W[h]
+        want = 1.0 / (1.0 + math.exp(-(acc / len(toks))))
+        assert out[i] == want, (i, out[i], want)
+    plan = (
+        classifier_quality_score(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_classifier_weights_validation(spark):
+    import pytest
+
+    from bbdc20_submission_spark.operators.text import classifier_quality_score
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="n_features"):
+        classifier_quality_score(df, weights=[0.1, 0.2], n_features=4)
