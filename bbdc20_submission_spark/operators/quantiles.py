@@ -65,6 +65,12 @@ def exact_percentile(
             if frac == 0:
                 return float(vk)
             vk1 = vals[last_needed - below]
+            # equal endpoints short-circuit: both Spark's Percentile
+            # (value->count map — one entry spans both ranks) and
+            # DuckDB's quantile_cont return the exact value, while
+            # a*(1-frac) + a*frac re-rounds to a±1ulp
+            if vk1 == vk:
+                return float(vk)
             # lower*(1-frac) + higher*frac — the exact evaluation order
             # Spark's Percentile and DuckDB's quantile_cont use; the
             # algebraically-equal lower+(higher-lower)*frac rounds
@@ -139,10 +145,11 @@ def exact_percentile_frame(
     vk = F.element_at("_vals", (k - F.col("_below") + 1).cast("int"))
     vk1 = F.element_at("_vals", (k - F.col("_below") + 2).cast("int"))
     # lower*(1-frac) + higher*frac — the exact evaluation order Spark's
-    # Percentile and DuckDB's quantile_cont use (see exact_percentile)
+    # Percentile and DuckDB's quantile_cont use (see exact_percentile);
+    # equal endpoints short-circuit to the exact value as both engines do
     return pass2.select(
         F.when(F.col("_n").isNull() | (F.col("_n") == 0), F.lit(None).cast("double"))
-        .when(frac == 0, vk)
+        .when((frac == 0) | (vk1 == vk), vk)
         .otherwise(vk * (F.lit(1.0) - frac) + vk1 * frac)
         .alias(out_col)
     )
@@ -251,14 +258,14 @@ def exact_percentile_by(
             last_needed = k + (1 if frac > 0 else 0)
             if below <= k and last_needed < below + len(vals):
                 vk = vals[k - below]
-                if frac == 0:
+                vk1 = vals[last_needed - below]
+                if frac == 0 or vk1 == vk:
+                    # equal-endpoint short-circuit — see exact_percentile
                     res[gk] = float(vk)
                 else:
                     # same evaluation order as Spark Percentile /
                     # DuckDB quantile_cont (see exact_percentile)
-                    res[gk] = float(
-                        vk * (1 - frac) + vals[last_needed - below] * frac
-                    )
+                    res[gk] = float(vk * (1 - frac) + vk1 * frac)
             else:  # sketch-violating corner: widen to the full range
                 nxt[gk] = (lo_all, hi_all)
         pend = nxt

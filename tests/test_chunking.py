@@ -214,3 +214,28 @@ def test_strip_boilerplate_can_empty_a_document(spark):
     }
     assert clean[0] == "" and clean[1] == ""
     assert clean[2] == "x y z w"
+
+
+def test_boilerplate_hashes_equals_full_detection(spark):
+    """boilerplate_hashes (the detection-only DAG fast path) must flag
+    exactly the same chunk_hash set as boilerplate_chunks."""
+    from bbdc20_submission_spark.operators.chunking import (
+        boilerplate_chunks,
+        boilerplate_hashes,
+    )
+
+    banner = "this license banner repeats verbatim in many documents here"
+    rows = [
+        (i, (banner + f" body {i} unique words " + "filler " * i).strip())
+        for i in range(8)
+    ] + [(100, "entirely unique document with no repeats at all")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = {
+        r["chunk_hash"]
+        for r in boilerplate_chunks(df, chunk_tokens=4, min_docs=3).collect()
+    }
+    fast = {
+        r["chunk_hash"]
+        for r in boilerplate_hashes(df, chunk_tokens=4, min_docs=3).collect()
+    }
+    assert fast == full and len(full) > 0

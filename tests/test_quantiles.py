@@ -82,3 +82,49 @@ def test_grouped_two_pass_guards_group_cardinality(spark, sf_dir):
     li = load_table(spark, "lineitem", sf_dir)
     with pytest.raises(ValueError, match="max_groups"):
         exact_percentile_by(li, ["l_orderkey"], "l_extendedprice", 0.5, max_groups=5)
+
+
+def test_lazy_frame_random_inputs_match_builtin(spark):
+    """Randomized pin for exact_percentile_frame: many seeded value
+    sets x percentiles, every result bit-equal to the builtin
+    percentile (covers duplicate-heavy, skewed, and tiny inputs)."""
+    import random
+
+    from bbdc20_submission_spark.operators.quantiles import exact_percentile_frame
+
+    rng = random.Random(99)
+    for case in range(6):
+        n = rng.choice([3, 17, 101, 1500])
+        vals = [
+            round(rng.gauss(0, 1000), rng.choice([0, 2, 6])) for _ in range(n)
+        ]
+        if case % 2:  # duplicate-heavy variant
+            vals = [rng.choice(vals[: max(3, n // 10)]) for _ in range(n)]
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        for p in (0.0, 0.37, 0.5, 0.93, 1.0):
+            want = df.agg(
+                F.expr(f"percentile(v, {p})").alias("x")
+            ).collect()[0]["x"]
+            got = exact_percentile_frame(df, "v", p).collect()[0]["pct"]
+            assert got == want, (case, p, got, want)
+
+
+def test_duplicate_endpoint_short_circuit(spark):
+    """r6 regression: when both interpolation endpoints are the same
+    duplicated value, builtin percentile (and quantile_cont) return it
+    EXACTLY; a*(1-f)+a*f re-rounds into a±1ulp. All three operator
+    forms must short-circuit."""
+    from bbdc20_submission_spark.operators.quantiles import (
+        exact_percentile,
+        exact_percentile_by,
+        exact_percentile_frame,
+    )
+
+    vals = [-208.9, -208.9, -208.9, 5.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    want = df.agg(F.expr("percentile(v, 0.37)").alias("x")).collect()[0]["x"]
+    assert want == -208.9
+    assert exact_percentile(df, "v", 0.37) == want
+    assert exact_percentile_frame(df, "v", 0.37).collect()[0]["pct"] == want
+    g = spark.createDataFrame([(1, v) for v in vals], "k long, v double")
+    assert exact_percentile_by(g, ["k"], "v", 0.37) == [(1, want)]
