@@ -62,6 +62,7 @@ def _cmd_curate(args: argparse.Namespace) -> int:
     docs = spark.read.parquet(args.documents)
     cfg = CurationConfig(
         min_quality=args.min_quality,
+        min_clf_score=args.min_clf_score,
         keep_langs=tuple(args.langs.split(",")),
         chunk_tokens=args.chunk_tokens,
         strip_boilerplate_min_docs=args.strip_boilerplate_min_docs,
@@ -152,6 +153,7 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--out")
     c.add_argument("--audit", action="store_true")
     c.add_argument("--min-quality", type=float, default=0.5)
+    c.add_argument("--min-clf-score", type=float, default=None)
     c.add_argument("--langs", default="en,de,es,fr")
     c.add_argument("--chunk-tokens", type=int, default=32)
     c.add_argument("--strip-boilerplate-min-docs", type=int, default=None)

@@ -48,13 +48,34 @@ _DEFAULT_SAMPLE_CAP = 262_144
 class CentroidQuantizer:
     """A fitted coarse quantizer: ``centers`` is a (k, dim) float64
     ndarray. Exposes ``clusterCenters()`` for compatibility with the
-    Spark-ML-model subset the operators here historically consumed."""
+    Spark-ML-model subset the operators here historically consumed.
+
+    ``save``/``load`` persist the centroid matrix as JSON — the
+    fit-once / reuse-everywhere artifact of an IVF deployment: one job
+    trains the quantizer on a corpus sample, every later
+    assign/ivf_topk/semantic_dedup job (batch or streaming) loads the
+    same centroids from shared storage instead of refitting. Python
+    float repr round-trips IEEE doubles exactly, so save->load is
+    bit-identical and assignments stay deterministic across jobs."""
 
     def __init__(self, centers: np.ndarray) -> None:
         self.centers = np.asarray(centers, dtype=np.float64)
 
     def clusterCenters(self) -> list[np.ndarray]:
         return [c for c in self.centers]
+
+    def save(self, path: str) -> None:
+        import json
+
+        with open(path, "w") as fh:
+            json.dump({"centers": self.centers.tolist()}, fh)
+
+    @classmethod
+    def load(cls, path: str) -> "CentroidQuantizer":
+        import json
+
+        with open(path) as fh:
+            return cls(np.asarray(json.load(fh)["centers"], dtype=np.float64))
 
 
 def _argmin_rows(X: np.ndarray, centers: np.ndarray) -> np.ndarray:

@@ -56,6 +56,10 @@ class CurationConfig:
 
     near_dup_jaccard: float = 0.5
     min_quality: float = 0.5
+    # model-based quality gate (fastText/CCNet/DCLM stage); None = off.
+    # Uses text.classifier_quality_score — one extra narrow expression
+    # in the same filter projection, no new shuffle.
+    min_clf_score: float | None = None
     keep_langs: tuple[str, ...] = ("en", "de", "es", "fr")
     chunk_tokens: int = 32
     chunk_overlap: int = 0
@@ -121,14 +125,21 @@ def curate(
     near_unique = exact_unique.join(reps, id_col, "left_semi")
     _tap("near_unique", near_unique)
 
-    # 3+4. quality, language, scrub: all narrow maps — one projection
-    # pipeline, no shuffles between them.
+    # 3+4. quality, language, (optional) classifier, scrub: all narrow
+    # maps — one projection pipeline, no shuffles between them.
     scored = quality_score(near_unique, text_col)
     scored = language_id(scored, text_col)
-    filtered = scored.filter(
-        (F.col("quality") >= config.min_quality)
-        & F.col("lang_pred").isin(*config.keep_langs)
+    keep = (F.col("quality") >= config.min_quality) & F.col("lang_pred").isin(
+        *config.keep_langs
     )
+    if config.min_clf_score is not None:
+        from bbdc20_submission_spark.operators.text import (
+            classifier_quality_score,
+        )
+
+        scored = classifier_quality_score(scored, text_col)
+        keep = keep & (F.col("clf_score") >= config.min_clf_score)
+    filtered = scored.filter(keep)
     _tap("quality_lang_pass", filtered)
     scrubbed = scrub_text(filtered, text_col, out_col="_scrubbed")
 

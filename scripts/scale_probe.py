@@ -102,16 +102,28 @@ def main() -> None:
     from bbdc20_submission_spark.operators.ranking import bm25_score
     from bbdc20_submission_spark.plans.curation import curate
 
+    from bbdc20_submission_spark.plans.curation import CurationConfig
+
     def _curate(spark, d):
         docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
         out, _ = curate(docs)
+        return out
+
+    def _curate_strip(spark, d):
+        # the certified c1 configuration (boilerplate strip on)
+        docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+        out, _ = curate(docs, CurationConfig(strip_boilerplate_min_docs=2))
         return out
 
     def _bm25(spark, d):
         docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
         return bm25_score(docs, ["the", "data", "model", "quick"])
 
-    EXT = {"curation_dag": _curate, "bm25_score": _bm25}
+    EXT = {
+        "curation_dag": _curate,
+        "curation_dag_strip": _curate_strip,
+        "bm25_score": _bm25,
+    }
 
     store = {"queries": {}, "ext": {}, "rows": {}}
     if os.path.exists(RESULTS_JSON):

@@ -81,3 +81,27 @@ def test_curate_with_boilerplate_strip(spark, sf_dir):
     assert audit["boilerplate_stripped"] == audit["quality_lang_pass"]
     assert out.count() > 0
     assert out.filter(F.col("chunk_text") == banner).count() == 0
+
+
+def test_curate_min_clf_score_filters(spark, sf_dir):
+    """The model-based quality gate: enabling min_clf_score must drop
+    exactly the docs whose classifier score is below the threshold,
+    relative to the same config without the gate."""
+    from pyspark.sql import functions as F
+
+    from bbdc20_submission_spark.operators.text import classifier_quality_score
+    from bbdc20_submission_spark.plans.curation import CurationConfig, curate
+    from bbdc20_submission_spark.sources.harness import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    base, _ = curate(docs, CurationConfig())
+    base_docs = {r["doc_id"] for r in base.select("doc_id").distinct().collect()}
+    thresh = 0.5
+    gated, _ = curate(docs, CurationConfig(min_clf_score=thresh))
+    gated_docs = {r["doc_id"] for r in gated.select("doc_id").distinct().collect()}
+    scores = {
+        r["doc_id"]: r["clf_score"]
+        for r in classifier_quality_score(docs).select("doc_id", "clf_score").collect()
+    }
+    assert gated_docs == {d for d in base_docs if scores[d] >= thresh}
+    assert gated_docs < base_docs  # the gate actually removes something

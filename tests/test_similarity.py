@@ -320,3 +320,27 @@ def test_large_k_assignment_stays_narrow_with_broadcast(spark):
     got = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
     # each vector IS a centroid -> assignment must hit its own index
     assert all(got[i] == i % 2048 for i in got), got
+
+
+def test_quantizer_save_load_roundtrip(spark, tmp_path):
+    """The fit-once IVF artifact: save->load must be bit-identical
+    (json float repr round-trips IEEE doubles exactly) and produce
+    identical assignments."""
+    import numpy as np
+
+    from bbdc20_submission_spark.operators.clustering import (
+        CentroidQuantizer,
+        assign_clusters,
+        fit_quantizer,
+    )
+
+    rows = _clustered_vectors(n_clusters=4, per_cluster=10)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    model = fit_quantizer(df, k=4, seed=5, max_iter=8)
+    p = str(tmp_path / "quantizer.json")
+    model.save(p)
+    loaded = CentroidQuantizer.load(p)
+    assert np.array_equal(model.centers, loaded.centers)
+    a = {r["vec_id"]: r["cluster"] for r in assign_clusters(model, df).collect()}
+    b = {r["vec_id"]: r["cluster"] for r in assign_clusters(loaded, df).collect()}
+    assert a == b
