@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -65,6 +65,59 @@ def chunk_by_tokens(
         F.concat_ws(" ", chunk).alias("chunk_text"),
         F.size(chunk).cast("long").alias("n_tokens"),
         *keep_cols,
+    )
+
+
+def pack_sequences(
+    chunks: DataFrame,
+    budget_tokens: int = 1024,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    chunk_col: str = "chunk_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Training-sequence packing (the GPT-style concat-and-cut stage):
+    chunks are laid out in deterministic (pack_bucket, doc, chunk)
+    order, token offsets accumulate, and each chunk is assigned to the
+    fixed-budget sequence its FIRST token falls in — chunk-granular
+    packing, so sequences fill to ``budget_tokens`` and overflow by at
+    most one chunk (exact concat-split belongs to the tokenizer).
+
+    Appends: ``pack_bucket`` (portable md5-prefix hash of the doc id
+    mod ``n_buckets``), ``seq_id`` (sequence index within the bucket),
+    ``seq_pos`` (the chunk's token offset within its sequence).
+
+    Scale shape: ONE hash shuffle on pack_bucket, then a per-bucket
+    running sum — ``n_buckets`` is the parallelism knob (each bucket
+    packs independently as a linear scan; at cluster scale set it to a
+    small multiple of the executor count). Deterministic on any
+    engine: ordering and hashing are engine-portable, so the whole
+    assignment is oracle-checkable, and a given corpus packs
+    identically run to run — which is what makes packed-sequence
+    training reproducible."""
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("long"),
+        F.lit(n_buckets),
+    )
+    out = chunks.withColumn("pack_bucket", bucket)
+    w = (
+        Window.partitionBy("pack_bucket")
+        .orderBy(id_col, chunk_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum(F.col(tokens_col)).over(w) - F.col(tokens_col)
+    return (
+        out.withColumn("_start", start)
+        .withColumn(
+            "seq_id", F.floor(F.col("_start") / F.lit(budget_tokens)).cast("long")
+        )
+        .withColumn(
+            "seq_pos",
+            (F.col("_start") - F.col("seq_id") * F.lit(budget_tokens)).cast("long"),
+        )
+        .drop("_start")
     )
 
 

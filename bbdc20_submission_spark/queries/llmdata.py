@@ -1032,28 +1032,52 @@ def m_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, t,
                unnest(generate_series(0, CAST(greatest(ceil(len(t) / 32.0), 1) AS BIGINT) - 1)) AS chunk_id
         FROM toks
+    ), rows_out AS (
+        SELECT doc_id, chunk_id,
+               array_to_string(t[(chunk_id * 32 + 1):(chunk_id * 32 + 32)], ' ') AS chunk_text,
+               CAST(least(len(t) - chunk_id * 32, 32) AS BIGINT) AS n_tokens,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8
+                   AS pack_bucket
+        FROM chunks
+    ), packed AS (
+        SELECT *,
+               sum(n_tokens) OVER (PARTITION BY pack_bucket
+                                   ORDER BY doc_id, chunk_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tokens AS _start
+        FROM rows_out
     )
-    SELECT doc_id, chunk_id,
-           array_to_string(t[(chunk_id * 32 + 1):(chunk_id * 32 + 32)], ' ') AS chunk_text,
-           CAST(least(len(t) - chunk_id * 32, 32) AS BIGINT) AS n_tokens
-    FROM chunks
+    SELECT doc_id, chunk_id, chunk_text, n_tokens, pack_bucket,
+           CAST(floor(_start / 64.0) AS BIGINT) AS seq_id,
+           CAST(_start - CAST(floor(_start / 64.0) AS BIGINT) * 64 AS BIGINT) AS seq_pos
+    FROM packed
     """,
 )
 def d10_scrub_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrubbing -> fixed-size token chunking, chained as a real
-    training-data prep pipeline stage.
+    """PII scrubbing -> fixed-size token chunking -> training-sequence
+    PACKING, chained as a real training-data prep pipeline stage.
 
     Scrub: chained regexp_replace (email/IP/phone/URL -> typed
     placeholders), one narrow projection. Chunk: 32 tokens, no
     overlap, one row per chunk via sequence+explode — a narrow
-    generator, the same shape at 100 TB."""
-    from bbdc20_submission_spark.operators.chunking import chunk_by_tokens, scrub_text
+    generator, the same shape at 100 TB. Pack (r6): GPT-style
+    concat-and-cut into 64-token sequences across 8 portable hash
+    buckets (``chunking.pack_sequences``) — the whole assignment
+    (bucket, seq_id, seq_pos) is integer window arithmetic over an
+    engine-portable order, so DuckDB reproduces it exactly; one hash
+    shuffle, per-bucket linear scans, n_buckets = the parallelism
+    knob."""
+    from bbdc20_submission_spark.operators.chunking import (
+        chunk_by_tokens,
+        pack_sequences,
+        scrub_text,
+    )
 
     d = load_table(spark, "documents", sf_dir)
     scrubbed = scrub_text(d).select(
         "doc_id", F.col("text_scrubbed").alias("text")
     )
-    return chunk_by_tokens(scrubbed, chunk_tokens=32, overlap=0)
+    chunks = chunk_by_tokens(scrubbed, chunk_tokens=32, overlap=0)
+    return pack_sequences(chunks, budget_tokens=64, n_buckets=8)
 
 
 @query(

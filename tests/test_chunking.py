@@ -239,3 +239,48 @@ def test_boilerplate_hashes_equals_full_detection(spark):
         for r in boilerplate_hashes(df, chunk_tokens=4, min_docs=3).collect()
     }
     assert fast == full and len(full) > 0
+
+
+def test_pack_sequences_budget_and_determinism(spark):
+    """Packing invariants: within (bucket, seq), seq_pos starts < budget
+    and token spans are contiguous in (doc, chunk) order; a sequence
+    never starts a chunk at/after the budget boundary; repeated runs
+    produce identical assignments."""
+    from bbdc20_submission_spark.operators.chunking import (
+        chunk_by_tokens,
+        pack_sequences,
+    )
+
+    import random
+
+    rng = random.Random(21)
+    rows = [
+        (i, " ".join(f"w{i}_{j}" for j in range(rng.randint(1, 90))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    chunks = chunk_by_tokens(df, chunk_tokens=16)
+    packed = pack_sequences(chunks, budget_tokens=48, n_buckets=4)
+    out = sorted(
+        (
+            (r["pack_bucket"], r["doc_id"], r["chunk_id"],
+             r["n_tokens"], r["seq_id"], r["seq_pos"])
+            for r in packed.collect()
+        )
+    )
+    # replay the packing serially per bucket and compare exactly
+    cum = {}
+    for b, doc, cid, n, seq, pos in out:
+        start = cum.get(b, 0)
+        assert seq == start // 48, (b, doc, cid)
+        assert pos == start - seq * 48
+        assert pos < 48  # a chunk never STARTS at/after the boundary
+        cum[b] = start + n
+    again = sorted(
+        (
+            (r["pack_bucket"], r["doc_id"], r["chunk_id"],
+             r["n_tokens"], r["seq_id"], r["seq_pos"])
+            for r in pack_sequences(chunks, budget_tokens=48, n_buckets=4).collect()
+        )
+    )
+    assert again == out
