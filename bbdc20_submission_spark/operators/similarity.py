@@ -302,3 +302,60 @@ def embedding_near_dups(
         .select("id_a", "id_b", F.round("_sim", 6).alias("cosine_sim"))
         .distinct()
     )
+
+
+def random_projection(
+    vec: str, in_dim: int, out_dim: int, seed: int = 7
+) -> Column:
+    """Johnson-Lindenstrauss random projection: ``out_dim`` dot
+    products against deterministic unit hyperplanes (the same portable
+    LCG generator as the LSH planes, so any engine reproduces the
+    projected vectors bit-for-bit). The standard shrink step before
+    ANN/storage at scale — cosine structure is approximately preserved
+    while the working set drops by in_dim/out_dim.
+
+    Returns an ``array<double>`` Column. Built as ONE generated SQL
+    expression for the same plan-build-cost reason as
+    ``lsh_bucket_signature`` (see there); ``vec`` must be a plain
+    column NAME."""
+    if not isinstance(vec, str):
+        raise ValueError(
+            "random_projection requires a plain column name (str); "
+            f"got {type(vec).__name__} — alias the expression to a "
+            "column first, then pass its name"
+        )
+    planes = _hyperplanes(in_dim, out_dim, seed)
+    dots = []
+    for p in planes:
+        weights = ", ".join(repr(x) + "D" for x in p)
+        dots.append(
+            f"aggregate(zip_with(`{vec}`, array({weights}), "
+            "(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, v) -> acc + v)"
+        )
+    return F.expr("array(%s)" % ", ".join(dots))
+
+
+def random_projection_sql(
+    vec_expr: str, in_dim: int, out_dim: int, seed: int = 7
+) -> str:
+    """DuckDB expression reproducing ``random_projection`` BIT-FOR-BIT:
+    per plane, elementwise products in index order folded left with a
+    0.0 seed — the exact operation sequence of Spark's
+    ``aggregate(zip_with(...))``. (``list_dot_product`` is NOT used:
+    it sums in a different order and drifts by 1 ulp, measured on the
+    harness embeddings.)"""
+    planes = _hyperplanes(in_dim, out_dim, seed)
+    dots = []
+    for p in planes:
+        # NOTE each weight rides as a QUOTED-string cast: DuckDB parses
+        # a bare decimal literal as DECIMAL (max ~18 significant digits)
+        # before any cast, double-rounding the value; the string->DOUBLE
+        # parse is the correctly-rounded shortest-repr round trip.
+        w = "[" + ", ".join(f"'{x!r}'::DOUBLE" for x in p) + "]"
+        dots.append(
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(generate_series(1, {in_dim}), "
+            f"i -> CAST(({vec_expr})[i] AS DOUBLE) * ({w})[i])), "
+            "(acc, x) -> acc + x)"
+        )
+    return "[" + ", ".join(dots) + "]"

@@ -35,6 +35,7 @@ from bbdc20_submission_spark.operators.similarity import (
     cosine_topk_bruteforce,
     cosine_topk_lsh,
     embedding_near_dups,
+    random_projection_sql,
 )
 from bbdc20_submission_spark.operators.text import (
     STOPWORDS,
@@ -646,6 +647,21 @@ def _lsh_bucket_sql(dim: int = 64, n_planes: int = 6) -> str:
                row_number() OVER (PARTITION BY query_id
                                   ORDER BY sim DESC, match_id ASC) AS rank
         FROM qscored
+    ),
+    rp AS (
+        SELECT vec_id,
+               {random_projection_sql("CAST(embedding AS DOUBLE[])", 64, 16)} AS e
+        FROM embeddings
+    ), rpscored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+               list_cosine_similarity(q.e, c.e) AS sim
+        FROM rp c, rp q
+        WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+    ), rp_ranked AS (
+        SELECT query_id, match_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, match_id ASC) AS rank
+        FROM rpscored
     )
     SELECT 'exact' AS family, query_id, match_id, round(sim, 6) AS sim, rank
     FROM exact_ranked WHERE rank <= 3
@@ -655,6 +671,9 @@ def _lsh_bucket_sql(dim: int = 64, n_planes: int = 6) -> str:
     UNION ALL
     SELECT 'quantized' AS family, query_id, match_id, round(sim, 6) AS sim, rank
     FROM quant_ranked WHERE rank <= 3
+    UNION ALL
+    SELECT 'rp' AS family, query_id, match_id, round(sim, 6) AS sim, rank
+    FROM rp_ranked WHERE rank <= 3
     """,
 )
 def s_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -675,10 +694,17 @@ def s_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       scale, the rounded int8 components, and the quantized cosine
       bit-for-bit at 6 decimals. The 4x-smaller working set is what
       makes the ANN paths memory-feasible at 100 TB; quantize + score
-      stay pure narrow array expressions."""
+      stay pure narrow array expressions.
+    - ``rp`` (r6): top-k over Johnson-Lindenstrauss RANDOM-PROJECTED
+      vectors (64 -> 16 dims against deterministic portable
+      hyperplanes) — the shrink-before-ANN path; DuckDB recomputes the
+      projected vectors BIT-FOR-BIT (same left-fold dot products,
+      string-cast double literals — bare decimals double-round through
+      DECIMAL) and the projected-space ranking with them."""
     from bbdc20_submission_spark.operators.similarity import (
         dequantize_cosine,
         quantize_embeddings,
+        random_projection,
     )
 
     em = load_table(spark, "embeddings", sf_dir)
@@ -686,6 +712,12 @@ def s_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     exact = cosine_topk_bruteforce(em, queries, k=3)
     lsh = cosine_topk_lsh(em, queries, dim=64, k=3, n_planes=6)
+    proj = em.select(
+        "vec_id", random_projection("embedding", 64, 16).alias("emb_rp")
+    )
+    rp = cosine_topk_bruteforce(
+        proj, proj.filter(F.col("vec_id") < 5), k=3, vec_col="emb_rp"
+    )
 
     qz = quantize_embeddings(em)
     qa = qz.select(
@@ -734,6 +766,7 @@ def s_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         tag(exact, "exact", "cosine_sim")
         .unionByName(tag(lsh, "lsh", "cosine_sim"))
         .unionByName(tag(quant, "quantized", "sim"))
+        .unionByName(tag(rp, "rp", "cosine_sim"))
     )
 
 

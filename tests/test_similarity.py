@@ -344,3 +344,30 @@ def test_quantizer_save_load_roundtrip(spark, tmp_path):
     a = {r["vec_id"]: r["cluster"] for r in assign_clusters(model, df).collect()}
     b = {r["vec_id"]: r["cluster"] for r in assign_clusters(loaded, df).collect()}
     assert a == b
+
+
+def test_random_projection_preserves_topk_structure(spark):
+    """JL projection 16->8 dims on clustered vectors: projected-space
+    top-3 must stay within the query's true cluster (what the distance
+    preservation guarantee buys — within-cluster ORDER is noise-driven
+    and not preserved by any dimensionality reduction), and the
+    projection must be deterministic."""
+    rows = _clustered_vectors(per_cluster=20)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    from bbdc20_submission_spark.operators.similarity import random_projection
+
+    proj = df.select(
+        "vec_id", random_projection("embedding", DIM, 8).alias("emb_rp")
+    )
+    rp = cosine_topk_bruteforce(
+        proj, proj.filter("vec_id < 8"), k=3, vec_col="emb_rp"
+    )
+    labels = {r["vec_id"]: r["label"] for r in df.collect()}
+    hits = [labels[r["match_id"]] == labels[r["query_id"]] for r in rp.collect()]
+    assert sum(hits) / len(hits) >= 0.9, f"same-cluster rate {sum(hits)/len(hits)}"
+    again = {
+        tuple(r["emb_rp"]) for r in proj.collect()
+    } == {tuple(r["emb_rp"]) for r in df.select(
+        "vec_id", random_projection("embedding", DIM, 8).alias("emb_rp")
+    ).collect()}
+    assert again
