@@ -349,9 +349,14 @@ def classifier_score_sql(
 ) -> str:
     """The DuckDB expression reproducing ``classifier_quality_score``
     bit-for-bit (same left-fold order, same portable hash, same
-    literal weights) — the oracle side of the certification."""
+    literal weights) — the oracle side of the certification.
+
+    Weights ride as QUOTED-string ``::DOUBLE`` casts: DuckDB parses a
+    bare decimal literal as DECIMAL (max ~18 significant digits)
+    before any cast, double-rounding arbitrary doubles — the
+    string->DOUBLE parse is the correctly-rounded round trip."""
     w_sql = "[" + ", ".join(
-        repr(w) for w in classifier_weights(n_features, seed)
+        f"'{w!r}'::DOUBLE" for w in classifier_weights(n_features, seed)
     ) + "]"
     return (
         "1.0 / (1.0 + exp(-(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "

@@ -586,11 +586,16 @@ def _lsh_bucket_sql(dim: int = 64, n_planes: int = 6) -> str:
     """DuckDB expression reproducing lsh_bucket_signature exactly: the
     hyperplanes are deterministic literals, so the oracle recomputes
     the same sign buckets with list_dot_product."""
-    terms = [
-        "CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
-        f"[{', '.join(repr(x) for x in p)}]) > 0 THEN {1 << i} ELSE 0 END"
-        for i, p in enumerate(_hyperplanes(dim, n_planes))
-    ]
+    # quoted-string ::DOUBLE casts: bare decimal literals double-round
+    # through DECIMAL in DuckDB (harmless for these sign comparisons
+    # in practice, but exact literals remove the risk class entirely)
+    terms = []
+    for i, p in enumerate(_hyperplanes(dim, n_planes)):
+        w = ", ".join(f"'{x!r}'::DOUBLE" for x in p)
+        terms.append(
+            "CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+            f"[{w}]) > 0 THEN {1 << i} ELSE 0 END"
+        )
     return "(" + " + ".join(terms) + ")"
 
 
