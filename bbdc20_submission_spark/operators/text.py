@@ -344,6 +344,93 @@ def classifier_quality_score(
     return df.withColumn(out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
 
 
+def bigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    add_k: float = 0.5,
+) -> DataFrame:
+    """CCNet/KenLM-style n-gram language-model quality scoring, fit on
+    the corpus itself and scored per document — the classic "perplexity
+    filter" stage of a pretraining pipeline (docs whose per-token
+    log-probability under a corpus LM is far below typical are
+    boilerplate/gibberish candidates).
+
+    Model: add-k-smoothed bigram LM over whitespace tokens,
+
+        P(w2 | w1) = (c(w1,w2) + k) / (c(w1) + k·V)
+
+    with V = |vocabulary|. Output per doc: ``n_bigrams`` and
+    ``lm_logp`` = avg ln P over the doc's bigrams (rounded 6dp; 0.0
+    for docs with < 2 tokens). Perplexity = exp(-lm_logp) is monotone
+    in it, so filtering thresholds translate directly.
+
+    Scale shape (the part that matters at 100 TB): fit and score are
+    BOTH distributed —
+      * unigram/bigram counts: explode + groupBy with map-side
+        partials (shuffles fixed-width token keys, never documents);
+      * V rides a broadcast 1-row aggregate (no driver collect);
+      * scoring joins doc bigrams to the two count tables on their
+        natural keys — plain shuffle equi-joins that AQE can convert
+        to broadcast when the vocabulary is small;
+      * final per-doc avg is one more hash agg on ``id_col``.
+    Nothing is quadratic, nothing touches the driver, no Python. The
+    bigram extraction guards single-token docs (no descending-
+    ``sequence`` trap) and every arithmetic step is reproducible in
+    DuckDB (see the d4 oracle)."""
+    toks = ws_tokens(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("_t"))
+    uni = (
+        base.select(F.explode("_t").alias("_w1"))
+        .groupBy("_w1")
+        .agg(F.count("*").alias("_c1"))
+    )
+    vocab = uni.agg(F.count("*").cast("double").alias("_V"))
+    # bigram list per doc: struct(w1, w2) for i in [1, size-1]. Built
+    # over sequence(1, size) — never empty, so no descending-sequence
+    # trap — with the final (w2 IS NULL) element filtered out; a
+    # single-token doc yields zero bigrams with no CASE-branch type
+    # coercion issues.
+    pair_expr = (
+        "filter(transform(sequence(1, size(_t)), i -> "
+        "struct(element_at(_t, i) AS w1, "
+        "CASE WHEN i < size(_t) THEN element_at(_t, CAST(i + 1 AS INT)) "
+        "ELSE CAST(NULL AS STRING) END AS w2)), s -> s.w2 IS NOT NULL)"
+    )
+    doc_bi = base.select(
+        F.col(id_col), F.explode(F.expr(pair_expr)).alias("_p")
+    ).select(
+        F.col(id_col),
+        F.col("_p.w1").alias("_w1"),
+        F.col("_p.w2").alias("_w2"),
+    )
+    bi = doc_bi.groupBy("_w1", "_w2").agg(F.count("*").alias("_c2"))
+    k = F.lit(float(add_k))
+    scored = (
+        doc_bi.join(uni, "_w1")
+        .join(bi, ["_w1", "_w2"])  # fit-on-self: always matches
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            F.log((F.col("_c2") + k) / (F.col("_c1") + k * F.col("_V"))).alias(
+                "_s"
+            ),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count("*").alias("_n"), F.round(F.avg("_s"), 6).alias("_lp")
+    )
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce(F.col("_lp"), F.lit(0.0)).alias("lm_logp"),
+        )
+    )
+
+
 def classifier_score_sql(
     text_expr: str = "text", n_features: int = 256, seed: int = 13
 ) -> str:

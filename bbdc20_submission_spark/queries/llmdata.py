@@ -426,13 +426,42 @@ def d2_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                    row_number() OVER (PARTITION BY lang ORDER BY bucket, doc_id) AS rk
             FROM hashed
         ) WHERE rk <= 10
+    ),
+    toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+    dbi AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM (SELECT doc_id, t,
+                     unnest(generate_series(1, len(t) - 1)) AS i
+              FROM toks)
+    ),
+    uni AS (
+        SELECT w, count(*) AS c1
+        FROM (SELECT unnest(t) AS w FROM toks)
+        GROUP BY w
+    ),
+    bi AS (SELECT w1, w2, count(*) AS c2 FROM dbi GROUP BY w1, w2),
+    vv AS (SELECT CAST(count(*) AS DOUBLE) AS V FROM uni),
+    lm AS (
+        SELECT d.doc_id,
+               count(*) AS n_bigrams,
+               round(avg(ln((b.c2 + CAST('0.5' AS DOUBLE))
+                            / (u.c1 + CAST('0.5' AS DOUBLE) * v.V))), 6)
+                   AS lm_logp
+        FROM dbi d
+        JOIN uni u ON d.w1 = u.w
+        JOIN bi b ON d.w1 = b.w1 AND d.w2 = b.w2
+        CROSS JOIN vv v
+        GROUP BY d.doc_id
     )
     SELECT l.doc_id, l.lang_pred,
            CAST(b.doc_id IS NOT NULL AS BIGINT) AS in_bernoulli,
-           CAST(r.doc_id IS NOT NULL AS BIGINT) AS in_reservoir
+           CAST(r.doc_id IS NOT NULL AS BIGINT) AS in_reservoir,
+           CAST(COALESCE(m.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           COALESCE(m.lm_logp, CAST('0.0' AS DOUBLE)) AS lm_logp
     FROM lang l
     LEFT JOIN bern b ON b.doc_id = l.doc_id
     LEFT JOIN res r ON r.doc_id = l.doc_id
+    LEFT JOIN lm m ON m.doc_id = l.doc_id
     """,
 )
 def d4_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -444,14 +473,23 @@ def d4_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_reservoir (exactly-10-per-language hash-order reservoir). Both
     samples are pure functions of the data — identical on 500 rows or
     100 TB of splits, on any partitioning; certifying per-doc
-    membership flags is equivalent to certifying the sample sets."""
+    membership flags is equivalent to certifying the sample sets.
+
+    r6: also certifies the CCNet/KenLM-style corpus-LM perplexity
+    filter — ``bigram_lm_scores`` fits an add-0.5-smoothed bigram LM
+    on the corpus distributively (explode + count shuffles, broadcast
+    1-row vocab-size aggregate, no driver collect) and emits per-doc
+    ``n_bigrams`` + ``lm_logp`` (avg ln P per bigram, 6dp); the oracle
+    reproduces fit AND scoring with the same formula."""
     from bbdc20_submission_spark.operators.sampling import (
         reservoir_per_stratum,
         stratified_sample,
     )
+    from bbdc20_submission_spark.operators.text import bigram_lm_scores
 
     d = load_table(spark, "documents", sf_dir)
     lang = language_id(d).select("doc_id", "lang_pred")
+    lm = bigram_lm_scores(d)
     dl = d.select("doc_id", "lang")
     bern = stratified_sample(
         dl, "lang", {"en": 0.5, "de": 0.25}, default_fraction=0.1,
@@ -463,11 +501,14 @@ def d4_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lang.join(bern, "doc_id", "left")
         .join(res, "doc_id", "left")
+        .join(lm, "doc_id", "left")
         .select(
             "doc_id",
             "lang_pred",
             F.coalesce(F.col("_b"), F.lit(0)).cast("long").alias("in_bernoulli"),
             F.coalesce(F.col("_r"), F.lit(0)).cast("long").alias("in_reservoir"),
+            "n_bigrams",
+            "lm_logp",
         )
     )
 

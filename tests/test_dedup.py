@@ -278,3 +278,43 @@ def test_classifier_weights_validation(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="n_features"):
         classifier_quality_score(df, weights=[0.1, 0.2], n_features=4)
+
+
+def test_bigram_lm_scores_match_hand_computation(spark):
+    """The corpus bigram LM must equal an independent python
+    re-derivation (add-0.5 smoothing, fit on the same tiny corpus),
+    and single-token docs must come back with n_bigrams=0, logp=0."""
+    import math
+    from collections import Counter
+
+    from bbdc20_submission_spark.operators.text import bigram_lm_scores
+
+    texts = ["a b a b", "a b c", "c c", "x"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["n_bigrams"], r["lm_logp"])
+        for r in bigram_lm_scores(df).collect()
+    }
+
+    uni = Counter(w for t in texts for w in t.split(" "))
+    bi = Counter(
+        (ts[i], ts[i + 1])
+        for t in texts
+        for ts in [t.split(" ")]
+        for i in range(len(ts) - 1)
+    )
+    V = float(len(uni))
+    for i, t in enumerate(texts):
+        ts = t.split(" ")
+        pairs = [(ts[j], ts[j + 1]) for j in range(len(ts) - 1)]
+        assert out[i][0] == len(pairs), (i, out[i])
+        if not pairs:
+            assert out[i][1] == 0.0
+            continue
+        logps = [
+            math.log((bi[p] + 0.5) / (uni[p[0]] + 0.5 * V)) for p in pairs
+        ]
+        want = round(sum(logps) / len(logps), 6)
+        assert abs(out[i][1] - want) < 1e-12, (i, out[i][1], want)
