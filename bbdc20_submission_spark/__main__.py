@@ -61,6 +61,7 @@ def _cmd_curate(args: argparse.Namespace) -> int:
     spark = get_spark("curate")
     docs = spark.read.parquet(args.documents)
     cfg = CurationConfig(
+        blocked_sources=tuple(args.block_source) or None,
         min_quality=args.min_quality,
         min_clf_score=args.min_clf_score,
         keep_langs=tuple(args.langs.split(",")),
@@ -152,6 +153,12 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--documents", required=True)
     c.add_argument("--out")
     c.add_argument("--audit", action="store_true")
+    c.add_argument(
+        "--block-source",
+        action="append",
+        default=[],
+        help="source value to reject (repeatable; C4-style blocklist)",
+    )
     c.add_argument("--min-quality", type=float, default=0.5)
     c.add_argument("--min-clf-score", type=float, default=None)
     c.add_argument("--langs", default="en,de,es,fr")

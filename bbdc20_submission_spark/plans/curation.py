@@ -2,6 +2,7 @@
 individual LLM-data operators exist for, as one declarative DAG.
 
     raw documents
+      │ 0. source blocklist       (C4-style, scan-pushed NOT IN)
       │ 1. exact dedup            (md5 groups, keep lowest id)
       │ 2. near-dup clustering    (MinHash LSH → verify → components,
       │                            keep each cluster's representative)
@@ -54,6 +55,12 @@ class CurationConfig:
     """Knobs for ``curate`` — defaults mirror common pretraining-filter
     settings scaled to the synthetic corpus."""
 
+    # C4-style source/domain blocklist (stage 0); None/empty = off.
+    # One narrow NOT-IN predicate evaluated before anything else —
+    # Catalyst pushes it into the parquet scan (PushedFilters), so at
+    # 100 TB blocked sources never leave the reader.
+    blocked_sources: tuple[str, ...] | None = None
+    source_col: str = "source"
     near_dup_jaccard: float = 0.5
     min_quality: float = 0.5
     # model-based quality gate (fastText/CCNet/DCLM stage); None = off.
@@ -91,6 +98,15 @@ def curate(
             counts[name] = df.count()
 
     _tap("raw", docs)
+
+    # 0. source/domain blocklist — the cheapest possible rejection
+    # (scan-pushed predicate), so it runs before anything pays for a
+    # blocked doc.
+    if config.blocked_sources:
+        docs = docs.filter(
+            ~F.col(config.source_col).isin(*config.blocked_sources)
+        )
+        _tap("source_pass", docs)
 
     # 1. exact dedup: keep each content group's lowest id. Broadcast
     # the (tiny relative to corpus) keep-id set? No — the group frame

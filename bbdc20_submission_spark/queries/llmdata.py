@@ -1248,8 +1248,9 @@ def r_ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # d10 scrub+chunk), composed in the curate() order.
 _C1_ORACLE = f"""
     WITH RECURSIVE
-    keep AS (SELECT min(doc_id) AS kid FROM documents GROUP BY md5(text)),
-    eu AS (SELECT d.* FROM documents d JOIN keep k ON k.kid = d.doc_id),
+    src AS (SELECT * FROM documents WHERE source NOT IN ('src19')),
+    keep AS (SELECT min(doc_id) AS kid FROM src GROUP BY md5(text)),
+    eu AS (SELECT d.* FROM src d JOIN keep k ON k.kid = d.doc_id),
     toks AS MATERIALIZED (SELECT doc_id, str_split(text, ' ') AS t FROM eu),
     sh AS MATERIALIZED (
         SELECT doc_id,
@@ -1379,11 +1380,22 @@ def c1_curation_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
     32-token chunks (27 across >=2 docs at sf0.01), so the strip stage
     is non-vacuous on the certified path. Sampling is off here because
     its certified form (d15) uses the portable hash while the DAG's
-    default uses xxhash64."""
+    default uses xxhash64.
+
+    r6: the C4-style source blocklist (stage 0) is on — 'src19' is
+    blocked (5% of every SF), so the filter perturbs every downstream
+    stage and the oracle proves composition with it enabled; the
+    predicate is a scan-pushed NOT IN, certified separately by the
+    pushdown plan test."""
     from bbdc20_submission_spark.plans.curation import CurationConfig, curate
 
     d = load_table(spark, "documents", sf_dir)
-    out, _ = curate(d, CurationConfig(strip_boilerplate_min_docs=2))
+    out, _ = curate(
+        d,
+        CurationConfig(
+            strip_boilerplate_min_docs=2, blocked_sources=("src19",)
+        ),
+    )
     return out.select(
         "doc_id", "chunk_id", "chunk_text", "n_tokens", "lang_pred", "quality"
     )

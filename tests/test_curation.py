@@ -105,3 +105,25 @@ def test_curate_min_clf_score_filters(spark, sf_dir):
     }
     assert gated_docs == {d for d in base_docs if scores[d] >= thresh}
     assert gated_docs < base_docs  # the gate actually removes something
+
+
+def test_curate_blocklist_rejects_sources(spark, sf_dir):
+    """Stage-0 blocklist: no surviving chunk may come from a blocked
+    source, the audit records the stage, and an empty blocklist is a
+    no-op (identical output to the default config)."""
+    docs = load_table(spark, "documents", sf_dir)
+    out, audit = curate(
+        docs, CurationConfig(blocked_sources=("src19",)), audit=True
+    )
+    assert audit["source_pass"] < audit["raw"]
+    blocked_ids = {
+        r["doc_id"] for r in docs.filter("source = 'src19'").collect()
+    }
+    survivors = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert not (survivors & blocked_ids)
+
+    base, _ = curate(docs)
+    noop, _ = curate(docs, CurationConfig(blocked_sources=None))
+    assert sorted(map(tuple, noop.collect())) == sorted(
+        map(tuple, base.collect())
+    )

@@ -197,3 +197,16 @@ def test_q5_join_selection(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "l_extendedprice" in plan and "l_comment" not in plan
+
+
+def test_curation_blocklist_pushes_to_scan(spark, sf_dir):
+    """The C4-style source blocklist (curation stage 0) must reach the
+    parquet reader as a pushed filter — blocked sources are rejected in
+    the scan, not after the text column is materialized."""
+    from bbdc20_submission_spark.plans.curation import CurationConfig, curate
+    from bbdc20_submission_spark.sources.harness import load_table
+
+    d = load_table(spark, "documents", sf_dir)
+    out, _ = curate(d, CurationConfig(blocked_sources=("src19", "src18")))
+    plan = formatted_plan(out)
+    assert "Not(In(source" in plan or "Not(EqualTo(source" in plan, plan
