@@ -35,15 +35,22 @@ def stream_curate(
     keep_langs: tuple[str, ...] = ("en", "de", "es", "fr"),
     chunk_tokens: int = 32,
     apply_repetition_filter: bool = True,
+    blocked_sources: tuple[str, ...] | None = None,
+    source_col: str = "source",
 ) -> DataFrame:
-    """Quality + language (+ repetition) filter -> PII scrub -> token
-    chunking as ONE stateless plan: projections, filters and a
-    generator explode — zero joins, zero shuffles, zero state.
+    """(Source blocklist ->) quality + language (+ repetition) filter
+    -> PII scrub -> token chunking as ONE stateless plan: projections,
+    filters and a generator explode — zero joins, zero shuffles, zero
+    state. ``blocked_sources`` mirrors the batch DAG's stage 0 (one
+    more narrow predicate; on a file-source stream it still pushes to
+    the scan).
 
     Output: [id_col, chunk_id, chunk_text, n_tokens, lang_pred,
     quality]. The function is agnostic to the input being a stream or
     a batch frame (the operators don't know the difference), so tests
     certify stream output == batch output on identical data."""
+    if blocked_sources:
+        docs = docs.filter(~F.col(source_col).isin(*blocked_sources))
     scored = language_id(quality_score(docs, text_col), text_col)
     filtered = scored.filter(
         (F.col("quality") >= min_quality)

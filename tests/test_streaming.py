@@ -306,3 +306,34 @@ def test_stream_curate_matches_batch_and_is_stateless(spark, sf_dir, tmp_path):
     with contextlib.redirect_stdout(buf):
         stream_curate(spark.read.parquet(staged)).explain("formatted")
     assert "Exchange" not in buf.getvalue()
+
+
+def test_stream_curate_blocklist_matches_batch(spark, sf_dir, tmp_path):
+    """The stage-0 source blocklist must behave identically on a
+    stream and a batch, stay stateless, and drop every blocked doc."""
+    from bbdc20_submission_spark.streaming.curation import stream_curate
+
+    staged = str(tmp_path / "docs")
+    load_table(spark, "documents", sf_dir).limit(300).write.mode(
+        "overwrite"
+    ).parquet(staged)
+    schema = spark.read.parquet(staged).schema
+    stream = spark.readStream.schema(schema).parquet(staged)
+    _run_to_memory(
+        stream_curate(stream, blocked_sources=("src0", "src1")), "t_scb"
+    )
+    got = {
+        (r["doc_id"], r["chunk_id"]) for r in spark.sql("SELECT * FROM t_scb").collect()
+    }
+    batch = stream_curate(
+        spark.read.parquet(staged), blocked_sources=("src0", "src1")
+    )
+    want = {(r["doc_id"], r["chunk_id"]) for r in batch.collect()}
+    assert len(got) > 0 and got == want
+    blocked = {
+        r["doc_id"]
+        for r in spark.read.parquet(staged)
+        .filter("source IN ('src0','src1')")
+        .collect()
+    }
+    assert blocked and not ({d for d, _ in got} & blocked)
