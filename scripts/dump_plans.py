@@ -107,6 +107,23 @@ HEADLINERS = {
         "value->count map; interpolation finishes as a scalar "
         "expression."
     ),
+    "d4_language_id": (
+        "Language/sampling/LM suite: stopword-vote language ID and "
+        "both deterministic sample memberships are narrow maps; the "
+        "corpus bigram LM adds two count shuffles (fixed-width token "
+        "keys, map-side partials — text never enters an exchange), a "
+        "BROADCAST 1-row vocabulary aggregate, and two equi-joins that "
+        "AQE turns broadcast when the vocab dim is small."
+    ),
+    "c1_curation_dag": (
+        "The whole curation pipeline as ONE composed lazy plan: the "
+        "C4 source blocklist is a scan-pushed predicate (stage 0 costs "
+        "zero extra operators), exact-dedup keep-ids ride a persisted "
+        "O(unique) id set, LSH near-dup edges are the single bounded "
+        "materialization (shared with d12), filters/scrub are narrow, "
+        "the boilerplate strip reads the post-filter localCheckpoint "
+        "boundary, and chunking is a generator explode."
+    ),
     "d9_simhash_near_dups": (
         "Multi-index Hamming search: fingerprints persisted (2 longs/"
         "doc); exact block values (index side) equi-join block values "
