@@ -604,3 +604,107 @@ def contamination_flags(
             (F.coalesce("n_shared", F.lit(0)) > 0).cast("long").alias("contaminated"),
         )
     )
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact duplicate-SUBSTRING dedup (the suffix-array method of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better", re-expressed relationally): every ``span_tokens``-
+    token sliding window (stride 1) is hashed; a window whose hash
+    occurs >= ``min_count`` times in the corpus — across OR within
+    documents, like the suffix-array formulation — marks its token
+    interval as duplicated; overlapping/adjacent intervals are merged
+    per doc (gaps-and-islands) and the covered tokens are removed.
+
+    Output: [id_col, n_dup_spans, span_tokens_removed, clean_text] —
+    one row per input doc (docs with no duplicated span pass through
+    with 0/0/original text).
+
+    Scale shape (how this replaces a suffix array at 100 TB):
+      * window hashing is ONE narrow pass (transform over the token
+        array inside codegen) — the text column never enters a
+        shuffle; only (md5, position) pairs do, the same weight class
+        as a suffix-array's LCP entries;
+      * the duplicate-hash set is a groupBy(count) on those hashes —
+        map-side partials, no distinct over text;
+      * flagged occurrences come from one hash equi-join; interval
+        merging is a per-doc window function over ONLY the flagged
+        positions (duplicated spans, not all spans);
+      * reconstruction filters the token array by the doc's merged
+        span list (collect_list of a handful of [s,e] structs) in one
+        narrow expression.
+    Every step is engine-portable (md5 window hashes, integer interval
+    arithmetic), so the whole operator — detection, merging, removal —
+    is oracle-certifiable; the d5 suite checks it byte-for-byte via
+    md5(clean_text)."""
+    from pyspark.sql import Window
+
+    L = int(span_tokens)
+    if L < 2:
+        raise ValueError(f"span_tokens must be >= 2, got {span_tokens}")
+    base = df.select(F.col(id_col), ws_tokens(F.col(text_col)).alias("_t"))
+    gram_expr = (
+        "filter(transform(sequence(1, size(_t)), i -> "
+        f"struct(i AS s, CASE WHEN i + {L} - 1 <= size(_t) "
+        f"THEN md5(array_join(slice(_t, i, {L}), ' ')) "
+        "ELSE CAST(NULL AS STRING) END AS h)), x -> x.h IS NOT NULL)"
+    )
+    occ = base.select(
+        F.col(id_col), F.explode(F.expr(gram_expr)).alias("_g")
+    ).select(
+        F.col(id_col),
+        F.col("_g.s").alias("_s"),
+        F.col("_g.h").alias("_h"),
+    )
+    dup = (
+        occ.groupBy("_h")
+        .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("_h")
+    )
+    flagged = occ.join(dup, "_h").withColumn("_e", F.col("_s") + F.lit(L - 1))
+    w = Window.partitionBy(id_col).orderBy("_s")
+    prev_end = F.max("_e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    new_island = F.when(
+        prev_end.isNull() | (F.col("_s") > prev_end + 1), F.lit(1)
+    ).otherwise(F.lit(0))
+    islands = (
+        flagged.withColumn(
+            "_isl",
+            F.sum(new_island).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy(id_col, "_isl")
+        .agg(F.min("_s").alias("s"), F.max("_e").alias("e"))
+    )
+    per_doc = islands.groupBy(id_col).agg(
+        F.count("*").alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("span_tokens_removed"),
+        F.collect_list(F.struct("s", "e")).alias("_spans"),
+    )
+    kept_expr = (
+        "array_join(transform(filter(sequence(1, size(_t)), "
+        "i -> _spans IS NULL OR NOT exists(_spans, "
+        "sp -> i >= sp.s AND i <= sp.e)), "
+        "i -> element_at(_t, CAST(i AS INT))), ' ')"
+    )
+    return (
+        base.join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_dup_spans", F.lit(0))
+            .cast("long")
+            .alias("n_dup_spans"),
+            F.coalesce("span_tokens_removed", F.lit(0))
+            .cast("long")
+            .alias("span_tokens_removed"),
+            F.expr(kept_expr).alias("clean_text"),
+        )
+    )

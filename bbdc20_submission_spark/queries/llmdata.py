@@ -565,10 +565,59 @@ _BANNER = (
                        FILTER (WHERE NOT bp),
                    '')) AS clean_hash
         FROM marked GROUP BY doc_id
+    ),
+    st AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+    socc AS (
+        SELECT doc_id, i AS s, md5(array_to_string(t[i:i+7], ' ')) AS h
+        FROM (SELECT doc_id, t,
+                     unnest(generate_series(1, len(t) - 7)) AS i
+              FROM st)
+    ),
+    sdup AS (SELECT h FROM socc GROUP BY h HAVING count(*) >= 2),
+    sfl AS (SELECT doc_id, s, s + 7 AS e FROM socc
+            WHERE h IN (SELECT h FROM sdup)),
+    sisl0 AS (
+        SELECT doc_id, s, e,
+               max(e) OVER (PARTITION BY doc_id ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS pme
+        FROM sfl
+    ),
+    sisl1 AS (
+        SELECT doc_id, s, e,
+               sum(CASE WHEN pme IS NULL OR s > pme + 1 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY s
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS isl
+        FROM sisl0
+    ),
+    sisl AS (SELECT doc_id, isl, min(s) AS s, max(e) AS e
+             FROM sisl1 GROUP BY doc_id, isl),
+    ssp AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+               CAST(sum(e - s + 1) AS BIGINT) AS span_tokens_removed,
+               list(struct_pack(s := s, e := e)) AS spans
+        FROM sisl GROUP BY doc_id
+    ),
+    sclean AS (
+        SELECT st.doc_id,
+               CAST(coalesce(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+               CAST(coalesce(p.span_tokens_removed, 0) AS BIGINT)
+                   AS span_tokens_removed,
+               md5(coalesce(array_to_string(list_transform(
+                   list_filter(generate_series(1, len(st.t)),
+                       i -> p.spans IS NULL
+                            OR len(list_filter(p.spans,
+                                   sp -> i >= sp.s AND i <= sp.e)) = 0),
+                   i -> st.t[i]), ' '), '')) AS span_clean_hash
+        FROM st LEFT JOIN ssp p ON p.doc_id = st.doc_id
     )
     SELECT f.doc_id, f.ws_tokens, f.bpe_tokens, f.fingerprint,
-           b.n_chunks_removed, b.clean_hash
-    FROM fp f JOIN bpout b ON b.doc_id = f.doc_id
+           b.n_chunks_removed, b.clean_hash,
+           s.n_dup_spans, s.span_tokens_removed, s.span_clean_hash
+    FROM fp f
+    JOIN bpout b ON b.doc_id = f.doc_id
+    JOIN sclean s ON s.doc_id = f.doc_id
     """,
 )
 def d5_token_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -585,11 +634,21 @@ def d5_token_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the certified result is non-vacuous: the banner chunk appears in
     ~n/7 docs, gets flagged (min_docs=2), and is stripped; clean_hash
     certifies the reassembled text byte-for-byte via md5. Text shuffles
-    only for flagged chunks."""
+    only for flagged chunks.
+
+    r6: also certifies sliding-window exact duplicate-SUBSTRING dedup
+    (``dedup.duplicate_span_stats`` — the suffix-array method of Lee
+    et al. 2022 re-expressed relationally: 8-token stride-1 windows,
+    any window repeated >=2 times in the corpus marks its interval,
+    intervals merge per doc, covered tokens are removed).
+    span_clean_hash certifies detection + merging + removal
+    byte-for-byte; the corpus's exact-duplicate docs make the result
+    non-vacuous (every window of a duplicated doc repeats)."""
     from bbdc20_submission_spark.operators.chunking import (
         boilerplate_chunks,
         strip_boilerplate,
     )
+    from bbdc20_submission_spark.operators.dedup import duplicate_span_stats
 
     d = load_table(spark, "documents", sf_dir)
     fp = d.select(
@@ -611,13 +670,25 @@ def d5_token_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     flagged = boilerplate_chunks(docs, chunk_tokens=16, min_docs=2)
     stripped = strip_boilerplate(docs, flagged, chunk_tokens=16)
-    return fp.join(
-        stripped.select(
+    spans = duplicate_span_stats(d, span_tokens=8, min_count=2)
+    return (
+        fp.join(
+            stripped.select(
+                "doc_id",
+                "n_chunks_removed",
+                F.md5("text_clean").alias("clean_hash"),
+            ),
             "doc_id",
-            "n_chunks_removed",
-            F.md5("text_clean").alias("clean_hash"),
-        ),
-        "doc_id",
+        )
+        .join(
+            spans.select(
+                "doc_id",
+                "n_dup_spans",
+                "span_tokens_removed",
+                F.md5("clean_text").alias("span_clean_hash"),
+            ),
+            "doc_id",
+        )
     )
 
 

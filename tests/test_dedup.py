@@ -318,3 +318,33 @@ def test_bigram_lm_scores_match_hand_computation(spark):
         ]
         want = round(sum(logps) / len(logps), 6)
         assert abs(out[i][1] - want) < 1e-12, (i, out[i][1], want)
+
+
+def test_duplicate_span_stats_semantics(spark):
+    """Sliding-window substring dedup: shared runs are removed from
+    BOTH docs, within-doc repeats count (suffix-array semantics),
+    overlapping windows merge to one span, short docs pass through."""
+    from bbdc20_submission_spark.operators.dedup import duplicate_span_stats
+
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "x x c d e f g h i y"),  # shares the 7-token run c..i
+        (3, "p q r s t u v w"),
+        (4, "m m m m m m m m m"),  # internal repeats cover everything
+        (5, "z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_dup_spans"], r["span_tokens_removed"], r["clean_text"])
+        for r in duplicate_span_stats(df, span_tokens=4).collect()
+    }
+    assert out[1] == (1, 7, "a b j")
+    assert out[2] == (1, 7, "x x y")
+    assert out[3] == (0, 0, "p q r s t u v w")
+    assert out[4] == (1, 9, "")
+    assert out[5] == (0, 0, "z")
+
+    import pytest
+
+    with pytest.raises(ValueError, match="span_tokens"):
+        duplicate_span_stats(df, span_tokens=1)
