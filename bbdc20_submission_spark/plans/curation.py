@@ -6,6 +6,8 @@ individual LLM-data operators exist for, as one declarative DAG.
       │ 1. exact dedup            (md5 groups, keep lowest id)
       │ 2. near-dup clustering    (MinHash LSH → verify → components,
       │                            keep each cluster's representative)
+      │ 2b. substring span dedup  (optional; repeated 8-token windows
+      │                            excised, Lee-et-al style)
       │ 3. quality + language     (heuristic filters, narrow maps)
       │ 4. PII scrub              (chained regexp_replace)
       │ 5. chunking               (fixed token windows, explode)
@@ -62,6 +64,12 @@ class CurationConfig:
     blocked_sources: tuple[str, ...] | None = None
     source_col: str = "source"
     near_dup_jaccard: float = 0.5
+    # exact duplicate-substring dedup (Lee-et-al suffix-array style,
+    # operators.dedup.duplicate_span_stats) over the near-dup
+    # survivors; None = off. Runs BEFORE quality scoring so scores see
+    # the deduplicated text.
+    dedup_spans_min_count: int | None = None
+    dedup_span_tokens: int = 8
     min_quality: float = 0.5
     # model-based quality gate (fastText/CCNet/DCLM stage); None = off.
     # Uses text.classifier_quality_score — one extra narrow expression
@@ -140,6 +148,33 @@ def curate(
     reps = clusters.filter(~F.col("is_duplicate")).select(id_col)
     near_unique = exact_unique.join(reps, id_col, "left_semi")
     _tap("near_unique", near_unique)
+
+    # 2b. optional duplicate-substring span dedup on the survivors:
+    # repeated >=min_count 8-token windows are excised (single pass,
+    # like the suffix-array original); docs reduced to nothing drop.
+    if config.dedup_spans_min_count is not None:
+        from bbdc20_submission_spark.operators.dedup import (
+            duplicate_span_stats,
+        )
+
+        spans = duplicate_span_stats(
+            near_unique,
+            text_col,
+            id_col,
+            span_tokens=config.dedup_span_tokens,
+            min_count=config.dedup_spans_min_count,
+        )
+        near_unique = (
+            near_unique.drop(text_col)
+            .join(
+                spans.select(
+                    id_col, F.col("clean_text").alias(text_col)
+                ),
+                id_col,
+            )
+            .filter(F.length(text_col) > 0)
+        )
+        _tap("span_deduped", near_unique)
 
     # 3+4. quality, language, (optional) classifier, scrub: all narrow
     # maps — one projection pipeline, no shuffles between them.

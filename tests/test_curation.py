@@ -127,3 +127,63 @@ def test_curate_blocklist_rejects_sources(spark, sf_dir):
     assert sorted(map(tuple, noop.collect())) == sorted(
         map(tuple, base.collect())
     )
+
+
+def test_curate_span_dedup_stage(spark, sf_dir):
+    """Stage 2b: with span dedup on, the surviving corpus equals the
+    manual composition (duplicate_span_stats over the stage-2
+    survivors), empty docs drop, and the audit records the stage."""
+    from bbdc20_submission_spark.operators.chunking import dedup_clusters
+    from bbdc20_submission_spark.operators.dedup import (
+        duplicate_span_stats,
+        exact_dedup_groups,
+        jaccard_pairs,
+        minhash_lsh_candidates,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    out, audit = curate(
+        docs, CurationConfig(dedup_spans_min_count=2), audit=True
+    )
+    assert audit["span_deduped"] <= audit["near_unique"]
+    assert audit["span_deduped"] > 0
+
+    # manual stage-1..2b composition
+    keep = exact_dedup_groups(docs).select(F.col("keep_id").alias("doc_id"))
+    eu = docs.join(keep, "doc_id", "left_semi")
+    pairs = jaccard_pairs(
+        eu, minhash_lsh_candidates(eu), min_jaccard=0.5
+    ).filter(F.col("jaccard") >= 0.5)
+    reps = dedup_clusters(eu, pairs).filter(~F.col("is_duplicate")).select(
+        "doc_id"
+    )
+    nu = eu.join(reps, "doc_id", "left_semi")
+    from bbdc20_submission_spark.operators.chunking import scrub_text
+
+    span_deduped = duplicate_span_stats(nu, min_count=2).filter(
+        F.length("clean_text") > 0
+    )
+    want = {
+        (r["doc_id"], r["scrubbed"])
+        for r in scrub_text(
+            span_deduped, "clean_text", out_col="scrubbed"
+        ).collect()
+    }
+    # chunks reassemble to the span-deduped text
+    got = {
+        (r["doc_id"], r["text"])
+        for r in out.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ", F.array_sort(F.collect_list(F.struct("chunk_id", "chunk_text")))
+                .getField("chunk_text")
+            ).alias("text")
+        )
+        .collect()
+    }
+    # got covers only docs that also passed quality/lang; every got doc
+    # must match its span-deduped text exactly
+    want_by_id = dict(want)
+    assert len(got) > 0
+    for doc_id, text in got:
+        assert want_by_id.get(doc_id) == text, doc_id
