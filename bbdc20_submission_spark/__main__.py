@@ -62,6 +62,7 @@ def _cmd_curate(args: argparse.Namespace) -> int:
     docs = spark.read.parquet(args.documents)
     cfg = CurationConfig(
         blocked_sources=tuple(args.block_source) or None,
+        dedup_spans_min_count=args.dedup_spans_min_count,
         min_quality=args.min_quality,
         min_clf_score=args.min_clf_score,
         keep_langs=tuple(args.langs.split(",")),
@@ -164,6 +165,12 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--langs", default="en,de,es,fr")
     c.add_argument("--chunk-tokens", type=int, default=32)
     c.add_argument("--strip-boilerplate-min-docs", type=int, default=None)
+    c.add_argument(
+        "--dedup-spans-min-count",
+        type=int,
+        default=None,
+        help="enable substring span dedup (stage 2b) at this repeat count",
+    )
     c.set_defaults(fn=_cmd_curate)
 
     s = sub.add_parser(

@@ -37,6 +37,27 @@ def test_cli_curate_audit_json(sf_dir, tmp_path, capsys):
     assert audit["sampled"] == audit["chunks"] > 0  # chunks-per-doc >= 1
 
 
+def test_cli_curate_stage_flags(sf_dir, tmp_path, capsys):
+    """--block-source and --dedup-spans-min-count switch on their
+    stages (audit keys present, counts consistent)."""
+    rc = main(
+        [
+            "curate",
+            "--documents",
+            f"{sf_dir}/documents.parquet",
+            "--block-source",
+            "src19",
+            "--dedup-spans-min-count",
+            "2",
+            "--audit",
+        ]
+    )
+    assert rc == 0
+    audit = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert audit["source_pass"] < audit["raw"]
+    assert 0 < audit["span_deduped"] <= audit["near_unique"]
+
+
 def test_cli_stream_curate_available_now(spark, sf_dir, tmp_path, capsys):
     """stream-curate runs a REAL Structured Streaming job (file source,
     AvailableNow trigger, parquet sink + checkpoint) and its output
