@@ -210,3 +210,24 @@ def test_curation_blocklist_pushes_to_scan(spark, sf_dir):
     out, _ = curate(d, CurationConfig(blocked_sources=("src19", "src18")))
     plan = formatted_plan(out)
     assert "Not(In(source" in plan or "Not(EqualTo(source" in plan, plan
+
+
+def test_span_dedup_never_shuffles_text(spark, sf_dir):
+    """duplicate_span_stats: every Exchange carries md5 window hashes,
+    positions, and span structs — the text/token-array column must
+    never enter a shuffle (the 100-TB property that substitutes for a
+    distributed suffix array)."""
+    from bbdc20_submission_spark.operators.dedup import duplicate_span_stats
+    from bbdc20_submission_spark.sources.harness import load_table
+
+    df = duplicate_span_stats(load_table(spark, "documents", sf_dir))
+    plan = formatted_plan(df)
+    sections = plan.split("\n\n")
+    exchange_nodes = [s for s in sections if ") Exchange" in s]
+    assert exchange_nodes, "no Exchange node found"
+    for node in exchange_nodes:
+        input_lines = [l for l in node.splitlines() if l.startswith("Input")]
+        assert input_lines, node
+        assert all(
+            "text#" not in l and "_t#" not in l for l in input_lines
+        ), node
