@@ -110,10 +110,28 @@ def main() -> None:
         return out
 
     def _curate_strip(spark, d):
-        # the certified c1 configuration (boilerplate strip on)
+        # the certified c1 configuration (boilerplate strip + source
+        # blocklist on). The replicas keep the source column verbatim,
+        # so the blocklist rejects the same 5% at every factor.
         docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
-        out, _ = curate(docs, CurationConfig(strip_boilerplate_min_docs=2))
+        out, _ = curate(
+            docs,
+            CurationConfig(
+                strip_boilerplate_min_docs=2, blocked_sources=("src19",)
+            ),
+        )
         return out
+
+    def _span_dedup(spark, d):
+        # substring span dedup standalone (the suffix-array stand-in);
+        # replicas keep within-replica exact-dup docs, so the dup-window
+        # population scales with the corpus
+        from bbdc20_submission_spark.operators.dedup import (
+            duplicate_span_stats,
+        )
+
+        docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+        return duplicate_span_stats(docs)
 
     def _bm25(spark, d):
         docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
@@ -123,6 +141,7 @@ def main() -> None:
         "curation_dag": _curate,
         "curation_dag_strip": _curate_strip,
         "bm25_score": _bm25,
+        "duplicate_span_stats": _span_dedup,
     }
 
     store = {"queries": {}, "ext": {}, "rows": {}}
