@@ -109,3 +109,69 @@ def reservoir_per_stratum(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    strata_col: str,
+    target_weights: Mapping[str, float],
+    total_fraction: float,
+    id_col: str = "doc_id",
+    seed: int = 7,
+    portable: bool = False,
+) -> DataFrame:
+    """Data MIXING (the DoReMi / Pile-weights stage): sample the corpus
+    down to ``total_fraction`` of its rows with the surviving set
+    distributed across strata according to ``target_weights`` — e.g.
+    resample a web-heavy corpus to 60% web / 30% code / 10% books.
+
+    Per stratum s with observed count N_s, the target take is
+    ``n_s = total_fraction * N * w_s`` rows, so the per-stratum keep
+    rate is ``min(1, n_s / N_s)`` (a stratum smaller than its target
+    is kept whole — rates never exceed 1; strata absent from
+    ``target_weights`` get weight 0 and are dropped). Membership is
+    the same hash-threshold decision as ``stratified_sample``, so the
+    sample is a pure function of the data: reproducible across runs,
+    partitionings, and (with ``portable=True``) engines.
+
+    Scale shape: ONE tiny aggregation (stratum counts — map-side
+    partials, output rows = |strata|) broadcast back onto a narrow
+    filter; no shuffle of the corpus, no global sort, no state. The
+    rate arithmetic stays in IEEE doubles with the weights as exact
+    literals, so any engine derives bit-identical thresholds."""
+    bucket = portable_hash_bucket if portable else _hash_bucket
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("_n_s"))
+    total = df.agg(F.count("*").alias("_n"))
+    wmap = F.create_map(
+        *[
+            x
+            for value, w in sorted(target_weights.items())
+            for x in (F.lit(value), F.lit(float(w)))
+        ]
+    )
+    dim = (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("_w", F.coalesce(wmap.getItem(F.col(strata_col)), F.lit(0.0)))
+        .withColumn(
+            # floor, not cast: Spark's double->long cast truncates but
+            # DuckDB's ROUNDS — an explicit floor is the form both
+            # engines agree on (thresholds are non-negative)
+            "_thr",
+            F.floor(
+                F.least(
+                    F.lit(_BUCKETS).cast("double"),
+                    F.lit(float(total_fraction))
+                    * F.col("_n").cast("double")
+                    * F.col("_w")
+                    / F.col("_n_s").cast("double")
+                    * F.lit(_BUCKETS),
+                )
+            ),
+        )
+        .select(strata_col, "_thr")
+    )
+    return (
+        df.join(F.broadcast(dim), strata_col)
+        .filter(bucket(F.col(id_col), seed) < F.col("_thr"))
+        .drop("_thr")
+    )

@@ -427,6 +427,23 @@ def d2_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM hashed
         ) WHERE rk <= 10
     ),
+    mixdim AS (
+        SELECT lang,
+               CAST(floor(least(CAST(1048576 AS DOUBLE),
+                   CAST('0.4' AS DOUBLE)
+                   * (SELECT CAST(count(*) AS DOUBLE) FROM documents)
+                   * (CASE lang WHEN 'de' THEN CAST('0.3' AS DOUBLE)
+                                WHEN 'en' THEN CAST('0.6' AS DOUBLE)
+                                WHEN 'fr' THEN CAST('0.1' AS DOUBLE)
+                                ELSE CAST('0.0' AS DOUBLE) END)
+                   / CAST(count(*) AS DOUBLE) * 1048576)) AS BIGINT) AS thr
+        FROM documents GROUP BY lang
+    ),
+    mix AS (
+        SELECT h.doc_id FROM hashed h
+        JOIN mixdim m ON m.lang = h.lang
+        WHERE h.bucket < m.thr
+    ),
     toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
     dbi AS (
         SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
@@ -456,11 +473,13 @@ def d2_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l.doc_id, l.lang_pred,
            CAST(b.doc_id IS NOT NULL AS BIGINT) AS in_bernoulli,
            CAST(r.doc_id IS NOT NULL AS BIGINT) AS in_reservoir,
+           CAST(x.doc_id IS NOT NULL AS BIGINT) AS in_mixture,
            CAST(COALESCE(m.n_bigrams, 0) AS BIGINT) AS n_bigrams,
            COALESCE(m.lm_logp, CAST('0.0' AS DOUBLE)) AS lm_logp
     FROM lang l
     LEFT JOIN bern b ON b.doc_id = l.doc_id
     LEFT JOIN res r ON r.doc_id = l.doc_id
+    LEFT JOIN mix x ON x.doc_id = l.doc_id
     LEFT JOIN lm m ON m.doc_id = l.doc_id
     """,
 )
@@ -475,13 +494,18 @@ def d4_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB of splits, on any partitioning; certifying per-doc
     membership flags is equivalent to certifying the sample sets.
 
-    r6: also certifies the CCNet/KenLM-style corpus-LM perplexity
+    r6: also certifies DATA MIXING (``mixture_sample`` — DoReMi/Pile-
+    weights resampling toward target lang shares 60/30/10 at
+    total_fraction 0.4; the oracle re-derives the per-stratum rates
+    from counts and weights and reproduces membership) and the
+    CCNet/KenLM-style corpus-LM perplexity
     filter — ``bigram_lm_scores`` fits an add-0.5-smoothed bigram LM
     on the corpus distributively (explode + count shuffles, broadcast
     1-row vocab-size aggregate, no driver collect) and emits per-doc
     ``n_bigrams`` + ``lm_logp`` (avg ln P per bigram, 6dp); the oracle
     reproduces fit AND scoring with the same formula."""
     from bbdc20_submission_spark.operators.sampling import (
+        mixture_sample,
         reservoir_per_stratum,
         stratified_sample,
     )
@@ -490,6 +514,14 @@ def d4_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)
     lang = language_id(d).select("doc_id", "lang_pred")
     lm = bigram_lm_scores(d)
+    mix = mixture_sample(
+        d.select("doc_id", "lang"),
+        "lang",
+        {"en": 0.6, "de": 0.3, "fr": 0.1},
+        total_fraction=0.4,
+        seed=7,
+        portable=True,
+    ).select("doc_id", F.lit(1).alias("_x"))
     dl = d.select("doc_id", "lang")
     bern = stratified_sample(
         dl, "lang", {"en": 0.5, "de": 0.25}, default_fraction=0.1,
@@ -501,12 +533,14 @@ def d4_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lang.join(bern, "doc_id", "left")
         .join(res, "doc_id", "left")
+        .join(mix, "doc_id", "left")
         .join(lm, "doc_id", "left")
         .select(
             "doc_id",
             "lang_pred",
             F.coalesce(F.col("_b"), F.lit(0)).cast("long").alias("in_bernoulli"),
             F.coalesce(F.col("_r"), F.lit(0)).cast("long").alias("in_reservoir"),
+            F.coalesce(F.col("_x"), F.lit(0)).cast("long").alias("in_mixture"),
             "n_bigrams",
             "lm_logp",
         )

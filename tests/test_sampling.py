@@ -80,3 +80,46 @@ def test_no_shuffle_in_stratified_sample(spark):
         out.explain("formatted")
     plan = buf.getvalue().split("\n\n")[0]
     assert "Exchange" not in plan
+
+
+def test_mixture_sample_hits_target_mixture(spark):
+    """Data mixing: the surviving set's stratum shares must approach
+    the target weights, the total must approach total_fraction, the
+    result must be deterministic, and undersized strata keep all rows
+    (rate capped at 1)."""
+    from bbdc20_submission_spark.operators.sampling import mixture_sample
+
+    df = _corpus(spark, 8000)  # 2000 per lang
+    out = mixture_sample(
+        df, "lang", {"en": 0.6, "de": 0.3, "fr": 0.1}, total_fraction=0.5
+    )
+    counts = {r["lang"]: r["cnt"] for r in
+              out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    assert "es" not in counts  # weight 0 -> dropped
+    # targets: en 0.5*8000*0.6=2400 > 2000 -> capped, keep all 2000;
+    # de 1200 of 2000 (rate 0.6); fr 400 of 2000 (rate 0.2)
+    assert counts["en"] == 2000
+    assert abs(counts["de"] - 1200) < 120  # hash-threshold noise
+    assert abs(counts["fr"] - 400) < 80
+    again = mixture_sample(
+        df, "lang", {"en": 0.6, "de": 0.3, "fr": 0.1}, total_fraction=0.5
+    )
+    assert sorted(r["doc_id"] for r in again.collect()) == sorted(
+        r["doc_id"] for r in out.collect()
+    )
+
+
+def test_mixture_sample_caps_undersized_strata(spark):
+    """A stratum whose target exceeds its size is kept whole, not
+    oversampled."""
+    from bbdc20_submission_spark.operators.sampling import mixture_sample
+
+    rows = [(i, "en" if i < 3900 else "de") for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    # de target = 0.5 * 4000 * 0.9 = 1800 > 100 available -> keep all
+    out = mixture_sample(
+        df, "lang", {"en": 0.1, "de": 0.9}, total_fraction=0.5
+    )
+    counts = {r["lang"]: r["cnt"] for r in
+              out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    assert counts["de"] == 100
