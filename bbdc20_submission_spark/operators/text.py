@@ -452,3 +452,79 @@ def classifier_score_sql(
         f"% {n_features}) + 1])), (acc, x) -> acc + x) "
         f"/ len(str_split({text_expr}, ' ')))))"
     )
+
+
+def fit_quality_classifier(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_features: int = 256,
+    reg: float = 1e-3,
+) -> list[float]:
+    """Train the hashed-BoW quality classifier DISTRIBUTIVELY (the fit
+    side of the fastText/CCNet/DCLM filter stage): ridge regression on
+    mean-pooled hashed bag-of-words features against a {0,1} label
+    column (human labels, or a weak label like ``quality >= 0.5`` for
+    CCNet-style self-training), solved via normal equations.
+
+    The corpus never leaves the cluster: features are the sparse
+    per-doc token-hash counts (explode + groupBy — the same portable
+    md5-prefix hash ``classifier_quality_score`` applies at scoring
+    time), X'X comes from a per-doc sparse self-join (O(s_d^2) pairs
+    per doc for s_d <= n_features distinct features) aggregated to at
+    most n_features^2 cells, and X'y is one more tiny aggregation.
+    Only the (n_features x n_features) normal matrix — 65k doubles at
+    the default 256 — is collected; the driver solves the ridge system
+    with numpy and returns the weight list, ready to pass straight to
+    ``classifier_quality_score(weights=...)`` (which inlines it as a
+    literal — scoring stays a zero-shuffle codegen projection).
+
+    Float caveat: partial-sum order makes the normal matrix 1-ulp
+    nondeterministic across partitionings, so the FIT is certified by
+    golden tests against a local numpy fit (allclose), not by the
+    bit-exact oracle gate; SCORING with any fixed weight vector stays
+    oracle-exact."""
+    import numpy as np
+
+    h = F.pmod(
+        F.conv(F.substring(F.md5(F.col("_tok")), 1, 8), 16, 10).cast("long"),
+        F.lit(n_features),
+    )
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.col(label_col).cast("double").alias("_y"),
+            F.explode(ws_tokens(F.col(text_col))).alias("_tok"),
+        )
+        .withColumn("_j", h)
+    )
+    counts = toks.groupBy(id_col, "_y", "_j").agg(
+        F.count("*").alias("_c")
+    )
+    total = counts.groupBy(id_col).agg(F.sum("_c").alias("_T"))
+    xs = counts.join(total, id_col).select(
+        F.col(id_col),
+        "_y",
+        "_j",
+        (F.col("_c") / F.col("_T")).alias("_x"),
+    )
+    a = xs.select(F.col(id_col), F.col("_j").alias("_ja"), F.col("_x").alias("_xa"))
+    b = xs.select(F.col(id_col), F.col("_j").alias("_jb"), F.col("_x").alias("_xb"))
+    xtx_cells = (
+        a.join(b, id_col)
+        .groupBy("_ja", "_jb")
+        .agg(F.sum(F.col("_xa") * F.col("_xb")).alias("_v"))
+        .collect()
+    )
+    xty_cells = (
+        xs.groupBy("_j").agg(F.sum(F.col("_x") * F.col("_y")).alias("_v")).collect()
+    )
+    XtX = np.zeros((n_features, n_features))
+    for r in xtx_cells:
+        XtX[r["_ja"], r["_jb"]] = r["_v"]
+    Xty = np.zeros(n_features)
+    for r in xty_cells:
+        Xty[r["_j"]] = r["_v"]
+    w = np.linalg.solve(XtX + reg * np.eye(n_features), Xty)
+    return [float(v) for v in w]

@@ -348,3 +348,49 @@ def test_duplicate_span_stats_semantics(spark):
 
     with pytest.raises(ValueError, match="span_tokens"):
         duplicate_span_stats(df, span_tokens=1)
+
+
+def test_fit_quality_classifier_matches_numpy(spark):
+    """The distributed normal-equations ridge fit must match a local
+    numpy fit on the same hashed-BoW features, and scoring with the
+    trained weights must separate the planted good/bad docs."""
+    import hashlib
+
+    import numpy as np
+
+    from bbdc20_submission_spark.operators.text import (
+        classifier_quality_score,
+        fit_quality_classifier,
+    )
+
+    good = [f"the quick brown fox number {i} jumps over the lazy dog" for i in range(30)]
+    bad = [f"buy now {i} !!! $$$ click here !!! {i} $$$" for i in range(30)]
+    rows = [(i, t, 1) for i, t in enumerate(good)] + [
+        (100 + i, t, 0) for i, t in enumerate(bad)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    K = 64
+    w = fit_quality_classifier(df, "label", n_features=K, reg=1e-3)
+    assert len(w) == K
+
+    # local re-derivation
+    X = np.zeros((len(rows), K))
+    y = np.zeros(len(rows))
+    for r, (_, text, label) in enumerate(rows):
+        toks = text.split(" ")
+        for t in toks:
+            j = int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % K
+            X[r, j] += 1.0 / len(toks)
+        y[r] = label
+    want = np.linalg.solve(X.T @ X + 1e-3 * np.eye(K), X.T @ y)
+    assert np.allclose(np.array(w), want, atol=1e-8)
+
+    scored = {
+        r["doc_id"]: r["clf_score"]
+        for r in classifier_quality_score(
+            df, weights=w, n_features=K
+        ).collect()
+    }
+    good_scores = [scored[i] for i in range(30)]
+    bad_scores = [scored[100 + i] for i in range(30)]
+    assert min(good_scores) > max(bad_scores)
