@@ -359,3 +359,190 @@ def random_projection_sql(
             "(acc, x) -> acc + x)"
         )
     return "[" + ", ".join(dots) + "]"
+
+
+class ProductQuantizer:
+    """A fitted product quantizer: ``codebooks`` is an (m, ksub, dsub)
+    float64 ndarray — m independent sub-space codebooks over equal
+    slices of the vector. The IVF-PQ compression stage of large-scale
+    ANN: a dim-float vector compresses to m small codes (m bytes at
+    ksub<=256), cutting index storage/IO by ~dim*4/m while ADC scoring
+    stays a table lookup per block.
+
+    ``save``/``load`` persist to JSON with exact double round-trip —
+    the fit-once / encode-everywhere artifact (same contract as
+    ``clustering.CentroidQuantizer``)."""
+
+    def __init__(self, codebooks) -> None:
+        import numpy as np
+
+        self.codebooks = np.asarray(codebooks, dtype=np.float64)
+
+    @property
+    def m(self) -> int:
+        return self.codebooks.shape[0]
+
+    @property
+    def ksub(self) -> int:
+        return self.codebooks.shape[1]
+
+    @property
+    def dsub(self) -> int:
+        return self.codebooks.shape[2]
+
+    def save(self, path: str) -> None:
+        import json
+
+        with open(path, "w") as fh:
+            json.dump({"codebooks": self.codebooks.tolist()}, fh)
+
+    @classmethod
+    def load(cls, path: str) -> "ProductQuantizer":
+        import json
+
+        with open(path) as fh:
+            return cls(json.load(fh)["codebooks"])
+
+
+def fit_pq(
+    df: DataFrame,
+    dim: int,
+    m: int = 4,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 7,
+    max_iter: int = 20,
+    sample_cap: int | None = None,
+    approx_n: int | None = None,
+) -> ProductQuantizer:
+    """Train a product quantizer on a bounded deterministic corpus
+    sample: the vector is split into ``m`` equal ``dim/m`` slices and
+    each slice gets its own seeded k-means codebook (k-means++ +
+    Lloyd's, numpy — the same fit machinery as the coarse quantizer;
+    sub-problems are tiny so the driver fit is the right shape, with
+    the sample bounded exactly like ``clustering.fit_quantizer``)."""
+    from bbdc20_submission_spark.operators.clustering import (
+        _DEFAULT_SAMPLE_CAP,
+        _deterministic_head,
+        _lloyd,
+    )
+    import numpy as np
+
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    if ksub > 32:
+        raise ValueError(
+            f"ksub={ksub} > 32: the codegen argmin expression path is "
+            "capped at 32 codes per block (use more blocks instead)"
+        )
+    cap = sample_cap if sample_cap is not None else _DEFAULT_SAMPLE_CAP
+    fit_on = df
+    if approx_n is not None and approx_n > 4 * cap:
+        fit_on = df.sample(False, 4 * cap / approx_n, seed + 1)
+    rows = _deterministic_head(
+        fit_on.select(F.col(vec_col).cast("array<double>").alias("_v")), cap
+    ).collect()
+    X = np.asarray([r["_v"] for r in rows], dtype=np.float64)
+    if X.shape[0] == 0 or X.shape[1] != dim:
+        raise ValueError(f"sample shape {X.shape} does not match dim={dim}")
+    dsub = dim // m
+    books = [
+        _lloyd(X[:, b * dsub : (b + 1) * dsub], ksub, seed + b, max_iter)
+        for b in range(m)
+    ]
+    return ProductQuantizer(books)
+
+
+def pq_encode(
+    df: DataFrame,
+    pq: ProductQuantizer,
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Encode vectors to their per-block nearest-codeword indices —
+    ``out_col`` is an array<int> of length m. ONE narrow projection
+    (the codebooks ride the plan as literals; ksub<=32 keeps each
+    block's argmin inside whole-stage codegen like the coarse
+    assignment path), so encoding 100 TB is a map over splits with no
+    side input and no shuffle. Ties break to the lowest code
+    (array_position returns the first match)."""
+    v = F.col(vec_col).cast("array<double>")
+    dsub, codes = pq.dsub, []
+    for b in range(pq.m):
+        sub = F.slice(v, b * dsub + 1, dsub)
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        sub,
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, val: acc + val,
+                )
+                for c in pq.codebooks[b]
+            ]
+        )
+        codes.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return df.withColumn(out_col, F.array(*codes))
+
+
+def pq_topk_adc(
+    codes: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    pq: ProductQuantizer,
+    k: int = 3,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: for each query the driver
+    precomputes the m x ksub table of squared distances from the
+    query's sub-vectors to every codeword; the corpus-side score is
+    then ``sum_b table[b][code_b]`` — a pure table lookup per block,
+    no vector arithmetic against the corpus at all (the reason PQ
+    scans are memory-bandwidth-bound, not FLOP-bound, at scale).
+
+    The query set (with tables) is a broadcast dim; per-query top-k is
+    the standard window rank. Output: [query_id, id_col, adc_dist,
+    rank]. Deterministic: ties break on the corpus id."""
+    import numpy as np
+
+    spark = codes.sparkSession
+    dsub = pq.dsub
+    qrows = []
+    for qid, vec in queries:
+        q = np.asarray(vec, dtype=np.float64)
+        if q.shape[0] != pq.m * dsub:
+            raise ValueError(f"query {qid} has dim {q.shape[0]}")
+        table = [
+            [
+                float(((q[b * dsub : (b + 1) * dsub] - c) ** 2).sum())
+                for c in pq.codebooks[b]
+            ]
+            for b in range(pq.m)
+        ]
+        qrows.append((qid, table))
+    qdf = spark.createDataFrame(
+        qrows, "query_id long, _table array<array<double>>"
+    )
+    scored = codes.crossJoin(F.broadcast(qdf)).select(
+        "query_id",
+        F.col(id_col),
+        F.aggregate(
+            F.zip_with(
+                F.col(code_col),
+                F.col("_table"),
+                lambda c, t: F.element_at(t, c + 1),
+            ),
+            F.lit(0.0),
+            lambda acc, val: acc + val,
+        ).alias("adc_dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

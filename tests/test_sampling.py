@@ -123,3 +123,28 @@ def test_mixture_sample_caps_undersized_strata(spark):
     counts = {r["lang"]: r["cnt"] for r in
               out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
     assert counts["de"] == 100
+
+
+def test_mixture_sample_partitioning_invariant(spark):
+    """Mixture membership is a pure function of the data — identical
+    under any repartitioning (the 100-TB reproducibility property)."""
+    from bbdc20_submission_spark.operators.sampling import mixture_sample
+
+    df = _corpus(spark, 2000)
+    base = sorted(
+        r["doc_id"]
+        for r in mixture_sample(
+            df, "lang", {"en": 0.5, "de": 0.5}, total_fraction=0.3
+        ).collect()
+    )
+    for parts in (1, 7, 64):
+        again = sorted(
+            r["doc_id"]
+            for r in mixture_sample(
+                df.repartition(parts),
+                "lang",
+                {"en": 0.5, "de": 0.5},
+                total_fraction=0.3,
+            ).collect()
+        )
+        assert again == base

@@ -371,3 +371,73 @@ def test_random_projection_preserves_topk_structure(spark):
         "vec_id", random_projection("embedding", DIM, 8).alias("emb_rp")
     ).collect()}
     assert again
+
+
+def test_pq_planted_twin_recall_and_roundtrip(spark, sf_dir, tmp_path):
+    """Product quantization: encoding is a narrow codegen pass, a
+    planted near-twin of each query lands in the ADC top-3, and
+    save->load round-trips the codebooks bit-identically."""
+    import numpy as np
+
+    from bbdc20_submission_spark.operators.similarity import (
+        ProductQuantizer,
+        fit_pq,
+        pq_encode,
+        pq_topk_adc,
+    )
+    from bbdc20_submission_spark.sources.harness import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    dim = len(emb.first()["embedding"])
+    base = [(r["vec_id"], list(r["embedding"])) for r in emb.limit(40).collect()]
+    # plant a near-twin of each of 5 queries
+    rng = np.random.RandomState(3)
+    queries, rows = [], list(base)
+    for qi in range(5):
+        v = np.asarray(base[qi][1], dtype=np.float64)
+        twin = v + rng.normal(0, 1e-4, size=v.shape)
+        rows.append((10_000 + qi, [float(x) for x in twin]))
+        queries.append((qi, [float(x) for x in v]))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    pq = fit_pq(corpus, dim=dim, m=4, ksub=16)
+    codes = pq_encode(corpus, pq)
+
+    # narrow encode: no Exchange in the encode plan
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        codes.explain("formatted")
+    assert "Exchange" not in buf.getvalue().split("\n\n")[0]
+
+    top = pq_topk_adc(codes, queries, pq, k=3)
+    got = {
+        (r["query_id"], r["vec_id"]) for r in top.collect()
+    }
+    for qi in range(5):
+        assert (qi, 10_000 + qi) in got, f"twin of query {qi} missed top-3"
+
+    p = str(tmp_path / "pq.json")
+    pq.save(p)
+    again = ProductQuantizer.load(p)
+    assert (again.codebooks == pq.codebooks).all()
+    # encoding with the reloaded artifact is identical
+    a = {r["vec_id"]: r["pq_code"] for r in codes.collect()}
+    b = {r["vec_id"]: r["pq_code"] for r in pq_encode(corpus, again).collect()}
+    assert a == b
+
+
+def test_pq_validation(spark):
+    from bbdc20_submission_spark.operators.similarity import fit_pq
+
+    df = spark.createDataFrame(
+        [(1, [0.0] * 10)], "vec_id long, embedding array<double>"
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="not divisible"):
+        fit_pq(df, dim=10, m=4)
+    with pytest.raises(ValueError, match="ksub"):
+        fit_pq(df, dim=10, m=2, ksub=64)
