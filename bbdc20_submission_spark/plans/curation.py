@@ -79,6 +79,12 @@ class CurationConfig:
     chunk_tokens: int = 32
     chunk_overlap: int = 0
     sample_fractions: Mapping[str, float] | None = None  # lang -> rate
+    # data-mixing alternative to sample_fractions: resample chunks
+    # toward target per-language shares (DoReMi/Pile weights) at
+    # mixture_total_fraction of the chunk count. Mutually exclusive
+    # with sample_fractions.
+    mixture_weights: Mapping[str, float] | None = None
+    mixture_total_fraction: float = 1.0
     sample_seed: int = 7
     # cross-document boilerplate removal (off by default: an extra
     # chunk+hash aggregation pass over the filtered corpus)
@@ -255,16 +261,36 @@ def curate(
 
     # 6. deterministic per-language sampling (id = (doc, chunk) via a
     # derived synthetic id so chunk membership is also reproducible).
-    if config.sample_fractions:
+    # Either fixed per-stratum fractions or target-mixture resampling.
+    if config.sample_fractions and config.mixture_weights:
+        raise ValueError(
+            "sample_fractions and mixture_weights are mutually exclusive"
+        )
+    if config.sample_fractions or config.mixture_weights:
         chunks = chunks.withColumn(
             "_cid", F.xxhash64(F.col(id_col), F.col("chunk_id"))
         )
-        chunks = stratified_sample(
-            chunks,
-            "lang_pred",
-            config.sample_fractions,
-            id_col="_cid",
-            seed=config.sample_seed,
-        ).drop("_cid")
+        if config.sample_fractions:
+            chunks = stratified_sample(
+                chunks,
+                "lang_pred",
+                config.sample_fractions,
+                id_col="_cid",
+                seed=config.sample_seed,
+            )
+        else:
+            from bbdc20_submission_spark.operators.sampling import (
+                mixture_sample,
+            )
+
+            chunks = mixture_sample(
+                chunks,
+                "lang_pred",
+                config.mixture_weights,
+                total_fraction=config.mixture_total_fraction,
+                id_col="_cid",
+                seed=config.sample_seed,
+            )
+        chunks = chunks.drop("_cid")
     _tap("sampled", chunks)
     return chunks, counts

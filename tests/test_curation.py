@@ -187,3 +187,41 @@ def test_curate_span_dedup_stage(spark, sf_dir):
     assert len(got) > 0
     for doc_id, text in got:
         assert want_by_id.get(doc_id) == text, doc_id
+
+
+def test_curate_mixture_sampling_stage(spark, sf_dir):
+    """Stage 6 mixture mode: chunk shares move toward the target
+    weights, membership is deterministic, and the two sampling modes
+    are mutually exclusive."""
+    import pytest
+
+    docs = load_table(spark, "documents", sf_dir)
+    out, audit = curate(
+        docs,
+        CurationConfig(
+            mixture_weights={"en": 0.8, "de": 0.2},
+            mixture_total_fraction=0.5,
+        ),
+        audit=True,
+    )
+    assert 0 < audit["sampled"] < audit["chunks"]
+    langs = {r["lang_pred"] for r in out.select("lang_pred").distinct().collect()}
+    assert langs <= {"en", "de"}  # weight-0 langs dropped
+    again, _ = curate(
+        docs,
+        CurationConfig(
+            mixture_weights={"en": 0.8, "de": 0.2},
+            mixture_total_fraction=0.5,
+        ),
+    )
+    key = lambda r: (r["doc_id"], r["chunk_id"])
+    assert sorted(map(key, again.collect())) == sorted(map(key, out.collect()))
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        curate(
+            docs,
+            CurationConfig(
+                sample_fractions={"en": 0.5},
+                mixture_weights={"en": 1.0},
+            ),
+        )
