@@ -60,9 +60,17 @@ def _cmd_curate(args: argparse.Namespace) -> int:
 
     spark = get_spark("curate")
     docs = spark.read.parquet(args.documents)
+    mixture = None
+    if args.mixture_weight:
+        mixture = {}
+        for spec in args.mixture_weight:
+            lang, _, w = spec.partition("=")
+            mixture[lang] = float(w)
     cfg = CurationConfig(
         blocked_sources=tuple(args.block_source) or None,
         dedup_spans_min_count=args.dedup_spans_min_count,
+        mixture_weights=mixture,
+        mixture_total_fraction=args.mixture_total_fraction,
         min_quality=args.min_quality,
         min_clf_score=args.min_clf_score,
         keep_langs=tuple(args.langs.split(",")),
@@ -171,6 +179,14 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="enable substring span dedup (stage 2b) at this repeat count",
     )
+    c.add_argument(
+        "--mixture-weight",
+        action="append",
+        default=[],
+        metavar="LANG=W",
+        help="data-mixing target share (repeatable, e.g. en=0.6)",
+    )
+    c.add_argument("--mixture-total-fraction", type=float, default=1.0)
     c.set_defaults(fn=_cmd_curate)
 
     s = sub.add_parser(

@@ -87,3 +87,23 @@ def test_cli_stream_curate_available_now(spark, sf_dir, tmp_path, capsys):
     }
     assert got == want
     assert summary["chunks"] == len(want) > 0
+
+
+def test_cli_curate_mixture_flags(sf_dir, capsys):
+    rc = main(
+        [
+            "curate",
+            "--documents",
+            f"{sf_dir}/documents.parquet",
+            "--mixture-weight",
+            "en=0.7",
+            "--mixture-weight",
+            "de=0.3",
+            "--mixture-total-fraction",
+            "0.5",
+            "--audit",
+        ]
+    )
+    assert rc == 0
+    audit = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0 < audit["sampled"] < audit["chunks"]
