@@ -546,3 +546,105 @@ def pq_topk_adc(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivfpq_encode(
+    df: DataFrame,
+    model,
+    pq: ProductQuantizer,
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """IVF-PQ index build: assign each vector to its coarse cell
+    (``model`` is a fitted ``clustering.CentroidQuantizer``) and
+    PQ-encode the RESIDUAL ``v - center[cell]`` — the classic IVF-PQ
+    layout (residuals are far better centered than raw vectors, so the
+    same codebook budget buys much lower distortion).
+
+    One narrow pass end to end: cell assignment, the per-row centroid
+    lookup (centers ride as a literal array-of-arrays), the residual
+    subtraction, and the per-block code argmins all fuse into a single
+    codegen projection — at 100 TB the index build is a map over
+    splits with no shuffle."""
+    from bbdc20_submission_spark.operators.clustering import _with_cluster
+
+    centers = model.centers
+    out = _with_cluster(df, centers, vec_col, out_col=cell_col)
+    centers_lit = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in c])
+            for c in centers.tolist()
+        ]
+    )
+    residual = F.zip_with(
+        F.col(vec_col).cast("array<double>"),
+        F.element_at(centers_lit, (F.col(cell_col) + 1).cast("int")),
+        lambda x, c: x - c,
+    )
+    out = out.withColumn("_res", residual)
+    out = pq_encode(out, pq, vec_col="_res", out_col=code_col)
+    return out.drop("_res")
+
+
+def ivfpq_topk(
+    index: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    model,
+    pq: ProductQuantizer,
+    k: int = 3,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    cell_col: str = "cell",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """IVF-PQ search: probe each query's ``nprobe`` nearest cells and
+    ADC-score ONLY those cells' members, with the distance table built
+    per (query, cell) from the query's residual against that cell —
+    the composition that makes billion-vector search tractable
+    (candidate set ~ nprobe/k of the corpus, scoring a table lookup).
+
+    The (query, cell, table) dim is driver-built (queries x nprobe
+    rows — bounded) and broadcast into a cell equi-join against the
+    index; vectors themselves never move or shuffle. Output:
+    [query_id, id_col, adc_dist, rank]; ties on the corpus id."""
+    import numpy as np
+
+    spark = index.sparkSession
+    centers = model.centers
+    dsub = pq.dsub
+    qrows = []
+    for qid, vec in queries:
+        q = np.asarray(vec, dtype=np.float64)
+        d2 = ((centers - q[None, :]) ** 2).sum(axis=1)
+        for cell in np.argsort(d2, kind="stable")[:nprobe]:
+            r = q - centers[cell]
+            table = [
+                [
+                    float(((r[b * dsub : (b + 1) * dsub] - c) ** 2).sum())
+                    for c in pq.codebooks[b]
+                ]
+                for b in range(pq.m)
+            ]
+            qrows.append((qid, int(cell), table))
+    qdf = spark.createDataFrame(
+        qrows, f"query_id long, {cell_col} long, _table array<array<double>>"
+    )
+    scored = index.join(F.broadcast(qdf), cell_col).select(
+        "query_id",
+        F.col(id_col),
+        F.aggregate(
+            F.zip_with(
+                F.col(code_col),
+                F.col("_table"),
+                lambda c, t: F.element_at(t, c + 1),
+            ),
+            F.lit(0.0),
+            lambda acc, val: acc + val,
+        ).alias("adc_dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

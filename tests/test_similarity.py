@@ -441,3 +441,58 @@ def test_pq_validation(spark):
         fit_pq(df, dim=10, m=4)
     with pytest.raises(ValueError, match="ksub"):
         fit_pq(df, dim=10, m=2, ksub=64)
+
+
+def test_ivfpq_planted_twin_recall_and_plan(spark, sf_dir):
+    """IVF-PQ composition: the index build is one narrow pass (no
+    Exchange), probing the twin's cell finds each planted twin in the
+    ADC top-3, and only probed cells are scored."""
+    import numpy as np
+
+    from bbdc20_submission_spark.operators.clustering import fit_quantizer
+    from bbdc20_submission_spark.operators.similarity import (
+        fit_pq,
+        ivfpq_encode,
+        ivfpq_topk,
+    )
+    from bbdc20_submission_spark.sources.harness import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    dim = len(emb.first()["embedding"])
+    base = [(r["vec_id"], list(r["embedding"])) for r in emb.limit(60).collect()]
+    rng = np.random.RandomState(5)
+    queries, rows = [], list(base)
+    for qi in range(5):
+        v = np.asarray(base[qi][1], dtype=np.float64)
+        twin = v + rng.normal(0, 1e-4, size=v.shape)
+        rows.append((20_000 + qi, [float(x) for x in twin]))
+        queries.append((qi, [float(x) for x in v]))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    model = fit_quantizer(corpus, k=4)
+    pq = fit_pq(corpus, dim=dim, m=4, ksub=16)
+    index = ivfpq_encode(corpus, model, pq)
+
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        index.explain("formatted")
+    assert "Exchange" not in buf.getvalue().split("\n\n")[0]
+
+    top = ivfpq_topk(index, queries, model, pq, k=3, nprobe=2)
+    rows_out = top.collect()
+    got = {(r["query_id"], r["vec_id"]) for r in rows_out}
+    for qi in range(5):
+        assert (qi, 20_000 + qi) in got, f"twin of query {qi} missed top-3"
+
+    # candidate restriction: every scored row's cell is one of the
+    # query's nprobe probed cells
+    cells = {r["vec_id"]: r["cell"] for r in index.collect()}
+    centers = model.centers
+    for r in rows_out:
+        q = np.asarray(dict(queries)[r["query_id"]], dtype=np.float64)
+        d2 = ((centers - q[None, :]) ** 2).sum(axis=1)
+        probed = set(np.argsort(d2, kind="stable")[:2].tolist())
+        assert cells[r["vec_id"]] in probed
