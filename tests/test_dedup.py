@@ -394,3 +394,76 @@ def test_fit_quality_classifier_matches_numpy(spark):
     good_scores = [scored[i] for i in range(30)]
     bad_scores = [scored[100 + i] for i in range(30)]
     assert min(good_scores) > max(bad_scores)
+
+
+def test_duplicate_span_stats_random_cross_check(spark):
+    """Randomized semantics check: 40 seeded random mini-corpora (small
+    alphabet -> dense window collisions) run through the operator in
+    one batch; every doc's output must equal a brute-force python
+    re-derivation (window hashing, interval union, removal)."""
+    import random
+
+    from bbdc20_submission_spark.operators.dedup import duplicate_span_stats
+
+    L = 3
+    rng = random.Random(11)
+    rows = []
+    for corpus in range(40):
+        for d in range(4):
+            n = rng.randint(1, 14)
+            text = " ".join(
+                rng.choice("abcde") for _ in range(n)
+            )
+            rows.append((corpus * 10 + d, corpus, text))
+    df = spark.createDataFrame(rows, "doc_id long, corpus long, text string")
+
+    # the operator treats the WHOLE input as one corpus; to exercise
+    # many corpora in one pass, prefix every token with its corpus id
+    # so windows never collide across corpora
+    from pyspark.sql import functions as F
+
+    salted = df.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.split("text", " "),
+                lambda x: F.concat(F.col("corpus").cast("string"), F.lit("_"), x),
+            ),
+        ).alias("text"),
+    )
+    got = {
+        r["doc_id"]: (r["n_dup_spans"], r["span_tokens_removed"], r["clean_text"])
+        for r in duplicate_span_stats(salted, span_tokens=L).collect()
+    }
+
+    # brute-force reference per corpus
+    by_corpus: dict[int, list[tuple[int, list[str]]]] = {}
+    for doc_id, corpus, text in rows:
+        toks = [f"{corpus}_{t}" for t in text.split(" ")]
+        by_corpus.setdefault(corpus, []).append((doc_id, toks))
+    for corpus, docs in by_corpus.items():
+        from collections import Counter
+
+        counts = Counter()
+        for _, toks in docs:
+            for i in range(len(toks) - L + 1):
+                counts[tuple(toks[i : i + L])] += 1
+        for doc_id, toks in docs:
+            covered = set()
+            for i in range(len(toks) - L + 1):
+                if counts[tuple(toks[i : i + L])] >= 2:
+                    covered.update(range(i, i + L))
+            # spans = maximal runs of covered positions
+            spans = 0
+            prev = -10
+            removed = 0
+            for p in sorted(covered):
+                if p > prev + 1:
+                    spans += 1
+                prev = p
+                removed += 1
+            clean = " ".join(
+                t for i, t in enumerate(toks) if i not in covered
+            )
+            assert got[doc_id] == (spans, removed, clean), doc_id
