@@ -467,3 +467,46 @@ def test_duplicate_span_stats_random_cross_check(spark):
                 t for i, t in enumerate(toks) if i not in covered
             )
             assert got[doc_id] == (spans, removed, clean), doc_id
+
+
+def test_bigram_lm_random_cross_check(spark):
+    """Randomized check of the corpus bigram LM: 60 seeded random docs
+    over a tiny alphabet; per-doc (n_bigrams, lm_logp) must equal the
+    python re-derivation at the operator's 6dp rounding."""
+    import math
+    import random
+    from collections import Counter
+
+    from bbdc20_submission_spark.operators.text import bigram_lm_scores
+
+    rng = random.Random(23)
+    texts = [
+        " ".join(rng.choice("abcd") for _ in range(rng.randint(1, 20)))
+        for _ in range(60)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["lm_logp"])
+        for r in bigram_lm_scores(df).collect()
+    }
+    uni = Counter(w for t in texts for w in t.split(" "))
+    bi = Counter(
+        (ts[i], ts[i + 1])
+        for t in texts
+        for ts in [t.split(" ")]
+        for i in range(len(ts) - 1)
+    )
+    V = float(len(uni))
+    for i, t in enumerate(texts):
+        ts = t.split(" ")
+        pairs = [(ts[j], ts[j + 1]) for j in range(len(ts) - 1)]
+        if not pairs:
+            assert got[i] == (0, 0.0), i
+            continue
+        lp = sum(
+            math.log((bi[p] + 0.5) / (uni[p[0]] + 0.5 * V)) for p in pairs
+        ) / len(pairs)
+        assert got[i][0] == len(pairs), i
+        assert abs(got[i][1] - round(lp, 6)) < 2e-6, (i, got[i][1], lp)
