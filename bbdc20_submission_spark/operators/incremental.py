@@ -1,0 +1,182 @@
+"""Incremental ingest dedup: deduplicate a NEW batch of documents
+against an existing corpus INDEX — the daily-ingestion shape of a
+training-data pipeline, where re-reading (or re-shuffling) the 100 TB
+historical corpus per batch is off the table.
+
+The index is one compact frame per historical doc:
+
+    [_id, content_hash, h0..h{n-1}]
+
+i.e. the md5 content hash plus the MinHash signature — a few dozen
+bytes per document regardless of text size. ``build_dedup_index``
+produces it (callers persist it to storage between batches);
+``incremental_dedup`` consumes it and returns the surviving new docs
+plus the updated index for the next batch.
+
+Semantics notes:
+  * exact dedup vs the index and within the batch is EXACT (md5);
+  * near-dup vs the index is decided on the SIGNATURE-ESTIMATED
+    Jaccard (fraction of agreeing MinHash slots — the unbiased
+    estimator; the historical text is gone, so exact verification is
+    impossible by design and the estimator's variance is the standard
+    trade of index-based incremental dedup);
+  * near-dup WITHIN the batch uses the full exact-verify path
+    (candidates -> exact Jaccard -> connected components), since the
+    batch text is on hand.
+
+Scale shape: everything joins on hashes/band buckets — text never
+enters a shuffle; index-side banding is a narrow transform over the
+fixed-width signature columns; the per-batch cost is O(batch) plus
+one signature-width join against the (hash-partitioned) index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bbdc20_submission_spark.operators.chunking import dedup_clusters
+from bbdc20_submission_spark.operators.dedup import (
+    jaccard_pairs,
+    minhash_lsh_candidates,
+    minhash_signatures_df,
+)
+
+
+def build_dedup_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """Build the per-doc dedup index frame: [_id, content_hash,
+    h0..h{n-1}]. One pass over the corpus (hash + the signature
+    aggregation); the output is what a deployment persists between
+    ingestion batches."""
+    hashes = df.select(
+        F.col(id_col).alias("_id"), F.md5(F.col(text_col)).alias("content_hash")
+    )
+    sigs = minhash_signatures_df(df, id_col, text_col, shingle_k, num_hashes)
+    return hashes.join(sigs, "_id")
+
+
+def _banded(index: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """Band the signature columns: [_id, band, bucket]."""
+    rows_per_band = num_hashes // bands
+    return index.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"h{b * rows_per_band + r}")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bucket")
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    min_jaccard: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup ``new_docs`` against ``index`` (from
+    :func:`build_dedup_index`, same shingle/signature params) AND
+    within itself. Returns ``(kept_new_docs, updated_index)`` where
+    the updated index covers the historical corpus plus the survivors.
+
+    Order of elimination (cheapest first): exact-vs-index anti-join,
+    exact-within-batch (keep lowest id), near-vs-index (band-bucket
+    join + signature-estimated Jaccard >= ``min_jaccard``),
+    near-within-batch (exact-verified LSH + components, keep each
+    cluster's representative)."""
+    batch_index = build_dedup_index(
+        new_docs, id_col, text_col, shingle_k, num_hashes
+    )
+
+    # 1. exact vs index (hash-only anti-join)
+    fresh = batch_index.join(
+        index.select("content_hash"), "content_hash", "left_anti"
+    )
+    # 2. exact within batch: lowest id per content group (the index
+    # frame already carries the content key, so this is a direct
+    # groupBy — the same keep-lowest rule as exact_dedup_groups)
+    keep = fresh.groupBy("content_hash").agg(F.min("_id").alias("_id"))
+    fresh = fresh.join(keep.select("_id"), "_id", "left_semi")
+
+    # 3. near-dup vs index: band join, then estimated Jaccard
+    nb = _banded(fresh, num_hashes, bands).withColumnRenamed("_id", "_new")
+    ob = _banded(index, num_hashes, bands).withColumnRenamed("_id", "_old")
+    cand = (
+        nb.join(ob, ["band", "bucket"])
+        .select("_new", "_old")
+        .distinct()
+    )
+    est = (
+        cand.join(
+            fresh.select(
+                F.col("_id").alias("_new"),
+                *[F.col(f"h{s}").alias(f"a{s}") for s in range(num_hashes)],
+            ),
+            "_new",
+        )
+        .join(
+            index.select(
+                F.col("_id").alias("_old"),
+                *[F.col(f"h{s}").alias(f"b{s}") for s in range(num_hashes)],
+            ),
+            "_old",
+        )
+        .select(
+            "_new",
+            (
+                sum(
+                    F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
+                    for s in range(num_hashes)
+                )
+                / F.lit(float(num_hashes))
+            ).alias("_est_j"),
+        )
+    )
+    near_old = est.filter(F.col("_est_j") >= min_jaccard).select("_new").distinct()
+    fresh = fresh.join(near_old, fresh["_id"] == near_old["_new"], "left_anti")
+
+    # 4. near-dup within the batch: exact-verified path on the text
+    surv_docs = new_docs.join(
+        fresh.select(F.col("_id").alias(id_col)), id_col, "left_semi"
+    )
+    cands = minhash_lsh_candidates(
+        surv_docs, id_col, text_col, shingle_k, num_hashes, bands
+    )
+    pairs = jaccard_pairs(
+        surv_docs, cands, id_col, text_col, min_jaccard=min_jaccard
+    ).filter(F.col("jaccard") >= min_jaccard)
+    reps = dedup_clusters(surv_docs, pairs, id_col).filter(
+        ~F.col("is_duplicate")
+    ).select(id_col)
+    kept = surv_docs.join(reps, id_col, "left_semi")
+
+    updated = index.unionByName(
+        batch_index.join(
+            kept.select(F.col(id_col).alias("_id")), "_id", "left_semi"
+        )
+    )
+    return kept, updated

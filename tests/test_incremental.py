@@ -1,0 +1,68 @@
+"""Incremental ingest dedup: new batches against a persisted index."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bbdc20_submission_spark.operators.incremental import (
+    build_dedup_index,
+    incremental_dedup,
+)
+from bbdc20_submission_spark.sources.harness import load_table
+
+
+def _near_variant(text: str) -> str:
+    toks = text.split(" ")
+    return " ".join(toks[:-1]) if len(toks) > 8 else text + " extra"
+
+
+def test_incremental_dedup_batches(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    batch1 = docs.filter("doc_id < 120")
+    index = build_dedup_index(batch1)
+    n_index = index.count()
+    assert n_index == 120
+
+    b1 = {r["doc_id"]: r["text"] for r in batch1.limit(20).collect()}
+    b1_ids = sorted(b1)
+    rows = []
+    # 5 exact dups of batch1, 5 near dups of batch1, 5 fresh docs,
+    # and a within-batch dup pair
+    for i, did in enumerate(b1_ids[:5]):
+        rows.append((9000 + i, b1[did]))
+    for i, did in enumerate(b1_ids[5:10]):
+        rows.append((9100 + i, _near_variant(b1[did])))
+    for i in range(5):
+        rows.append((9200 + i, f"totally novel document body {i} " + " ".join(
+            f"tok{i}_{j}" for j in range(30))))
+    rows.append((9300, "a brand new within batch duplicate " + " ".join(
+        f"w{j}" for j in range(30))))
+    rows.append((9301, "a brand new within batch duplicate " + " ".join(
+        f"w{j}" for j in range(30))))
+    batch2 = spark.createDataFrame(rows, "doc_id long, text string")
+
+    kept, updated = incremental_dedup(batch2, index)
+    kept_ids = sorted(r["doc_id"] for r in kept.collect())
+
+    # exact dups of the corpus are gone
+    assert not any(9000 <= i < 9100 for i in kept_ids)
+    # near dups of the corpus are gone (signature-estimated jaccard)
+    assert not any(9100 <= i < 9200 for i in kept_ids)
+    # fresh docs survive
+    assert [i for i in kept_ids if 9200 <= i < 9300] == [9200 + i for i in range(5)]
+    # within-batch dup pair keeps exactly the lowest id
+    assert 9300 in kept_ids and 9301 not in kept_ids
+
+    # updated index = historical + survivors, ready for batch 3
+    assert updated.count() == n_index + len(kept_ids)
+    kept3, _ = incremental_dedup(batch2, updated)
+    assert kept3.count() == 0  # re-ingesting the same batch is a no-op
+
+
+def test_index_is_compact_and_text_free(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    index = build_dedup_index(docs.limit(50))
+    assert "text" not in index.columns
+    assert set(index.columns) == {"_id", "content_hash"} | {
+        f"h{s}" for s in range(16)
+    }
