@@ -49,3 +49,48 @@ def read_pruned(spark: SparkSession, path: str) -> DataFrame:
     """Plain parquet read of a range-sorted table; filters on the sort
     prefix prune files/row groups via the written statistics."""
     return spark.read.parquet(path)
+
+
+def write_training_shards(
+    chunks: DataFrame,
+    path: str,
+    budget_tokens: int = 1024,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    chunk_col: str = "chunk_id",
+    tokens_col: str = "n_tokens",
+) -> None:
+    """The trainer-ready SINK: pack curated chunks into fixed-budget
+    training sequences (``operators.chunking.pack_sequences``) and lay
+    them out as one parquet partition directory per pack bucket, rows
+    sorted by (seq_id, seq_pos) inside each file — so a data loader
+    streams each shard front to back and sees whole sequences in
+    order, with no shuffle or sort at training time.
+
+    Layout mechanics: ``repartition(pack_bucket)`` puts each bucket in
+    exactly one task -> exactly one file under its
+    ``pack_bucket=<b>/`` directory; ``sortWithinPartitions`` orders
+    the file physically; ``partitionBy`` makes bucket selection a
+    directory prune. ``n_buckets`` is simultaneously the shard count,
+    the write parallelism, and the trainer's data-parallel fan-out —
+    at cluster scale set it to a multiple of the reader count.
+    Everything upstream of the write is the deterministic
+    pack_sequences assignment, so re-running produces byte-identical
+    shard membership (reproducible training order)."""
+    from bbdc20_submission_spark.operators.chunking import pack_sequences
+
+    packed = pack_sequences(
+        chunks,
+        budget_tokens=budget_tokens,
+        n_buckets=n_buckets,
+        id_col=id_col,
+        chunk_col=chunk_col,
+        tokens_col=tokens_col,
+    )
+    (
+        packed.repartition(n_buckets, "pack_bucket")
+        .sortWithinPartitions("seq_id", "seq_pos")
+        .write.mode("overwrite")
+        .partitionBy("pack_bucket")
+        .parquet(path)
+    )

@@ -272,3 +272,44 @@ def test_range_join_big_hi_on_bucket_boundary(spark):
         for r in range_join_big(facts, ivs, "v", "lo", "hi", bucket_width=8.0).collect()
     }
     assert got == {(1, 10), (2, 10), (3, 10), (4, 11)}
+
+
+def test_write_training_shards_layout(spark, sf_dir, tmp_path):
+    """The trainer sink: one file per pack bucket, rows inside each
+    bucket file physically ordered by (seq_id, seq_pos), shard
+    membership deterministic across rewrites."""
+    import glob
+    import os
+
+    from bbdc20_submission_spark.plans.curation import curate
+    from bbdc20_submission_spark.sources.harness import load_table
+    from bbdc20_submission_spark.sources.layout import write_training_shards
+
+    docs = load_table(spark, "documents", sf_dir)
+    chunks, _ = curate(docs)
+    out = str(tmp_path / "shards")
+    write_training_shards(chunks, out, budget_tokens=256, n_buckets=8)
+
+    bucket_dirs = sorted(glob.glob(os.path.join(out, "pack_bucket=*")))
+    assert len(bucket_dirs) == 8
+    total = 0
+    for d in bucket_dirs:
+        files = glob.glob(os.path.join(d, "*.parquet"))
+        assert len(files) == 1, d  # one shard file per bucket
+        pdf = spark.read.parquet(files[0]).toPandas()
+        total += len(pdf)
+        # physical row order inside the file is the training order
+        key = list(zip(pdf["seq_id"], pdf["seq_pos"]))
+        assert key == sorted(key), d
+    assert total == chunks.count()
+
+    # determinism: a rewrite yields identical shard membership
+    out2 = str(tmp_path / "shards2")
+    write_training_shards(chunks, out2, budget_tokens=256, n_buckets=8)
+    a = spark.read.parquet(out).select(
+        "doc_id", "chunk_id", "pack_bucket", "seq_id", "seq_pos"
+    )
+    b = spark.read.parquet(out2).select(
+        "doc_id", "chunk_id", "pack_bucket", "seq_id", "seq_pos"
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
