@@ -80,9 +80,20 @@ def _cmd_curate(args: argparse.Namespace) -> int:
     out, audit = curate(docs, cfg, audit=args.audit)
     if args.out:
         out.write.mode("overwrite").parquet(args.out)
+    if args.shards_out:
+        from bbdc20_submission_spark.sources.layout import (
+            write_training_shards,
+        )
+
+        write_training_shards(
+            out,
+            args.shards_out,
+            budget_tokens=args.shard_budget_tokens,
+            n_buckets=args.shard_buckets,
+        )
     if args.audit:
         print(json.dumps(audit))
-    if not args.out and not args.audit:
+    if not args.out and not args.shards_out and not args.audit:
         out.show(20, truncate=False)
     return 0
 
@@ -187,6 +198,12 @@ def main(argv: list[str] | None = None) -> int:
         help="data-mixing target share (repeatable, e.g. en=0.6)",
     )
     c.add_argument("--mixture-total-fraction", type=float, default=1.0)
+    c.add_argument(
+        "--shards-out",
+        help="also write trainer-ready packed-sequence shards here",
+    )
+    c.add_argument("--shard-budget-tokens", type=int, default=1024)
+    c.add_argument("--shard-buckets", type=int, default=64)
     c.set_defaults(fn=_cmd_curate)
 
     s = sub.add_parser(

@@ -107,3 +107,25 @@ def test_cli_curate_mixture_flags(sf_dir, capsys):
     assert rc == 0
     audit = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert 0 < audit["sampled"] < audit["chunks"]
+
+
+def test_cli_curate_shards_out(sf_dir, tmp_path, capsys):
+    import glob
+    import os
+
+    rc = main(
+        [
+            "curate",
+            "--documents",
+            f"{sf_dir}/documents.parquet",
+            "--shards-out",
+            str(tmp_path / "shards"),
+            "--shard-buckets",
+            "4",
+            "--shard-budget-tokens",
+            "256",
+        ]
+    )
+    assert rc == 0
+    dirs = glob.glob(os.path.join(str(tmp_path / "shards"), "pack_bucket=*"))
+    assert len(dirs) == 4
