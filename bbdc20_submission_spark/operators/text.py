@@ -528,3 +528,56 @@ def fit_quality_classifier(
         Xty[r["_j"]] = r["_v"]
     w = np.linalg.solve(XtX + reg * np.eye(n_features), Xty)
     return [float(v) for v in w]
+
+
+def corpus_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One-row corpus diagnostics — the before/after-curation summary
+    every pipeline run logs: document count, exact-duplicate rate,
+    token totals, doc-length distribution, and the language mix.
+
+    Computed as ONE aggregation pass over a single narrow projection
+    (per-doc stats + content hash + language vote), so the cost is a
+    corpus scan plus a 1-row reduce: count/sum/avg/percentile ride
+    map-side partials; the duplicate rate is approx_count_distinct
+    over the md5 hash (HLL — no exact-distinct shuffle at 100 TB);
+    the language mix aggregates the 5-way vote into per-language doc
+    counts. Output columns: n_docs, n_unique_approx, dup_rate_approx,
+    total_ws_tokens, avg_doc_tokens, p50_doc_tokens, p95_doc_tokens,
+    n_docs_<lang> per language."""
+    toks = ws_tokens(F.col(text_col))
+    per_doc = language_id(
+        df.select(
+            F.col(id_col),
+            F.col(text_col),
+            F.size(toks).alias("_nt"),
+            F.md5(F.col(text_col)).alias("_h"),
+        ),
+        text_col,
+    )
+    langs = sorted(STOPWORDS)
+    return per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.approx_count_distinct("_h").alias("n_unique_approx"),
+        F.round(
+            # HLL can overestimate distinct slightly -> clamp at 0
+            F.greatest(
+                F.lit(0.0),
+                1.0 - F.approx_count_distinct("_h") / F.count("*"),
+            ),
+            4,
+        ).alias("dup_rate_approx"),
+        F.sum("_nt").alias("total_ws_tokens"),
+        F.round(F.avg("_nt"), 2).alias("avg_doc_tokens"),
+        F.percentile_approx("_nt", 0.5).alias("p50_doc_tokens"),
+        F.percentile_approx("_nt", 0.95).alias("p95_doc_tokens"),
+        *[
+            F.sum(
+                F.when(F.col("lang_pred") == lang, 1).otherwise(0)
+            ).alias(f"n_docs_{lang}")
+            for lang in langs
+        ],
+    )

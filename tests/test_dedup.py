@@ -510,3 +510,36 @@ def test_bigram_lm_random_cross_check(spark):
         ) / len(pairs)
         assert got[i][0] == len(pairs), i
         assert abs(got[i][1] - round(lp, 6)) < 2e-6, (i, got[i][1], lp)
+
+
+def test_corpus_report_single_pass(spark, sf_dir):
+    """The corpus report must agree with independently-computed exact
+    stats (counts, token totals, language mix) and run as a single
+    aggregation over one scan (exactly one Exchange in the plan)."""
+    from bbdc20_submission_spark.operators.text import corpus_report, language_id
+    from bbdc20_submission_spark.sources.harness import load_table
+
+    docs = load_table(spark, "documents", sf_dir).limit(200)
+    row = corpus_report(docs).collect()[0]
+    assert row["n_docs"] == 200
+    want_tokens = docs.select(
+        F.sum(F.size(F.split("text", " "))).alias("t")
+    ).collect()[0]["t"]
+    assert row["total_ws_tokens"] == want_tokens
+    lang_counts = {
+        r["lang_pred"]: r["count"]
+        for r in language_id(docs).groupBy("lang_pred").count().collect()
+    }
+    for lang, n in lang_counts.items():
+        assert row[f"n_docs_{lang}"] == n
+    assert 0.0 <= row["dup_rate_approx"] <= 1.0
+    assert row["p50_doc_tokens"] <= row["p95_doc_tokens"]
+
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        corpus_report(docs).explain("formatted")
+    plan = buf.getvalue().split("\n\n")[0]
+    assert plan.count("Exchange") == 1, plan
