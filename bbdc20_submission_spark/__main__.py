@@ -98,6 +98,17 @@ def _cmd_curate(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_report(args: argparse.Namespace) -> int:
+    from bbdc20_submission_spark.operators.text import corpus_report
+    from bbdc20_submission_spark.session import get_spark
+
+    spark = get_spark("report")
+    docs = spark.read.parquet(args.documents)
+    row = corpus_report(docs, text_col=args.text_col).collect()[0]
+    print(json.dumps(row.asDict()))
+    return 0
+
+
 def _cmd_stream_curate(args: argparse.Namespace) -> int:
     from bbdc20_submission_spark.session import get_spark
     from bbdc20_submission_spark.streaming.curation import stream_curate
@@ -217,6 +228,11 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--langs", default="en,de,es,fr")
     s.add_argument("--chunk-tokens", type=int, default=32)
     s.set_defaults(fn=_cmd_stream_curate)
+
+    rp = sub.add_parser("report", help="one-row corpus diagnostics")
+    rp.add_argument("--documents", required=True)
+    rp.add_argument("--text-col", default="text")
+    rp.set_defaults(fn=_cmd_report)
 
     pl = sub.add_parser("pipeline", help="run the BBDC reference pipeline")
     pl.add_argument("--labels", required=True)

@@ -129,3 +129,12 @@ def test_cli_curate_shards_out(sf_dir, tmp_path, capsys):
     assert rc == 0
     dirs = glob.glob(os.path.join(str(tmp_path / "shards"), "pack_bucket=*"))
     assert len(dirs) == 4
+
+
+def test_cli_report(sf_dir, capsys):
+    rc = main(["report", "--documents", f"{sf_dir}/documents.parquet"])
+    assert rc == 0
+    row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert row["n_docs"] > 0
+    assert row["total_ws_tokens"] > row["n_docs"]
+    assert "n_docs_en" in row
