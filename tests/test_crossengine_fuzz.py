@@ -126,3 +126,111 @@ def test_fuzz_quality_score_cross_engine(spark):
         """,
     )
     assert got == want
+
+
+def test_fuzz_bigram_lm_cross_engine(spark):
+    """The corpus bigram LM on adversarial texts (unicode, empties,
+    punctuation) must match DuckDB at the operator's 6dp rounding."""
+    from bbdc20_submission_spark.operators.text import bigram_lm_scores
+
+    rows = _random_texts(40, seed=17)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["lm_logp"])
+        for r in bigram_lm_scores(df).collect()
+    }
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE TABLE t AS SELECT * FROM (VALUES "
+            + ", ".join("(?, ?)" for _ in rows)
+            + ") AS v(doc_id, text)",
+            [x for r in rows for x in r],
+        )
+        want = {
+            r[0]: (r[1], r[2])
+            for r in con.execute(
+                """
+            WITH toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM t),
+            dbi AS (
+                SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+                FROM (SELECT doc_id, t,
+                             unnest(generate_series(1, len(t) - 1)) AS i
+                      FROM toks)
+            ),
+            uni AS (SELECT w, count(*) AS c1
+                    FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+            bi AS (SELECT w1, w2, count(*) AS c2 FROM dbi GROUP BY w1, w2),
+            vv AS (SELECT CAST(count(*) AS DOUBLE) AS V FROM uni),
+            lm AS (
+                SELECT d.doc_id, count(*) AS n,
+                       round(avg(ln((b.c2 + CAST('0.5' AS DOUBLE))
+                               / (u.c1 + CAST('0.5' AS DOUBLE) * v.V))), 6) AS lp
+                FROM dbi d
+                JOIN uni u ON d.w1 = u.w
+                JOIN bi b ON d.w1 = b.w1 AND d.w2 = b.w2
+                CROSS JOIN vv v GROUP BY d.doc_id
+            )
+            SELECT t.doc_id,
+                   CAST(COALESCE(lm.n, 0) AS BIGINT),
+                   COALESCE(lm.lp, CAST('0.0' AS DOUBLE))
+            FROM t LEFT JOIN lm ON lm.doc_id = t.doc_id
+            """
+            ).fetchall()
+        }
+    finally:
+        con.close()
+    assert got == want
+
+
+def test_fuzz_mixture_thresholds_cross_engine(spark):
+    """Mixture-sample membership on a random stratified frame must
+    match the DuckDB re-derivation of rates AND membership exactly."""
+    import random
+
+    from bbdc20_submission_spark.operators.sampling import mixture_sample
+
+    rng = random.Random(29)
+    langs = ["aa", "bb", "cc", "dd"]
+    rows = [(i, rng.choice(langs)) for i in range(700)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = sorted(
+        r["doc_id"]
+        for r in mixture_sample(
+            df, "lang", {"aa": 0.5, "bb": 0.35, "cc": 0.15},
+            total_fraction=0.45, seed=7, portable=True,
+        ).collect()
+    )
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE TABLE t AS SELECT * FROM (VALUES "
+            + ", ".join("(?, ?)" for _ in rows)
+            + ") AS v(doc_id, lang)",
+            [x for r in rows for x in r],
+        )
+        want = sorted(
+            r[0]
+            for r in con.execute(
+                """
+            WITH dim AS (
+                SELECT lang,
+                       CAST(floor(least(CAST(1048576 AS DOUBLE),
+                           CAST('0.45' AS DOUBLE)
+                           * (SELECT CAST(count(*) AS DOUBLE) FROM t)
+                           * (CASE lang WHEN 'aa' THEN CAST('0.5' AS DOUBLE)
+                                        WHEN 'bb' THEN CAST('0.35' AS DOUBLE)
+                                        WHEN 'cc' THEN CAST('0.15' AS DOUBLE)
+                                        ELSE CAST('0.0' AS DOUBLE) END)
+                           / CAST(count(*) AS DOUBLE) * 1048576)) AS BIGINT) AS thr
+                FROM t GROUP BY lang
+            )
+            SELECT t.doc_id FROM t JOIN dim d ON d.lang = t.lang
+            WHERE CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR) || ':7'),
+                       1, 8)) AS BIGINT) % 1048576 < d.thr
+            """
+            ).fetchall()
+        )
+    finally:
+        con.close()
+    assert got == want and len(got) > 0
