@@ -180,3 +180,28 @@ def incremental_dedup(
         )
     )
     return kept, updated
+
+
+def stream_incremental_exact_filter(
+    stream: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """STREAMING ingest dedup against the historical index: drop any
+    streamed doc whose content hash already exists in the index — a
+    stateless stream-static anti-join on md5 (the index's hash column
+    rides as a broadcast dim; the stream never shuffles and needs no
+    state store). Near-dup filtering on a stream follows the same
+    shape with the banded signature columns; exact-hash is the
+    always-on first line. The index is re-read per micro-batch for
+    file/table sources, so a concurrently-updated index flows
+    through."""
+    from bbdc20_submission_spark.streaming.joins import stream_static_enrich
+
+    hashed = stream.withColumn("content_hash", F.md5(F.col(text_col)))
+    return stream_static_enrich(
+        hashed,
+        index.select("content_hash").distinct(),
+        "content_hash",
+        how="left_anti",
+    )

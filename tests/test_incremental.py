@@ -66,3 +66,42 @@ def test_index_is_compact_and_text_free(spark, sf_dir):
     assert set(index.columns) == {"_id", "content_hash"} | {
         f"h{s}" for s in range(16)
     }
+
+
+def test_stream_incremental_exact_filter(spark, sf_dir, tmp_path):
+    """Streaming ingest dedup: docs whose content is already in the
+    historical index are dropped from the stream; fresh docs pass.
+    Stream output == batch output of the same filter."""
+    from bbdc20_submission_spark.operators.incremental import (
+        stream_incremental_exact_filter,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    hist = docs.filter("doc_id < 100")
+    index = build_dedup_index(hist)
+
+    # batch 2: 10 exact dups of history + everything else fresh
+    batch = docs.filter("doc_id >= 90 AND doc_id < 140")
+    staged = str(tmp_path / "batch")
+    batch.write.mode("overwrite").parquet(staged)
+
+    schema = spark.read.parquet(staged).schema
+    stream = spark.readStream.schema(schema).parquet(staged)
+    out = stream_incremental_exact_filter(stream, index)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_sinc")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM t_sinc").collect()}
+    want = {
+        r["doc_id"]
+        for r in stream_incremental_exact_filter(
+            spark.read.parquet(staged), index
+        ).collect()
+    }
+    assert got == want
+    assert got == set(range(100, 140))  # 90..99 are historical dups
