@@ -205,3 +205,49 @@ def stream_incremental_exact_filter(
         "content_hash",
         how="left_anti",
     )
+
+
+def stream_incremental_dedup(
+    stream_docs: DataFrame,
+    index_path: str,
+    kept_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **dedup_kwargs,
+):
+    """FULL incremental dedup on a stream — exact + near, vs the
+    persisted index AND within each micro-batch — via ``foreachBatch``:
+    each micro-batch reads the CURRENT index, runs the batch
+    :func:`incremental_dedup`, appends the survivors to ``kept_path``
+    and their index rows to ``index_path`` (append-only is equivalent
+    to the updated-index union). Later micro-batches therefore dedup
+    against everything earlier ones admitted — the sequential-ingest
+    semantics of a production feed.
+
+    Returns the unstarted ``DataStreamWriter`` (caller picks the
+    trigger and calls ``start()``). Delivery is Structured Streaming's
+    at-least-once for side-effecting sinks: a failed-then-replayed
+    batch can append twice; exactly-once deployments key the output
+    path by ``batch_id`` or write through a transactional table
+    format."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        index = spark.read.parquet(index_path)
+        kept, _ = incremental_dedup(
+            batch_df, index, id_col=id_col, text_col=text_col, **dedup_kwargs
+        )
+        kept = kept.localCheckpoint()  # one computation, two writes
+        kept.write.mode("append").parquet(kept_path)
+        build_dedup_index(
+            kept,
+            id_col=id_col,
+            text_col=text_col,
+            shingle_k=dedup_kwargs.get("shingle_k", 3),
+            num_hashes=dedup_kwargs.get("num_hashes", 16),
+        ).write.mode("append").parquet(index_path)
+
+    return stream_docs.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )

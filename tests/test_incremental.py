@@ -105,3 +105,66 @@ def test_stream_incremental_exact_filter(spark, sf_dir, tmp_path):
     }
     assert got == want
     assert got == set(range(100, 140))  # 90..99 are historical dups
+
+
+def test_stream_incremental_dedup_updates_index(spark, sf_dir, tmp_path):
+    """foreachBatch incremental dedup: micro-batches dedup against the
+    persisted index AND earlier batches' admissions; the index grows
+    by exactly the kept docs."""
+    import os
+
+    from bbdc20_submission_spark.operators.incremental import (
+        stream_incremental_dedup,
+    )
+
+    # fully synthetic docs (disjoint per-doc vocab) so the ONLY
+    # duplicate relations are the planted ones — the harness corpus
+    # contains genuine near-dups that would make assertions orderful
+    def _doc(i: int) -> str:
+        return " ".join(f"d{i}w{j}" for j in range(30))
+
+    hist = spark.createDataFrame(
+        [(i, _doc(i)) for i in range(80)], "doc_id long, text string"
+    )
+    index_path = str(tmp_path / "index")
+    build_dedup_index(hist).write.mode("overwrite").parquet(index_path)
+
+    # two staged files: A brings fresh docs 80..119; B brings exact
+    # dups of history (0..9), dups of A (80..89), and fresh 120..139
+    staged = str(tmp_path / "incoming")
+    os.makedirs(staged, exist_ok=True)
+    spark.createDataFrame(
+        [(i, _doc(i)) for i in range(80, 120)], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(staged)
+    rows_b = (
+        [(8000 + i, _doc(i)) for i in range(10)]
+        + [(8100 + i, _doc(80 + i)) for i in range(10)]
+        + [(i, _doc(i)) for i in range(120, 140)]
+    )
+    spark.createDataFrame(rows_b, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("append").parquet(staged)
+
+    schema = spark.read.parquet(staged).schema
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(staged)
+    kept_path = str(tmp_path / "kept")
+    q = stream_incremental_dedup(
+        stream,
+        index_path,
+        kept_path,
+        str(tmp_path / "ckpt"),
+    ).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    kept_ids = sorted(
+        r["doc_id"] for r in spark.read.parquet(kept_path).collect()
+    )
+    # all dups (of history or of admitted docs) are gone regardless of
+    # how the files were micro-batched; all fresh docs survive
+    assert not any(8000 <= i < 8200 for i in kept_ids)
+    assert set(range(80, 140)) <= set(kept_ids)
+    assert len(kept_ids) == 60
+    # index grew by exactly the kept docs
+    assert spark.read.parquet(index_path).count() == 80 + 60
