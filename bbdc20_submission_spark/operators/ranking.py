@@ -124,3 +124,178 @@ def bm25_score(
         .select(F.col("_id").alias(id_col), "score")
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
     )
+
+
+def bm25_score_multi(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    tokens_col: str = "tokens",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 of every document against EVERY query in a query
+    dim: [query_id_col, id_col, score]. The multi-query retrieval
+    shape (batch scoring for eval sets, decontamination probes,
+    query-targeted corpus slicing at scale).
+
+    Scale shape: corpus tokens are semi-joined against the broadcast
+    union of all query tokens BEFORE any aggregation, so the explode
+    pays only for matching tokens; the per-term df dim and the
+    (query, token) pairs are both broadcast (they have O(|queries| *
+    |query len|) rows); the only big shuffles are the (doc, token)
+    partial-aggregated count and the final (query, doc) sum. Zero-
+    overlap (query, doc) pairs are omitted (sparse semantics).
+    Reference parity: same non-negative idf variant as
+    ``bm25_score`` — ln(1 + (N - df + 0.5)/(df + 0.5))."""
+    qtok = (
+        queries.select(
+            F.col(query_id_col).alias("_qid"),
+            F.explode(F.array_distinct(F.col(tokens_col))).alias("_tok"),
+        )
+    )
+    # the query dim is small BY DEFINITION (an eval set / probe
+    # batch), so its union token set is collected once and applied as
+    # a literal array_contains predicate — a scan-side filter with no
+    # join build, exactly like the single-query operator. The
+    # per-(query, token) pairs still ride a broadcast join for the
+    # scoring fan-out.
+    union_toks = sorted(
+        r["_tok"] for r in qtok.select("_tok").distinct().collect()
+    )
+    if not union_toks:
+        raise ValueError("bm25_score_multi needs at least one query token")
+    stats = docs.select(
+        F.count(F.lit(1)).alias("_n"),
+        F.avg(F.size(ws_tokens(text_col))).alias("_avgdl"),
+    ).collect()[0]
+    n_docs, avg_dl = int(stats["_n"]), float(stats["_avgdl"])
+
+    q_arr = F.array(*[F.lit(t) for t in union_toks])
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.size(ws_tokens(text_col)).alias("_dl"),
+        F.explode(ws_tokens(text_col)).alias("_tok"),
+    ).filter(F.array_contains(q_arr, F.col("_tok")))
+    terms = toks.groupBy("_id", "_tok").agg(
+        F.count(F.lit(1)).alias("_tf"), F.first("_dl").alias("_dl")
+    )
+    df_dim = terms.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    idf = F.log(
+        1.0
+        + (F.lit(float(n_docs)) - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+    )
+    tf_part = (F.col("_tf") * (k1 + 1)) / (
+        F.col("_tf") + k1 * (1 - b + b * F.col("_dl") / F.lit(avg_dl))
+    )
+    return (
+        terms.join(F.broadcast(df_dim), "_tok")
+        .select("_id", "_tok", (idf * tf_part).alias("_s"))
+        .join(F.broadcast(qtok), "_tok")
+        .groupBy("_qid", "_id")
+        .agg(F.round(F.sum("_s"), 6).alias("score"))
+        .select(
+            F.col("_qid").alias(query_id_col),
+            F.col("_id").alias(id_col),
+            "score",
+        )
+    )
+
+
+def ranking_eval(
+    runs: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Retrieval-quality metrics per query over a run (ranked results)
+    and graded relevance judgments: [query_col, ndcg_at_k, mrr,
+    precision_at_k, recall_at_k, n_rel].
+
+    The evaluator every retrieval/dedup component needs once it ships:
+    nDCG@k with graded gains (2^rel - 1) and ln(rank+1)/ln(2)
+    discounts, reciprocal rank of the first relevant hit, and
+    binary precision/recall@k. Ranks are row_number over
+    (score desc, id asc) — the score should already be rounded so the
+    tie order is engine-portable. All of it is two windows plus one
+    aggregate per side, keyed on the query id: JVM-side expressions
+    only, shuffles bounded by O(|runs|), no driver state — the same
+    plan at 100 TB of run rows."""
+    from pyspark.sql import Window
+
+    ln2 = F.log(F.lit(2.0))
+    run_rank = Window.partitionBy("_q").orderBy(
+        F.col("_s").desc(), F.col("_d").asc()
+    )
+    joined = (
+        runs.select(
+            F.col(query_col).alias("_q"),
+            F.col(id_col).alias("_d"),
+            F.col(score_col).alias("_s"),
+        )
+        .join(
+            qrels.select(
+                F.col(query_col).alias("_q"),
+                F.col(id_col).alias("_d"),
+                F.col(rel_col).alias("_rel"),
+            ),
+            ["_q", "_d"],
+            "left",
+        )
+        .fillna(0, subset=["_rel"])
+        .withColumn("_rank", F.row_number().over(run_rank))
+    )
+    gain = F.pow(F.lit(2.0), F.col("_rel")) - F.lit(1.0)
+    disc = F.log(F.col("_rank") + F.lit(1.0)) / ln2
+    got = joined.groupBy("_q").agg(
+        F.sum(
+            F.when(F.col("_rank") <= k, gain / disc).otherwise(F.lit(0.0))
+        ).alias("_dcg"),
+        F.min(F.when(F.col("_rel") > 0, F.col("_rank"))).alias("_first"),
+        F.sum(
+            ((F.col("_rank") <= k) & (F.col("_rel") > 0)).cast("long")
+        ).alias("_hits"),
+    )
+
+    ideal_rank = Window.partitionBy("_q").orderBy(
+        F.col("_rel").desc(), F.col("_d").asc()
+    )
+    rel_only = qrels.select(
+        F.col(query_col).alias("_q"),
+        F.col(id_col).alias("_d"),
+        F.col(rel_col).alias("_rel"),
+    ).filter(F.col("_rel") > 0)
+    ideal = (
+        rel_only.withColumn("_irank", F.row_number().over(ideal_rank))
+        .groupBy("_q")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("_irank") <= k,
+                    (F.pow(F.lit(2.0), F.col("_rel")) - F.lit(1.0))
+                    / (F.log(F.col("_irank") + F.lit(1.0)) / ln2),
+                ).otherwise(F.lit(0.0))
+            ).alias("_idcg"),
+            F.count(F.lit(1)).alias("_nrel"),
+        )
+    )
+    return (
+        got.join(ideal, "_q")
+        .select(
+            F.col("_q").alias(query_col),
+            F.round(F.col("_dcg") / F.col("_idcg"), 6).alias("ndcg_at_k"),
+            F.round(
+                F.coalesce(F.lit(1.0) / F.col("_first"), F.lit(0.0)), 6
+            ).alias("mrr"),
+            F.round(F.col("_hits") / F.lit(float(k)), 6).alias(
+                "precision_at_k"
+            ),
+            F.round(F.col("_hits") / F.col("_nrel"), 6).alias("recall_at_k"),
+            F.col("_nrel").cast("long").alias("n_rel"),
+        )
+    )

@@ -1303,12 +1303,92 @@ def d10_scrub_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM terms t
         JOIN dfd d ON d.tok = t.tok
         CROSS JOIN stats s
+    ), evq AS (
+        SELECT * FROM (VALUES
+            (1, ['data', 'fast', 'query', 'spark']),
+            (2, ['table', 'row', 'scan']),
+            (3, ['merge', 'sort', 'hash', 'batch', 'window'])
+        ) AS t(qid, qtoks)
+    ), evqtok AS (
+        SELECT qid, unnest(qtoks) AS tok FROM evq
+    ), mterms AS (
+        SELECT doc_id, tok, count(*) AS tf, max(dl) AS dl
+        FROM ex WHERE tok IN (SELECT DISTINCT tok FROM evqtok)
+        GROUP BY doc_id, tok
+    ), mdf AS (
+        SELECT tok, count(*) AS df FROM mterms GROUP BY tok
+    ), runs AS (
+        SELECT q.qid, t.doc_id,
+               round(sum(
+                   ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                   * (t.tf * (1.2 + 1))
+                   / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.dl / s.avgdl))
+               ), 6) AS score
+        FROM mterms t
+        JOIN mdf d ON d.tok = t.tok
+        JOIN evqtok q ON q.tok = t.tok
+        CROSS JOIN stats s
+        GROUP BY q.qid, t.doc_id
+    ), qrels AS (
+        SELECT q.qid, x.doc_id,
+               greatest(count(DISTINCT x.tok) - 1, 0) AS rel
+        FROM (SELECT DISTINCT doc_id, tok FROM mterms) x
+        JOIN evqtok q ON q.tok = x.tok
+        GROUP BY q.qid, x.doc_id
+    ), ranked AS (
+        SELECT r.qid, r.doc_id, r.score, coalesce(qr.rel, 0) AS rel,
+               row_number() OVER (
+                   PARTITION BY r.qid ORDER BY r.score DESC, r.doc_id ASC
+               ) AS rnk
+        FROM runs r
+        LEFT JOIN qrels qr ON qr.qid = r.qid AND qr.doc_id = r.doc_id
+    ), got AS (
+        SELECT qid,
+               sum(CASE WHEN rnk <= 10
+                   THEN (pow(2.0, rel) - 1) / (ln(rnk + 1.0) / ln(2.0))
+                   ELSE 0 END) AS dcg,
+               min(CASE WHEN rel > 0 THEN rnk END) AS first_rel,
+               sum(CASE WHEN rnk <= 10 AND rel > 0 THEN 1 ELSE 0 END) AS hits
+        FROM ranked GROUP BY qid
+    ), ideal AS (
+        SELECT qid,
+               sum(CASE WHEN irank <= 10
+                   THEN (pow(2.0, rel) - 1) / (ln(irank + 1.0) / ln(2.0))
+                   ELSE 0 END) AS idcg,
+               count(*) AS nrel
+        FROM (
+            SELECT qid, doc_id, rel,
+                   row_number() OVER (
+                       PARTITION BY qid ORDER BY rel DESC, doc_id ASC
+                   ) AS irank
+            FROM qrels WHERE rel > 0
+        ) GROUP BY qid
+    ), ev AS (
+        SELECT g.qid,
+               round(g.dcg / i.idcg, 6) AS ndcg,
+               round(coalesce(1.0 / g.first_rel, 0), 6) AS mrr,
+               round(g.hits / 10.0, 6) AS p,
+               round(g.hits * 1.0 / i.nrel, 6) AS r,
+               i.nrel
+        FROM got g JOIN ideal i ON i.qid = g.qid
     )
     SELECT 'bm25' AS family, doc_id, '' AS token,
            CAST(-1 AS BIGINT) AS tf, CAST(-1 AS BIGINT) AS df, score
     FROM bm25
     UNION ALL
     SELECT 'tfidf' AS family, doc_id, token, tf, df, score FROM tfidf
+    UNION ALL
+    SELECT 'eval' AS family, CAST(qid AS BIGINT) AS doc_id,
+           m.metric AS token, CAST(10 AS BIGINT) AS tf,
+           CAST(nrel AS BIGINT) AS df,
+           CASE m.metric
+               WHEN 'ndcg_at_k' THEN ndcg
+               WHEN 'mrr' THEN mrr
+               WHEN 'precision_at_k' THEN p
+               ELSE r
+           END AS score
+    FROM ev CROSS JOIN (VALUES ('ndcg_at_k'), ('mrr'),
+                               ('precision_at_k'), ('recall_at_k')) m(metric)
     """,
 )
 def r_ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1324,8 +1404,23 @@ def r_ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       explode, two hash aggregates (term counts per doc, document
       frequency per term), one join on the term key; both aggregates
       get map-side partials, and AQE broadcasts the per-term df dim
-      when it measures small. The whole formula is reproduced in SQL."""
-    from bbdc20_submission_spark.operators.ranking import bm25_score, tf_idf
+      when it measures small. The whole formula is reproduced in SQL.
+    - ``eval`` (r6): the retrieval-quality EVALUATOR — a 3-query dim
+      is batch-scored with ``bm25_score_multi`` (broadcast query dim,
+      semi-joined corpus explode), graded qrels are derived as
+      (distinct shared query tokens − 1) so binary relevance splits
+      the run non-trivially, and ``ranking_eval`` computes
+      nDCG@10 / MRR / precision@10 / recall@10 per query — every
+      discount, gain, and tie-break reproduced exactly in the oracle
+      (ln(rank+1)/ln 2 discounts, 2^rel−1 gains, row_number over
+      (rounded score desc, id asc))."""
+    from bbdc20_submission_spark.operators.ranking import (
+        bm25_score,
+        bm25_score_multi,
+        ranking_eval,
+        tf_idf,
+    )
+    from bbdc20_submission_spark.operators.text import ws_tokens
 
     d = load_table(spark, "documents", sf_dir)
     bm25 = bm25_score(d, ["data", "fast", "query", "spark"]).select(
@@ -1344,7 +1439,67 @@ def r_ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "df",
         F.col("tfidf").alias("score"),
     )
-    return bm25.unionByName(tfidf)
+
+    qd = spark.createDataFrame(
+        [
+            (1, ["data", "fast", "query", "spark"]),
+            (2, ["table", "row", "scan"]),
+            (3, ["merge", "sort", "hash", "batch", "window"]),
+        ],
+        "query_id int, tokens array<string>",
+    )
+    runs = bm25_score_multi(d, qd)
+    # graded qrels as a ZERO-shuffle narrow map: for a fixed query dim
+    # the per-query intersect size is a literal array_intersect per
+    # query, stacked — no explode, no join, no aggregation (the shape
+    # to prefer over explode+groupBy whenever |queries| is small).
+    td = F.array_distinct(ws_tokens("text"))
+    qlists = [
+        (1, ["data", "fast", "query", "spark"]),
+        (2, ["table", "row", "scan"]),
+        (3, ["merge", "sort", "hash", "batch", "window"]),
+    ]
+    qrels = (
+        d.select(
+            "doc_id",
+            *[
+                (
+                    F.size(
+                        F.array_intersect(
+                            td, F.array(*[F.lit(t) for t in toks])
+                        )
+                    )
+                    - F.lit(1)
+                ).alias(f"_r{qid}")
+                for qid, toks in qlists
+            ],
+        )
+        .selectExpr(
+            "doc_id",
+            "stack(3, 1, _r1, 2, _r2, 3, _r3) AS (query_id, rel)",
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            F.greatest("rel", F.lit(0)).alias("rel"),
+        )
+    )
+    ev = ranking_eval(runs, qrels, k=10)
+    eval_rows = ev.selectExpr(
+        "query_id",
+        "n_rel",
+        "stack(4, 'ndcg_at_k', ndcg_at_k, 'mrr', mrr,"
+        " 'precision_at_k', precision_at_k, 'recall_at_k', recall_at_k)"
+        " AS (metric, value)",
+    ).select(
+        F.lit("eval").alias("family"),
+        F.col("query_id").cast("long").alias("doc_id"),
+        F.col("metric").alias("token"),
+        F.lit(10).cast("long").alias("tf"),
+        F.col("n_rel").alias("df"),
+        F.col("value").alias("score"),
+    )
+    return bm25.unionByName(tfidf).unionByName(eval_rows)
 
 
 # The end-to-end curation DAG, certified as ONE oracle query: every

@@ -95,3 +95,76 @@ def test_bm25_rejects_empty_query(spark):
     docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
     with pytest.raises(ValueError, match="at least one query token"):
         bm25_score(docs, [])
+
+
+def test_bm25_multi_matches_single_per_query(spark):
+    """bm25_score_multi must reproduce bm25_score exactly for each
+    query in the dim (same idf variant, same rounding)."""
+    from bbdc20_submission_spark.operators.ranking import bm25_score_multi
+
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    qd = spark.createDataFrame(
+        [(1, ["cats", "dogs"]), (2, ["cat"])],
+        "query_id int, tokens array<string>",
+    )
+    multi = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in bm25_score_multi(docs, qd).collect()
+    }
+    for qid, toks in [(1, ["cats", "dogs"]), (2, ["cat"])]:
+        single = {
+            r["doc_id"]: r["score"] for r in bm25_score(docs, toks).collect()
+        }
+        got = {d: s for (q, d), s in multi.items() if q == qid}
+        assert got == single, qid
+
+
+def test_ranking_eval_hand_computed(spark):
+    """nDCG/MRR/precision/recall on a tiny hand-worked example.
+
+    Run (scores force rank order d1 > d2 > d3 > d4), k=3:
+      d1 rel 3, d2 rel 0, d3 rel 1, d4 rel 2 (rank 4, outside k).
+      DCG@3  = (2^3-1)/log2(2) + 0 + (2^1-1)/log2(4) = 7 + 0.5 = 7.5
+      IDCG@3 = 7/log2(2) + 3/log2(3) + 1/log2(4)
+      MRR = 1/1; P@3 = 2/3; R@3 = 2/3 (3 relevant docs total).
+    """
+    import math
+
+    from bbdc20_submission_spark.operators.ranking import ranking_eval
+
+    runs = spark.createDataFrame(
+        [(1, 1, 4.0), (1, 2, 3.0), (1, 3, 2.0), (1, 4, 1.0)],
+        "query_id int, doc_id long, score double",
+    )
+    qrels = spark.createDataFrame(
+        [(1, 1, 3), (1, 3, 1), (1, 4, 2)],
+        "query_id int, doc_id long, rel int",
+    )
+    row = ranking_eval(runs, qrels, k=3).collect()[0]
+    idcg = 7.0 + 3.0 / math.log2(3) + 1.0 / math.log2(4)
+    assert row["ndcg_at_k"] == round(7.5 / idcg, 6)
+    assert row["mrr"] == 1.0
+    assert row["precision_at_k"] == round(2 / 3, 6)
+    assert row["recall_at_k"] == round(2 / 3, 6)
+    assert row["n_rel"] == 3
+
+
+def test_ranking_eval_unjudged_and_missing_first_hit(spark):
+    """Docs absent from qrels count rel=0; a query whose run has no
+    relevant doc in ANY rank gets mrr=0 but still joins via ideal."""
+    from bbdc20_submission_spark.operators.ranking import ranking_eval
+
+    runs = spark.createDataFrame(
+        [(1, 10, 2.0), (1, 11, 1.0)],
+        "query_id int, doc_id long, score double",
+    )
+    # the only relevant doc (99) was never retrieved
+    qrels = spark.createDataFrame(
+        [(1, 99, 2)], "query_id int, doc_id long, rel int"
+    )
+    row = ranking_eval(runs, qrels, k=2).collect()[0]
+    assert row["ndcg_at_k"] == 0.0
+    assert row["mrr"] == 0.0
+    assert row["precision_at_k"] == 0.0
+    assert row["recall_at_k"] == 0.0
+    assert row["n_rel"] == 1
