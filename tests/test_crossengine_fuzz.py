@@ -234,3 +234,102 @@ def test_fuzz_mixture_thresholds_cross_engine(spark):
     finally:
         con.close()
     assert got == want and len(got) > 0
+
+
+def test_fuzz_ranking_eval_cross_engine(spark):
+    """ranking_eval vs a DuckDB re-derivation on randomized runs and
+    graded qrels: duplicate scores (tie-breaks), unjudged docs,
+    never-retrieved relevant docs, rel grades 0..3, k smaller and
+    larger than the run length."""
+    import duckdb as _dd
+
+    from bbdc20_submission_spark.operators.ranking import ranking_eval
+
+    rng = random.Random(23)
+    runs_rows, qrel_rows = [], []
+    for q in range(6):
+        n = rng.randint(1, 12)
+        docs = rng.sample(range(40), n)
+        for d in docs:
+            # coarse score grid => frequent exact ties
+            runs_rows.append((q, d, float(rng.randint(0, 5)) / 2))
+        judged = rng.sample(range(40), rng.randint(1, 12))
+        for d in judged:
+            qrel_rows.append((q, d, rng.randint(0, 3)))
+        # guarantee >=1 relevant doc so the query survives the ideal join
+        qrel_rows.append((q, 99, rng.randint(1, 3)))
+    for k in (3, 20):
+        runs = spark.createDataFrame(
+            runs_rows, "query_id int, doc_id long, score double"
+        )
+        qrels = spark.createDataFrame(
+            qrel_rows, "query_id int, doc_id long, rel int"
+        )
+        got = {
+            r["query_id"]: (
+                r["ndcg_at_k"], r["mrr"], r["precision_at_k"],
+                r["recall_at_k"], r["n_rel"],
+            )
+            for r in ranking_eval(runs, qrels, k=k).collect()
+        }
+        con = _dd.connect()
+        try:
+            con.execute(
+                "CREATE TABLE runs AS SELECT * FROM (VALUES "
+                + ", ".join("(?, ?, ?)" for _ in runs_rows)
+                + ") v(query_id, doc_id, score)",
+                [x for r in runs_rows for x in r],
+            )
+            con.execute(
+                "CREATE TABLE qrels AS SELECT * FROM (VALUES "
+                + ", ".join("(?, ?, ?)" for _ in qrel_rows)
+                + ") v(query_id, doc_id, rel)",
+                [x for r in qrel_rows for x in r],
+            )
+            want = {
+                row[0]: tuple(row[1:])
+                for row in con.execute(f"""
+                WITH ranked AS (
+                    SELECT r.query_id, r.doc_id, coalesce(q.rel, 0) AS rel,
+                           row_number() OVER (
+                               PARTITION BY r.query_id
+                               ORDER BY r.score DESC, r.doc_id ASC
+                           ) AS rnk
+                    FROM runs r LEFT JOIN qrels q
+                      ON q.query_id = r.query_id AND q.doc_id = r.doc_id
+                ), got AS (
+                    SELECT query_id,
+                           sum(CASE WHEN rnk <= {k}
+                               THEN (pow(2.0, rel) - 1)
+                                    / (ln(rnk + 1.0) / ln(2.0))
+                               ELSE 0 END) AS dcg,
+                           min(CASE WHEN rel > 0 THEN rnk END) AS first_rel,
+                           sum(CASE WHEN rnk <= {k} AND rel > 0
+                               THEN 1 ELSE 0 END) AS hits
+                    FROM ranked GROUP BY query_id
+                ), ideal AS (
+                    SELECT query_id,
+                           sum(CASE WHEN irank <= {k}
+                               THEN (pow(2.0, rel) - 1)
+                                    / (ln(irank + 1.0) / ln(2.0))
+                               ELSE 0 END) AS idcg,
+                           count(*) AS nrel
+                    FROM (SELECT query_id, rel,
+                                 row_number() OVER (
+                                     PARTITION BY query_id
+                                     ORDER BY rel DESC, doc_id ASC
+                                 ) AS irank
+                          FROM qrels WHERE rel > 0)
+                    GROUP BY query_id
+                )
+                SELECT g.query_id, round(g.dcg / i.idcg, 6),
+                       round(coalesce(1.0 / g.first_rel, 0), 6),
+                       round(g.hits / {float(k)}, 6),
+                       round(g.hits * 1.0 / i.nrel, 6),
+                       CAST(i.nrel AS BIGINT)
+                FROM got g JOIN ideal i ON i.query_id = g.query_id
+                """).fetchall()
+            }
+        finally:
+            con.close()
+        assert got == want, k
