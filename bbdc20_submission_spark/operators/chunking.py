@@ -456,3 +456,50 @@ def dedup_clusters(
     )
     pairs_p.unpersist()
     return out
+
+
+def reselect_keepers(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "keep_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-aware dedup keeper selection: re-pick every cluster's
+    representative as the member with the MAX ``score_col`` (ties →
+    lowest id), instead of :func:`dedup_clusters`'s min-id label.
+
+    This is the keeper policy production dedup actually wants — keep
+    the longest / cleanest / highest-quality member of each near-dup
+    cluster, drop the rest. ``clusters`` is the ``dedup_clusters``
+    output ([id, cluster label, _]); ``scores`` maps EVERY member id
+    to its score (inner-joined — a member missing a score would
+    silently vanish, so we join strict). Output: [id_col, keep_id,
+    is_duplicate] with the re-selected keeper.
+
+    Scale shape: one window (row_number over the cluster key) to pick
+    argmax per cluster and one shuffle join back on the cluster key —
+    both O(n) hash-partitioned on the cluster label; no driver state,
+    no text movement (ids + scores only)."""
+    from pyspark.sql import Window
+
+    member_scores = clusters.select(id_col, cluster_col).join(
+        scores.select(id_col, score_col), id_col
+    )
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    best = (
+        member_scores.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(cluster_col, F.col(id_col).alias("_best"))
+    )
+    return (
+        clusters.select(id_col, cluster_col)
+        .join(best, cluster_col)
+        .select(
+            id_col,
+            F.col("_best").alias("keep_id"),
+            (F.col("_best") != F.col(id_col)).alias("is_duplicate"),
+        )
+    )

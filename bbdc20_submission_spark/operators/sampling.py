@@ -175,3 +175,42 @@ def mixture_sample(
         .filter(bucket(F.col(id_col), seed) < F.col("_thr"))
         .drop("_thr")
     )
+
+
+def split_assign(
+    df: DataFrame,
+    weights: Sequence[float] = (0.8, 0.1, 0.1),
+    names: Sequence[str] = ("train", "val", "test"),
+    id_col: str = "doc_id",
+    seed: int = 7,
+    out_col: str = "split",
+    portable: bool = False,
+) -> DataFrame:
+    """Deterministic disjoint train/val/test assignment: one extra
+    column mapping each row to a named split by hash-bucket threshold.
+
+    The splits are a pure function of (id, seed) — disjoint and
+    exhaustive by construction, stable under repartitioning, appends,
+    or reordering (a row keeps its split forever), and reproducible in
+    any engine when ``portable=True`` (md5 bucket; DuckDB formula in
+    ``portable_hash_bucket``). Weights are quantized to 1/2^20 like
+    every sampler here; the last split absorbs the remainder so the
+    assignment is total. Zero shuffles — one narrow projection."""
+    if len(weights) != len(names) or not names:
+        raise ValueError("weights and names must be equal-length, non-empty")
+    if any(w < 0 for w in weights) or sum(weights) <= 0:
+        raise ValueError("weights must be non-negative with a positive sum")
+    total = float(sum(weights))
+    bucket = portable_hash_bucket if portable else _hash_bucket
+    b = bucket(F.col(id_col), seed)
+    # cumulative integer thresholds; the final edge is forced to
+    # _BUCKETS so rounding can never leave a bucket unassigned
+    edges: list[int] = []
+    acc = 0.0
+    for w in weights[:-1]:
+        acc += float(w) / total
+        edges.append(int(acc * _BUCKETS))
+    expr = F.lit(names[-1])
+    for name, edge in zip(reversed(names[:-1]), reversed(edges)):
+        expr = F.when(b < edge, F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)

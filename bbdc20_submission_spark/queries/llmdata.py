@@ -178,11 +178,26 @@ def d7_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION
         SELECT e.a, r.rid FROM edges e JOIN reach r ON r.id = e.b
     ),
-    comp AS (SELECT id, min(rid) AS component FROM reach GROUP BY id)
-    SELECT d.doc_id,
-           coalesce(c.component, d.doc_id) AS keep_id,
-           CAST(coalesce(c.component, d.doc_id) <> d.doc_id AS BIGINT) AS is_duplicate
-    FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    comp AS (SELECT id, min(rid) AS component FROM reach GROUP BY id),
+    members AS (
+        SELECT d.doc_id, coalesce(c.component, d.doc_id) AS comp, d.n_chars
+        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    ),
+    bestk AS (
+        SELECT comp, doc_id AS bid FROM (
+            SELECT comp, doc_id,
+                   row_number() OVER (
+                       PARTITION BY comp ORDER BY n_chars DESC, doc_id ASC
+                   ) AS rn
+            FROM members
+        ) WHERE rn = 1
+    )
+    SELECT m.doc_id,
+           m.comp AS keep_id,
+           CAST(m.comp <> m.doc_id AS BIGINT) AS is_duplicate,
+           b.bid AS quality_keep_id,
+           CAST(b.bid <> m.doc_id AS BIGINT) AS is_duplicate_q
+    FROM members m JOIN bestk b ON b.comp = m.comp
     """,
 )
 def d12_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -190,15 +205,37 @@ def d12_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected components. Pairs come from the MinHash LSH candidates
     verified at jaccard >= 0.5 (= the exact pair set, see d8), so the
     cluster labels are engine-portable; the oracle recomputes them with
-    a recursive CTE over the brute-force pairs."""
-    from bbdc20_submission_spark.operators.chunking import dedup_clusters
+    a recursive CTE over the brute-force pairs.
+
+    r6: also certifies quality-aware KEEPER RESELECTION
+    (``chunking.reselect_keepers`` — the production policy of keeping
+    each cluster's best member rather than its min id): columns
+    quality_keep_id / is_duplicate_q re-pick every keeper as the
+    member with max ``n_chars`` (tie → lowest id), and the oracle
+    re-derives the argmax per component."""
+    from bbdc20_submission_spark.operators.chunking import (
+        dedup_clusters,
+        reselect_keepers,
+    )
 
     d = load_table(spark, "documents", sf_dir)
     cands = minhash_lsh_candidates(d, shingle_k=3, num_hashes=16, bands=4)
     pairs = jaccard_pairs(d, cands, shingle_k=3, min_jaccard=0.5, broadcast_sets=True).filter(F.col("jaccard") >= 0.5)
     out = dedup_clusters(d, pairs)
-    return out.select(
-        "doc_id", "keep_id", F.col("is_duplicate").cast("long").alias("is_duplicate")
+    best = reselect_keepers(
+        out, d.select("doc_id", "n_chars"), score_col="n_chars"
+    ).select(
+        "doc_id",
+        F.col("keep_id").alias("quality_keep_id"),
+        F.col("is_duplicate").cast("long").alias("is_duplicate_q"),
+    )
+    return (
+        out.select(
+            "doc_id",
+            "keep_id",
+            F.col("is_duplicate").cast("long").alias("is_duplicate"),
+        )
+        .join(best, "doc_id")
     )
 
 
@@ -475,12 +512,16 @@ def d2_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(r.doc_id IS NOT NULL AS BIGINT) AS in_reservoir,
            CAST(x.doc_id IS NOT NULL AS BIGINT) AS in_mixture,
            CAST(COALESCE(m.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-           COALESCE(m.lm_logp, CAST('0.0' AS DOUBLE)) AS lm_logp
+           COALESCE(m.lm_logp, CAST('0.0' AS DOUBLE)) AS lm_logp,
+           CASE WHEN hh.bucket < 838860 THEN 'train'
+                WHEN hh.bucket < 943718 THEN 'val'
+                ELSE 'test' END AS split
     FROM lang l
     LEFT JOIN bern b ON b.doc_id = l.doc_id
     LEFT JOIN res r ON r.doc_id = l.doc_id
     LEFT JOIN mix x ON x.doc_id = l.doc_id
     LEFT JOIN lm m ON m.doc_id = l.doc_id
+    JOIN hashed hh ON hh.doc_id = l.doc_id
     """,
 )
 def d4_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -507,6 +548,7 @@ def d4_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bbdc20_submission_spark.operators.sampling import (
         mixture_sample,
         reservoir_per_stratum,
+        split_assign,
         stratified_sample,
     )
     from bbdc20_submission_spark.operators.text import bigram_lm_scores
@@ -530,7 +572,7 @@ def d4_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = reservoir_per_stratum(
         dl, ["lang"], k=10, seed=7, portable=True
     ).select("doc_id", F.lit(1).alias("_r"))
-    return (
+    joined = (
         lang.join(bern, "doc_id", "left")
         .join(res, "doc_id", "left")
         .join(mix, "doc_id", "left")
@@ -545,6 +587,10 @@ def d4_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lm_logp",
         )
     )
+    # r6: deterministic train/val/test assignment — one narrow column
+    # on the already-joined frame (no extra join; the oracle reuses
+    # the same md5 seed-7 bucket its samplers certify).
+    return split_assign(joined, portable=True, seed=7)
 
 
 _BANNER = (

@@ -284,3 +284,30 @@ def test_pack_sequences_budget_and_determinism(spark):
         )
     )
     assert again == out
+
+
+def test_reselect_keepers_argmax_and_ties(spark):
+    """Keeper becomes the max-score member (tie -> lowest id);
+    singletons keep themselves; is_duplicate follows the new keeper."""
+    from bbdc20_submission_spark.operators.chunking import reselect_keepers
+
+    clusters = spark.createDataFrame(
+        # cluster {1,2,3} labeled 1; singleton 9
+        [(1, 1, False), (2, 1, True), (3, 1, True), (9, 9, False)],
+        "doc_id long, keep_id long, is_duplicate boolean",
+    )
+    scores = spark.createDataFrame(
+        # 2 and 3 tie at the top -> 2 wins (lowest id)
+        [(1, 5.0), (2, 9.0), (3, 9.0), (9, 1.0)],
+        "doc_id long, score double",
+    )
+    got = {
+        r["doc_id"]: (r["keep_id"], r["is_duplicate"])
+        for r in reselect_keepers(clusters, scores).collect()
+    }
+    assert got == {
+        1: (2, True),
+        2: (2, False),
+        3: (2, True),
+        9: (9, False),
+    }

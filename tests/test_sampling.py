@@ -148,3 +148,63 @@ def test_mixture_sample_partitioning_invariant(spark):
             ).collect()
         )
         assert again == base
+
+
+def test_split_assign_total_disjoint_and_stable(spark):
+    """Every row gets exactly one split; assignment is a pure function
+    of (id, seed) — invariant under repartitioning and re-invocation —
+    and approximates the requested weights."""
+    from bbdc20_submission_spark.operators.sampling import split_assign
+
+    df = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    out = split_assign(df, (0.8, 0.1, 0.1), ("train", "val", "test"))
+    rows = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(rows) == 4000
+    assert set(rows.values()) == {"train", "val", "test"}
+    counts = {s: sum(1 for v in rows.values() if v == s) for s in set(rows.values())}
+    assert abs(counts["train"] / 4000 - 0.8) < 0.03
+    again = {
+        r["doc_id"]: r["split"]
+        for r in split_assign(
+            df.repartition(13), (0.8, 0.1, 0.1), ("train", "val", "test")
+        ).collect()
+    }
+    assert rows == again
+
+
+def test_split_assign_portable_matches_duckdb(spark):
+    """portable=True must reproduce the documented md5 formula with
+    the exact integer edges (838860 / 943718 for 80/10/10)."""
+    import duckdb
+
+    from bbdc20_submission_spark.operators.sampling import split_assign
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    got = {
+        r["doc_id"]: r["split"]
+        for r in split_assign(df, portable=True, seed=7).collect()
+    }
+    want = dict(
+        duckdb.sql("""
+        SELECT i,
+               CASE WHEN b < 838860 THEN 'train'
+                    WHEN b < 943718 THEN 'val' ELSE 'test' END
+        FROM (SELECT i,
+                     CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':7'), 1, 8))
+                          AS BIGINT) % 1048576 AS b
+              FROM generate_series(0, 499) t(i))
+        """).fetchall()
+    )
+    assert got == want
+
+
+def test_split_assign_validates_inputs(spark):
+    import pytest
+
+    from bbdc20_submission_spark.operators.sampling import split_assign
+
+    df = spark.range(3).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError, match="equal-length"):
+        split_assign(df, (0.5, 0.5), ("a",))
+    with pytest.raises(ValueError, match="non-negative"):
+        split_assign(df, (-0.1, 1.1), ("a", "b"))
