@@ -64,6 +64,11 @@ class CurationConfig:
     blocked_sources: tuple[str, ...] | None = None
     source_col: str = "source"
     near_dup_jaccard: float = 0.5
+    # quality-aware keeper policy: when set, each near-dup cluster's
+    # representative is the member maximizing this column (tie →
+    # lowest id) via chunking.reselect_keepers, instead of the min-id
+    # label. The column must exist on the input docs (e.g. n_chars).
+    keeper_score_col: str | None = None
     # exact duplicate-substring dedup (Lee-et-al suffix-array style,
     # operators.dedup.duplicate_span_stats) over the near-dup
     # survivors; None = off. Runs BEFORE quality scoring so scores see
@@ -151,6 +156,17 @@ def curate(
         min_jaccard=config.near_dup_jaccard,
     ).filter(F.col("jaccard") >= config.near_dup_jaccard)
     clusters = dedup_clusters(exact_unique, pairs, id_col)
+    if config.keeper_score_col is not None:
+        from bbdc20_submission_spark.operators.chunking import (
+            reselect_keepers,
+        )
+
+        clusters = reselect_keepers(
+            clusters,
+            exact_unique.select(id_col, config.keeper_score_col),
+            id_col=id_col,
+            score_col=config.keeper_score_col,
+        )
     reps = clusters.filter(~F.col("is_duplicate")).select(id_col)
     near_unique = exact_unique.join(reps, id_col, "left_semi")
     _tap("near_unique", near_unique)

@@ -225,3 +225,44 @@ def test_curate_mixture_sampling_stage(spark, sf_dir):
                 mixture_weights={"en": 1.0},
             ),
         )
+
+
+def test_curate_quality_keeper_policy(spark, sf_dir):
+    """With keeper_score_col set, each near-dup cluster's survivor is
+    its max-score member (tie -> lowest id), not the min id — and the
+    set of surviving DOC ids differs from the default policy exactly
+    on clusters where the two policies disagree."""
+    from bbdc20_submission_spark.operators.chunking import (
+        dedup_clusters,
+        reselect_keepers,
+    )
+    from bbdc20_submission_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_lsh_candidates,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    cands = minhash_lsh_candidates(docs)
+    pairs = jaccard_pairs(docs, cands, min_jaccard=0.5).filter(
+        F.col("jaccard") >= 0.5
+    )
+    clusters = dedup_clusters(docs, pairs)
+    expected_keep = {
+        r["doc_id"]
+        for r in reselect_keepers(
+            clusters, docs.select("doc_id", "n_chars"), score_col="n_chars"
+        )
+        .filter(~F.col("is_duplicate"))
+        .collect()
+    }
+    out, _ = curate(docs, CurationConfig(keeper_score_col="n_chars"))
+    survivors = {r["doc_id"] for r in out.select("doc_id").distinct().collect()}
+    # survivors = expected keepers minus docs the later stages dropped
+    assert survivors <= expected_keep
+    # the policy must actually bite: at least one cluster keeps a
+    # different (longer) member than the min-id default
+    default_keep = {
+        r["doc_id"]
+        for r in clusters.filter(~F.col("is_duplicate")).collect()
+    }
+    assert expected_keep != default_keep
