@@ -472,19 +472,30 @@ def reselect_keepers(
     This is the keeper policy production dedup actually wants — keep
     the longest / cleanest / highest-quality member of each near-dup
     cluster, drop the rest. ``clusters`` is the ``dedup_clusters``
-    output ([id, cluster label, _]); ``scores`` maps EVERY member id
-    to its score (inner-joined — a member missing a score would
-    silently vanish, so we join strict). Output: [id_col, keep_id,
-    is_duplicate] with the re-selected keeper.
+    output ([id, cluster label, _]); ``scores`` maps member ids to
+    scores. Output: [id_col, keep_id, is_duplicate] with the
+    re-selected keeper; singletons keep themselves untouched.
 
-    Scale shape: one window (row_number over the cluster key) to pick
-    argmax per cluster and one shuffle join back on the cluster key —
-    both O(n) hash-partitioned on the cluster label; no driver state,
-    no text movement (ids + scores only)."""
+    Scale shape: the corpus NEVER shuffles. Real clusters (size ≥ 2)
+    are a small fraction of any sane corpus — the same boundedness
+    the driver-union-find path in :func:`dedup_clusters` relies on —
+    so their member set rides broadcast joins against the score scan,
+    the argmax window shuffles only those members, and the chosen
+    keepers broadcast back over the cluster frame. Singleton rows go
+    through one narrow coalesce."""
     from pyspark.sql import Window
 
-    member_scores = clusters.select(id_col, cluster_col).join(
-        scores.select(id_col, score_col), id_col
+    # cluster labels that actually have >1 member: tiny by assumption
+    real = (
+        clusters.filter(F.col(cluster_col) != F.col(id_col))
+        .select(cluster_col)
+        .distinct()
+    )
+    members = clusters.select(id_col, cluster_col).join(
+        F.broadcast(real), cluster_col, "left_semi"
+    )
+    member_scores = scores.select(id_col, score_col).join(
+        F.broadcast(members), id_col
     )
     w = Window.partitionBy(cluster_col).orderBy(
         F.col(score_col).desc(), F.col(id_col).asc()
@@ -496,10 +507,12 @@ def reselect_keepers(
     )
     return (
         clusters.select(id_col, cluster_col)
-        .join(best, cluster_col)
+        .join(F.broadcast(best), cluster_col, "left")
         .select(
             id_col,
-            F.col("_best").alias("keep_id"),
-            (F.col("_best") != F.col(id_col)).alias("is_duplicate"),
+            F.coalesce("_best", F.col(cluster_col)).alias("keep_id"),
+            (
+                F.coalesce("_best", F.col(cluster_col)) != F.col(id_col)
+            ).alias("is_duplicate"),
         )
     )

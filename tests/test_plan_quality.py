@@ -231,3 +231,28 @@ def test_span_dedup_never_shuffles_text(spark, sf_dir):
         assert all(
             "text#" not in l and "_t#" not in l for l in input_lines
         ), node
+
+
+def test_reselect_keepers_corpus_never_shuffles(spark, sf_dir):
+    """reselect_keepers: the corpus-sized cluster frame must ride
+    broadcast joins (BuildRight on the tiny real-cluster/keeper sets);
+    a SortMergeJoin here would shuffle the whole corpus twice at
+    100 TB just to re-pick keepers for a small fraction of rows."""
+    from bbdc20_submission_spark.operators.chunking import reselect_keepers
+
+    clusters = spark.range(5000).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.when(F.col("id") < 20, F.lit("c0"))
+        .otherwise(F.col("id").cast("string"))
+        .alias("cluster"),
+    )
+    scores = spark.range(5000).select(
+        F.col("id").cast("string").alias("doc_id"),
+        (F.col("id") % 97).cast("double").alias("score"),
+    )
+    df = reselect_keepers(
+        clusters, scores, id_col="doc_id", cluster_col="cluster", score_col="score"
+    )
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
