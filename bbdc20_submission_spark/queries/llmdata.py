@@ -1581,9 +1581,21 @@ _C1_ORACLE = f"""
         SELECT e.a, r.rid FROM edges e JOIN reach r ON r.id = e.b
     ),
     comp AS (SELECT id, min(rid) AS component FROM reach GROUP BY id),
+    members AS (
+        SELECT e.doc_id, coalesce(c.component, e.doc_id) AS component,
+               length(e.text) AS klen
+        FROM eu e LEFT JOIN comp c ON c.id = e.doc_id
+    ),
+    keepers AS (
+        SELECT doc_id FROM (
+            SELECT doc_id,
+                   row_number() OVER (PARTITION BY component
+                                      ORDER BY klen DESC, doc_id ASC) AS rn
+            FROM members
+        ) WHERE rn = 1
+    ),
     nu AS (
-        SELECT e.* FROM eu e LEFT JOIN comp c ON c.id = e.doc_id
-        WHERE coalesce(c.component, e.doc_id) = e.doc_id
+        SELECT e.* FROM eu e JOIN keepers k ON k.doc_id = e.doc_id
     ),
     feats AS (
         SELECT doc_id, text,
@@ -1692,14 +1704,26 @@ def c1_curation_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocked (5% of every SF), so the filter perturbs every downstream
     stage and the oracle proves composition with it enabled; the
     predicate is a scan-pushed NOT IN, certified separately by the
-    pushdown plan test."""
+    pushdown plan test.
+
+    r6b: the quality-keeper policy is on — near-dup clusters keep
+    their LONGEST member (``keeper_score_col='doc_len'``, tie -> min
+    id) instead of the min-id default, via the broadcast-only
+    ``reselect_keepers`` pass (plan-pinned: the corpus never enters a
+    SortMergeJoin for keeper re-selection). The oracle reproduces the
+    argmax in the ``keepers`` window CTE, so the production keeper
+    policy is certified cross-engine inside the composed DAG."""
     from bbdc20_submission_spark.plans.curation import CurationConfig, curate
 
-    d = load_table(spark, "documents", sf_dir)
+    d = load_table(spark, "documents", sf_dir).withColumn(
+        "doc_len", F.length("text")
+    )
     out, _ = curate(
         d,
         CurationConfig(
-            strip_boilerplate_min_docs=2, blocked_sources=("src19",)
+            strip_boilerplate_min_docs=2,
+            blocked_sources=("src19",),
+            keeper_score_col="doc_len",
         ),
     )
     return out.select(
