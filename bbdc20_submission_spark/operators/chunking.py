@@ -464,6 +464,9 @@ def reselect_keepers(
     id_col: str = "doc_id",
     cluster_col: str = "keep_id",
     score_col: str = "score",
+    passthrough: tuple[str, ...] = (),
+    keeper_col: str = "keep_id",
+    dup_col: str = "is_duplicate",
 ) -> DataFrame:
     """Quality-aware dedup keeper selection: re-pick every cluster's
     representative as the member with the MAX ``score_col`` (ties →
@@ -473,8 +476,13 @@ def reselect_keepers(
     the longest / cleanest / highest-quality member of each near-dup
     cluster, drop the rest. ``clusters`` is the ``dedup_clusters``
     output ([id, cluster label, _]); ``scores`` maps member ids to
-    scores. Output: [id_col, keep_id, is_duplicate] with the
-    re-selected keeper; singletons keep themselves untouched.
+    scores. Output: [id_col, *passthrough, keeper_col, dup_col] with
+    the re-selected keeper; singletons keep themselves untouched.
+    ``passthrough`` columns of ``clusters`` ride the same single
+    broadcast-join pass (a caller wanting both the min-id and the
+    quality keeper side by side would otherwise pay a corpus-sized
+    self-join on the id); ``keeper_col``/``dup_col`` rename the
+    outputs so they can coexist with passed-through originals.
 
     Scale shape: the corpus NEVER shuffles. Real clusters (size ≥ 2)
     are a small fraction of any sane corpus — the same boundedness
@@ -505,14 +513,16 @@ def reselect_keepers(
         .filter(F.col("_rn") == 1)
         .select(cluster_col, F.col(id_col).alias("_best"))
     )
+    in_cols = list(dict.fromkeys([id_col, cluster_col, *passthrough]))
     return (
-        clusters.select(id_col, cluster_col)
+        clusters.select(*in_cols)
         .join(F.broadcast(best), cluster_col, "left")
         .select(
             id_col,
-            F.coalesce("_best", F.col(cluster_col)).alias("keep_id"),
+            *passthrough,
+            F.coalesce("_best", F.col(cluster_col)).alias(keeper_col),
             (
                 F.coalesce("_best", F.col(cluster_col)) != F.col(id_col)
-            ).alias("is_duplicate"),
+            ).alias(dup_col),
         )
     )

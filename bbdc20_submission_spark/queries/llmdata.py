@@ -222,20 +222,24 @@ def d12_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = minhash_lsh_candidates(d, shingle_k=3, num_hashes=16, bands=4)
     pairs = jaccard_pairs(d, cands, shingle_k=3, min_jaccard=0.5, broadcast_sets=True).filter(F.col("jaccard") >= 0.5)
     out = dedup_clusters(d, pairs)
-    best = reselect_keepers(
-        out, d.select("doc_id", "n_chars"), score_col="n_chars"
-    ).select(
-        "doc_id",
-        F.col("keep_id").alias("quality_keep_id"),
-        F.col("is_duplicate").cast("long").alias("is_duplicate_q"),
+    # both keeper policies ride ONE broadcast pass over the cluster
+    # frame (passthrough) — a separate reselect + re-join on doc_id
+    # would be a corpus-sized SortMergeJoin just to present them
+    # side by side (caught by the d12 plan pin).
+    both = reselect_keepers(
+        out,
+        d.select("doc_id", "n_chars"),
+        score_col="n_chars",
+        passthrough=("keep_id", "is_duplicate"),
+        keeper_col="quality_keep_id",
+        dup_col="is_duplicate_q",
     )
-    return (
-        out.select(
-            "doc_id",
-            "keep_id",
-            F.col("is_duplicate").cast("long").alias("is_duplicate"),
-        )
-        .join(best, "doc_id")
+    return both.select(
+        "doc_id",
+        "keep_id",
+        F.col("is_duplicate").cast("long").alias("is_duplicate"),
+        "quality_keep_id",
+        F.col("is_duplicate_q").cast("long").alias("is_duplicate_q"),
     )
 
 
