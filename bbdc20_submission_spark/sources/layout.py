@@ -22,7 +22,8 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_range_sorted(
@@ -43,6 +44,77 @@ def write_range_sorted(
         else df.repartitionByRange(*cols)
     )
     part.sortWithinPartitions(*sort_cols).write.mode("overwrite").parquet(path)
+
+
+def _quantile_bucket(col: str, bounds: list[float]) -> Column:
+    """Bucket index of ``col`` in rank space: the count of quantile
+    boundaries <= value. A pure JVM-side fold over the (2^bits - 1)-
+    element literal boundary array — O(2^bits) comparisons per row in
+    whole-stage codegen, no shuffle, no UDF. Quantile (not uniform
+    width_bucket) buckets keep the z-curve balanced under skew: each
+    bucket holds ~the same row count, so every output file covers a
+    comparably-sized data rectangle."""
+    arr = F.array(*[F.lit(float(b)) for b in bounds])
+    v = F.col(col).cast("double")
+    return F.size(F.filter(arr, lambda b: b <= v))
+
+
+def _interleave_bits(b1: Column, b2: Column, bits: int) -> Column:
+    """Morton/Z-value of two ``bits``-bit bucket indices: bit i of b1
+    lands at position 2i+1, bit i of b2 at 2i. Built as a fold of
+    shift/mask expressions — stays inside codegen."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(b1, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(b2, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    return z
+
+
+def write_zorder(
+    df: DataFrame,
+    path: str,
+    cols: tuple[str, str],
+    n_files: int = 32,
+    bits: int = 8,
+    quantile_error: float = 0.001,
+) -> None:
+    """Write ``df`` parquet Z-ORDERED on two columns: multi-dimensional
+    clustering, so min/max footer stats prune scans filtered on EITHER
+    column (or both).
+
+    ``write_range_sorted`` makes one dimension prunable and leaves the
+    others useless (every file spans the full range of a non-prefix
+    column). Interleaving the bits of the two columns' quantile-bucket
+    indices (a Morton curve) makes each range-partitioned output file
+    cover a small RECTANGLE in (c1, c2) value space — with ``n_files``
+    files, a point predicate on either single column intersects only
+    ~sqrt(n_files) of them instead of all of them. This is the
+    standard lakehouse layout for fact tables queried along two
+    independent axes (e.g. time + key).
+
+    Scale shape: one bounded driver-side ``approxQuantile`` pass fits
+    the per-column boundary arrays (2^bits - 1 doubles each, constant
+    size regardless of row count); bucketing + bit interleave are
+    narrow codegen expressions; then exactly the same
+    repartitionByRange + sortWithinPartitions write as the 1-D layout.
+    No UDFs, no second shuffle, no index service."""
+    c1, c2 = cols
+    probs = [i / (1 << bits) for i in range(1, 1 << bits)]
+    qs = df.approxQuantile([c1, c2], probs, quantile_error)
+    z = _interleave_bits(
+        _quantile_bucket(c1, qs[0]), _quantile_bucket(c2, qs[1]), bits
+    )
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
 
 
 def read_pruned(spark: SparkSession, path: str) -> DataFrame:

@@ -227,3 +227,72 @@ def test_harness_schema_contract(spark, sf_dir):
             if got not in allowed:
                 problems.append(f"{t}.{c}: got {got!r}, want one of {sorted(allowed)}")
     assert not problems, problems
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """write_zorder: every output file must cover a small RECTANGLE of
+    (x, y) value space, so a narrow predicate on EITHER column
+    intersects only a minority of file-level min/max ranges — the
+    property a 1-D range sort cannot provide for its non-prefix
+    column (checked as the contrast baseline)."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from bbdc20_submission_spark.sources.layout import (
+        write_range_sorted,
+        write_zorder,
+    )
+
+    n = 40_000
+    df = spark.range(n).select(
+        F.col("id"),
+        ((F.col("id") * 9973) % 10_000).cast("double").alias("x"),
+        ((F.col("id") * 7919) % 10_000).cast("double").alias("y"),
+    )
+
+    def file_ranges(path: str, col_name: str):
+        out = []
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                col = next(
+                    md.row_group(rg).column(i)
+                    for i in range(md.num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == col_name
+                )
+                mins.append(col.statistics.min)
+                maxs.append(col.statistics.max)
+            out.append((min(mins), max(maxs)))
+        return out
+
+    def touched(ranges, lo, hi):
+        return sum(1 for a, b in ranges if b >= lo and a <= hi)
+
+    zpath = str(tmp_path / "z")
+    write_zorder(df, zpath, ("x", "y"), n_files=16, bits=8)
+    # a 5%-wide band on either axis touches ~sqrt(16)=4 of 16 file
+    # rectangles; allow slack for quantile error + rectangle edges
+    for c in ("x", "y"):
+        r = file_ranges(zpath, c)
+        assert len(r) == 16
+        assert touched(r, 4000.0, 4500.0) <= 8, (c, sorted(r))
+
+    # contrast: 1-D range sort on x leaves y unprunable (every file
+    # spans ~the full y range)
+    lpath = str(tmp_path / "lin")
+    write_range_sorted(df, lpath, ["x"], n_files=16)
+    ry = file_ranges(lpath, "y")
+    assert touched(ry, 4000.0, 4500.0) == 16, sorted(ry)
+
+    # layout is a pure reorder: row multiset unchanged
+    assert spark.read.parquet(zpath).count() == n
+    got = (
+        spark.read.parquet(zpath)
+        .agg(F.sum("id"), F.sum("x"), F.sum("y"))
+        .collect()[0]
+    )
+    want = df.agg(F.sum("id"), F.sum("x"), F.sum("y")).collect()[0]
+    assert tuple(got) == tuple(want)
