@@ -111,13 +111,18 @@ def main() -> None:
 
     def _curate_strip(spark, d):
         # the certified c1 configuration (boilerplate strip + source
-        # blocklist on). The replicas keep the source column verbatim,
-        # so the blocklist rejects the same 5% at every factor.
-        docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+        # blocklist + quality-keeper reselection on). The replicas keep
+        # the source column verbatim, so the blocklist rejects the same
+        # 5% at every factor.
+        docs = spark.read.parquet(
+            os.path.join(d, "documents.parquet")
+        ).withColumn("doc_len", F.length("text"))
         out, _ = curate(
             docs,
             CurationConfig(
-                strip_boilerplate_min_docs=2, blocked_sources=("src19",)
+                strip_boilerplate_min_docs=2,
+                blocked_sources=("src19",),
+                keeper_score_col="doc_len",
             ),
         )
         return out
