@@ -333,3 +333,62 @@ def test_fuzz_ranking_eval_cross_engine(spark):
         finally:
             con.close()
         assert got == want, k
+
+
+def test_fuzz_reselect_keepers_cross_engine(spark):
+    """Keeper reselection (argmax score, tie -> lowest id, singleton
+    self-keep) on randomized cluster structures vs a DuckDB window
+    re-derivation — heavy score ties and mixed cluster sizes (1..8)
+    exercise exactly the tie-break and fallback paths the curation DAG
+    oracle relies on."""
+    from bbdc20_submission_spark.operators.chunking import reselect_keepers
+
+    rng = random.Random(1234)
+    rows = []  # (doc_id, cluster, score)
+    nxt = 0
+    for _ in range(60):
+        size = rng.choice([1, 1, 1, 2, 2, 3, 5, 8])
+        members = list(range(nxt, nxt + size))
+        nxt += size
+        label = min(members)  # dedup_clusters invariant
+        for m in members:
+            rows.append((m, label, rng.randint(0, 3)))  # few values → ties
+
+    clusters = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows], "doc_id long, keep_id long"
+    )
+    scores = spark.createDataFrame(
+        [(r[0], float(r[2])) for r in rows], "doc_id long, score double"
+    )
+    got = {
+        r["doc_id"]: (r["keep_id"], r["is_duplicate"])
+        for r in reselect_keepers(clusters, scores).collect()
+    }
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE TABLE m AS SELECT * FROM (VALUES "
+            + ", ".join("(?, ?, ?)" for _ in rows)
+            + ") AS v(doc_id, cluster, score)",
+            [x for r in rows for x in r],
+        )
+        want = dict(
+            (d, (k, dup))
+            for d, k, dup in con.execute(
+                """
+                WITH best AS (
+                    SELECT cluster, doc_id AS b FROM (
+                        SELECT cluster, doc_id,
+                               row_number() OVER (PARTITION BY cluster
+                                   ORDER BY score DESC, doc_id ASC) AS rn
+                        FROM m) WHERE rn = 1
+                )
+                SELECT m.doc_id, best.b, best.b <> m.doc_id
+                FROM m JOIN best USING (cluster)
+                """
+            ).fetchall()
+        )
+    finally:
+        con.close()
+    assert got == want
