@@ -59,41 +59,46 @@ def _quantile_bucket(col: str, bounds: list[float]) -> Column:
     return F.size(F.filter(arr, lambda b: b <= v))
 
 
-def _interleave_bits(b1: Column, b2: Column, bits: int) -> Column:
-    """Morton/Z-value of two ``bits``-bit bucket indices: bit i of b1
-    lands at position 2i+1, bit i of b2 at 2i. Built as a fold of
-    shift/mask expressions — stays inside codegen."""
+def _interleave_bits(buckets: Sequence[Column], bits: int) -> Column:
+    """Morton/Z-value of k ``bits``-bit bucket indices: bit i of
+    bucket j lands at position i*k + (k-1-j) — round-robin interleave,
+    highest-order bits first, column order = priority within a round.
+    Built as a fold of shift/mask expressions — stays inside codegen.
+    k*bits must fit a signed long (<= 62)."""
+    k = len(buckets)
     z = F.lit(0).cast("long")
     for i in range(bits):
-        z = z.bitwiseOR(
-            F.shiftleft(F.shiftright(b1, i).bitwiseAND(F.lit(1)), 2 * i + 1)
-        ).bitwiseOR(
-            F.shiftleft(F.shiftright(b2, i).bitwiseAND(F.lit(1)), 2 * i)
-        )
+        for j, b in enumerate(buckets):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(b, i).bitwiseAND(F.lit(1)),
+                    i * k + (k - 1 - j),
+                )
+            )
     return z
 
 
 def write_zorder(
     df: DataFrame,
     path: str,
-    cols: tuple[str, str],
+    cols: Sequence[str],
     n_files: int = 32,
     bits: int = 8,
     quantile_error: float = 0.001,
 ) -> None:
-    """Write ``df`` parquet Z-ORDERED on two columns: multi-dimensional
-    clustering, so min/max footer stats prune scans filtered on EITHER
-    column (or both).
+    """Write ``df`` parquet Z-ORDERED on 2..4 columns: multi-
+    dimensional clustering, so min/max footer stats prune scans
+    filtered on ANY of the z-columns (or several at once).
 
     ``write_range_sorted`` makes one dimension prunable and leaves the
     others useless (every file spans the full range of a non-prefix
-    column). Interleaving the bits of the two columns' quantile-bucket
+    column). Interleaving the bits of the columns' quantile-bucket
     indices (a Morton curve) makes each range-partitioned output file
-    cover a small RECTANGLE in (c1, c2) value space — with ``n_files``
-    files, a point predicate on either single column intersects only
-    ~sqrt(n_files) of them instead of all of them. This is the
-    standard lakehouse layout for fact tables queried along two
-    independent axes (e.g. time + key).
+    cover a small HYPER-RECTANGLE in value space — with ``n_files``
+    files over k columns, a point predicate on any single column
+    intersects only ~n_files^((k-1)/k) of them instead of all. This
+    is the standard lakehouse layout for fact tables queried along
+    independent axes (e.g. time + key + tenant).
 
     Scale shape: one bounded driver-side ``approxQuantile`` pass fits
     the per-column boundary arrays (2^bits - 1 doubles each, constant
@@ -101,11 +106,18 @@ def write_zorder(
     narrow codegen expressions; then exactly the same
     repartitionByRange + sortWithinPartitions write as the 1-D layout.
     No UDFs, no second shuffle, no index service."""
-    c1, c2 = cols
+    cols = list(cols)
+    if not 2 <= len(cols) <= 4:
+        raise ValueError(f"write_zorder needs 2..4 columns, got {len(cols)}")
+    if len(cols) * bits > 62:
+        raise ValueError(
+            f"{len(cols)} cols x {bits} bits = {len(cols) * bits} z-bits"
+            " exceeds a signed long (max 62)"
+        )
     probs = [i / (1 << bits) for i in range(1, 1 << bits)]
-    qs = df.approxQuantile([c1, c2], probs, quantile_error)
+    qs = df.approxQuantile(cols, probs, quantile_error)
     z = _interleave_bits(
-        _quantile_bucket(c1, qs[0]), _quantile_bucket(c2, qs[1]), bits
+        [_quantile_bucket(c, q) for c, q in zip(cols, qs)], bits
     )
     (
         df.withColumn("_z", z)

@@ -296,3 +296,50 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     )
     want = df.agg(F.sum("id"), F.sum("x"), F.sum("y")).collect()[0]
     assert tuple(got) == tuple(want)
+
+
+def test_zorder_three_columns(spark, tmp_path):
+    """3-column Morton interleave: a narrow band on each of the three
+    axes must touch a strict minority of file rectangles."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from bbdc20_submission_spark.sources.layout import write_zorder
+
+    n = 60_000
+    df = spark.range(n).select(
+        ((F.col("id") * 9973) % 10_000).cast("double").alias("x"),
+        ((F.col("id") * 7919) % 10_000).cast("double").alias("y"),
+        ((F.col("id") * 6101) % 10_000).cast("double").alias("w"),
+    )
+    path = str(tmp_path / "z3")
+    write_zorder(df, path, ("x", "y", "w"), n_files=27, bits=6)
+
+    files = glob.glob(f"{path}/part-*.parquet")
+    assert len(files) == 27
+    for cname in ("x", "y", "w"):
+        touched = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                col = next(
+                    md.row_group(rg).column(i)
+                    for i in range(md.num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == cname
+                )
+                mins.append(col.statistics.min)
+                maxs.append(col.statistics.max)
+            if max(maxs) >= 4000.0 and min(mins) <= 4400.0:
+                touched += 1
+        # ~27^(2/3) ≈ 9 rectangles intersect a thin slab; allow slack
+        assert touched <= 18, (cname, touched)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        write_zorder(df, path, ("x",))
+    with pytest.raises(ValueError):
+        write_zorder(df, path, ("x", "y", "w"), bits=32)
