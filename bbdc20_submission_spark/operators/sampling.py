@@ -214,3 +214,100 @@ def split_assign(
     for name, edge in zip(reversed(names[:-1]), reversed(edges)):
         expr = F.when(b < edge, F.lit(name)).otherwise(expr)
     return df.withColumn(out_col, expr)
+
+
+def token_budget_sample(
+    df: DataFrame,
+    strata_col: str,
+    budgets: Mapping[str, int] | int,
+    tokens_col: str,
+    id_col: str = "doc_id",
+    seed: int = 7,
+    portable: bool = False,
+    n_coarse: int = 4096,
+) -> DataFrame:
+    """TOKEN-budget sampling: per stratum, keep documents in
+    deterministic hash order until the cumulative ``tokens_col`` sum
+    reaches the stratum's budget (training mixtures are specified in
+    TOKENS, not row rates — a rate-based sampler over/undershoots
+    whenever document lengths differ across strata).
+
+    Semantics (the engine-portable spec any oracle can re-derive):
+    order each stratum by (hash_bucket(id, seed), id); a doc is kept
+    iff the token sum of the docs strictly BEFORE it is < budget — so
+    the first doc to cross the budget is still kept (its budget slot
+    was open when reached) and every stratum with a positive budget
+    keeps at least one doc. Strata absent from a ``budgets`` mapping
+    get budget 0 and are dropped (mixture_sample's weight-0 rule); an
+    int budget applies to every stratum.
+
+    Scale shape — the naive form (one cumulative-sum window per
+    stratum) serializes each stratum through a single task, the same
+    trap ``exact_percentile``'s two-pass bracket avoids, so this uses
+    the identical trick: (1) ONE aggregation to per-(stratum, coarse
+    hash bucket) token sums (<= ``n_coarse`` rows per stratum — the
+    bounded state); (2) a cumulative sum over that tiny dim classifies
+    every coarse bucket as fully-kept / straddling / dropped — at most
+    ONE straddling bucket per stratum; (3) the dim broadcasts back
+    onto the corpus (no corpus shuffle for the keep/drop decision) and
+    only the ~N_s/n_coarse docs of the straddling bucket pay a
+    doc-level ordered window. The corpus text never shuffles."""
+    bucket = portable_hash_bucket if portable else _hash_bucket
+    if _BUCKETS % n_coarse:
+        raise ValueError(f"n_coarse={n_coarse} must divide {_BUCKETS}")
+    fine = bucket(F.col(id_col), seed)
+    coarse = F.floor(fine / F.lit(_BUCKETS // n_coarse)).cast("long")
+
+    if isinstance(budgets, Mapping):
+        bmap = F.create_map(
+            *[
+                x
+                for value, n in sorted(budgets.items())
+                for x in (F.lit(value), F.lit(int(n)))
+            ]
+        )
+        budget = F.coalesce(bmap.getItem(F.col(strata_col)), F.lit(0))
+    else:
+        budget = F.lit(int(budgets))
+    budget = budget.cast("double")
+
+    per = (
+        df.groupBy(F.col(strata_col), coarse.alias("_cb"))
+        .agg(F.sum(F.col(tokens_col).cast("double")).alias("_t"))
+    )
+    w = Window.partitionBy(strata_col).orderBy("_cb").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dim = (
+        per.withColumn("_cum0", F.sum("_t").over(w) - F.col("_t"))
+        .withColumn("_budget", budget)
+        .withColumn(
+            "_cls",
+            F.when(F.col("_cum0") >= F.col("_budget"), F.lit(0))
+            .when(F.col("_cum0") + F.col("_t") < F.col("_budget"), F.lit(2))
+            .otherwise(F.lit(1)),
+        )
+        .filter(F.col("_cls") > 0)
+        .select(strata_col, "_cb", "_cls", "_cum0", "_budget")
+    )
+
+    tagged = (
+        df.withColumn("_fb", fine)
+        .withColumn("_cb", coarse)
+        .join(F.broadcast(dim), [strata_col, "_cb"])
+    )
+    full = tagged.filter(F.col("_cls") == 2)
+    w2 = Window.partitionBy(strata_col, "_cb").orderBy(
+        F.col("_fb").asc(), F.col(id_col).asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    part = (
+        tagged.filter(F.col("_cls") == 1)
+        .withColumn(
+            "_cumd",
+            F.sum(F.col(tokens_col).cast("double")).over(w2)
+            - F.col(tokens_col).cast("double"),
+        )
+        .filter(F.col("_cum0") + F.col("_cumd") < F.col("_budget"))
+        .drop("_cumd")
+    )
+    return full.unionByName(part).select(*df.columns)

@@ -485,6 +485,21 @@ def d2_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN mixdim m ON m.lang = h.lang
         WHERE h.bucket < m.thr
     ),
+    tbs AS (
+        SELECT h.doc_id, h.lang, h.bucket,
+               len(str_split(d.text, ' ')) AS tk
+        FROM hashed h JOIN documents d ON d.doc_id = h.doc_id
+    ),
+    tb AS (
+        SELECT doc_id FROM (
+            SELECT doc_id,
+                   coalesce(sum(tk) OVER (PARTITION BY lang
+                       ORDER BY bucket, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS cumb
+            FROM tbs
+        ) WHERE cumb < 2000
+    ),
     toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
     dbi AS (
         SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
@@ -515,6 +530,7 @@ def d2_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(b.doc_id IS NOT NULL AS BIGINT) AS in_bernoulli,
            CAST(r.doc_id IS NOT NULL AS BIGINT) AS in_reservoir,
            CAST(x.doc_id IS NOT NULL AS BIGINT) AS in_mixture,
+           CAST(t.doc_id IS NOT NULL AS BIGINT) AS in_token_budget,
            CAST(COALESCE(m.n_bigrams, 0) AS BIGINT) AS n_bigrams,
            COALESCE(m.lm_logp, CAST('0.0' AS DOUBLE)) AS lm_logp,
            CASE WHEN hh.bucket < 838860 THEN 'train'
@@ -524,6 +540,7 @@ def d2_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN bern b ON b.doc_id = l.doc_id
     LEFT JOIN res r ON r.doc_id = l.doc_id
     LEFT JOIN mix x ON x.doc_id = l.doc_id
+    LEFT JOIN tb t ON t.doc_id = l.doc_id
     LEFT JOIN lm m ON m.doc_id = l.doc_id
     JOIN hashed hh ON hh.doc_id = l.doc_id
     """,
@@ -548,14 +565,24 @@ def d4_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the corpus distributively (explode + count shuffles, broadcast
     1-row vocab-size aggregate, no driver collect) and emits per-doc
     ``n_bigrams`` + ``lm_logp`` (avg ln P per bigram, 6dp); the oracle
-    reproduces fit AND scoring with the same formula."""
+    reproduces fit AND scoring with the same formula.
+
+    r6b: also certifies TOKEN-BUDGET sampling (``token_budget_sample``
+    — training mixtures are specified in tokens, not row rates): keep
+    each lang stratum's docs in md5-hash order until 2000 ws-tokens
+    are reached, first overshooting doc included. The Spark side runs
+    the two-phase bounded-state form (per-coarse-bucket sums →
+    broadcast cutoff dim → doc window only inside the one straddling
+    bucket); the oracle re-derives membership with the naive
+    one-window spec — green means the factorization is exact."""
     from bbdc20_submission_spark.operators.sampling import (
         mixture_sample,
         reservoir_per_stratum,
         split_assign,
         stratified_sample,
+        token_budget_sample,
     )
-    from bbdc20_submission_spark.operators.text import bigram_lm_scores
+    from bbdc20_submission_spark.operators.text import bigram_lm_scores, ws_tokens
 
     d = load_table(spark, "documents", sf_dir)
     lang = language_id(d).select("doc_id", "lang_pred")
@@ -576,10 +603,21 @@ def d4_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = reservoir_per_stratum(
         dl, ["lang"], k=10, seed=7, portable=True
     ).select("doc_id", F.lit(1).alias("_r"))
+    tb = token_budget_sample(
+        d.select(
+            "doc_id", "lang", F.size(ws_tokens(F.col("text"))).alias("_tk")
+        ),
+        "lang",
+        2000,
+        "_tk",
+        seed=7,
+        portable=True,
+    ).select("doc_id", F.lit(1).alias("_t"))
     joined = (
         lang.join(bern, "doc_id", "left")
         .join(res, "doc_id", "left")
         .join(mix, "doc_id", "left")
+        .join(tb, "doc_id", "left")
         .join(lm, "doc_id", "left")
         .select(
             "doc_id",
@@ -587,6 +625,7 @@ def d4_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("_b"), F.lit(0)).cast("long").alias("in_bernoulli"),
             F.coalesce(F.col("_r"), F.lit(0)).cast("long").alias("in_reservoir"),
             F.coalesce(F.col("_x"), F.lit(0)).cast("long").alias("in_mixture"),
+            F.coalesce(F.col("_t"), F.lit(0)).cast("long").alias("in_token_budget"),
             "n_bigrams",
             "lm_logp",
         )

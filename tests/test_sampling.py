@@ -208,3 +208,77 @@ def test_split_assign_validates_inputs(spark):
         split_assign(df, (0.5, 0.5), ("a",))
     with pytest.raises(ValueError, match="non-negative"):
         split_assign(df, (-0.1, 1.1), ("a", "b"))
+
+
+def _spec_token_budget(rows, budgets):
+    """Reference spec: per stratum, order by (bucket, id), keep while
+    cumulative tokens BEFORE the doc < budget."""
+    import hashlib
+
+    def bucket(doc_id):
+        h = hashlib.md5(f"{doc_id}:7".encode()).hexdigest()[:8]
+        return int(h, 16) % (1 << 20)
+
+    by_stratum: dict = {}
+    for doc_id, lang, toks in rows:
+        by_stratum.setdefault(lang, []).append((bucket(doc_id), doc_id, toks))
+    kept = set()
+    for lang, docs in by_stratum.items():
+        if isinstance(budgets, dict):
+            b = budgets.get(lang, 0)
+        else:
+            b = budgets
+        cum = 0
+        for _, doc_id, toks in sorted(docs):
+            if cum < b:
+                kept.add(doc_id)
+            cum += toks
+    return kept
+
+
+def test_token_budget_sample_matches_spec(spark):
+    """Fuzz vs the one-window reference spec: mixed strata, zero-token
+    docs, tiny/huge/zero budgets, mapping and scalar forms — and the
+    coarse-bucket factorization must be invisible (n_coarse=16 equals
+    n_coarse=4096)."""
+    import random
+
+    from bbdc20_submission_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    rng = random.Random(99)
+    langs = ["en", "de", "es", "fr", "zh"]
+    rows = [
+        (i, rng.choice(langs), rng.choice([0, 1, 3, 7, 20, 120]))
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, toks long")
+
+    for budgets in (
+        {"en": 300, "de": 50, "es": 0, "fr": 10_000_000},
+        137,
+        0,
+    ):
+        want = _spec_token_budget(rows, budgets)
+        got = {
+            r["doc_id"]
+            for r in token_budget_sample(
+                df, "lang", budgets, "toks", portable=True
+            ).collect()
+        }
+        assert got == want, (budgets, len(got), len(want))
+        got16 = {
+            r["doc_id"]
+            for r in token_budget_sample(
+                df, "lang", budgets, "toks", portable=True, n_coarse=16
+            ).collect()
+        }
+        assert got16 == want, "coarse granularity changed membership"
+
+    # a positive budget keeps at least one doc per stratum, and the
+    # first doc to cross the budget is included
+    tiny = token_budget_sample(df, "lang", 1, "toks", portable=True)
+    per = {r["lang"]: r["count"] for r in tiny.groupBy("lang").count().collect()}
+    assert set(per) == set(langs)
+    assert {r["doc_id"] for r in tiny.collect()} == _spec_token_budget(rows, 1)
