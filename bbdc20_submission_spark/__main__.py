@@ -66,11 +66,21 @@ def _cmd_curate(args: argparse.Namespace) -> int:
         for spec in args.mixture_weight:
             lang, _, w = spec.partition("=")
             mixture[lang] = float(w)
+    budgets = None
+    if args.token_budget:
+        budgets = {}
+        for spec in args.token_budget:
+            lang, sep, n = spec.partition("=")
+            if not sep:  # bare integer = same budget for every lang
+                budgets = int(lang)
+                break
+            budgets[lang] = int(n)
     cfg = CurationConfig(
         blocked_sources=tuple(args.block_source) or None,
         dedup_spans_min_count=args.dedup_spans_min_count,
         mixture_weights=mixture,
         mixture_total_fraction=args.mixture_total_fraction,
+        token_budgets=budgets,
         min_quality=args.min_quality,
         min_clf_score=args.min_clf_score,
         keep_langs=tuple(args.langs.split(",")),
@@ -209,6 +219,14 @@ def main(argv: list[str] | None = None) -> int:
         help="data-mixing target share (repeatable, e.g. en=0.6)",
     )
     c.add_argument("--mixture-total-fraction", type=float, default=1.0)
+    c.add_argument(
+        "--token-budget",
+        action="append",
+        default=[],
+        metavar="LANG=N|N",
+        help="token-budget sampling: per-lang token budgets"
+        " (repeatable, e.g. en=100000) or one bare integer for all",
+    )
     c.add_argument(
         "--shards-out",
         help="also write trainer-ready packed-sequence shards here",

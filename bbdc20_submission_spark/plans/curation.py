@@ -90,6 +90,11 @@ class CurationConfig:
     # with sample_fractions.
     mixture_weights: Mapping[str, float] | None = None
     mixture_total_fraction: float = 1.0
+    # third sampling mode: per-language TOKEN budgets (mixtures are
+    # specified in tokens, not row rates) — keep chunks per stratum in
+    # deterministic hash order until the budget of n_tokens is
+    # crossed. Mutually exclusive with the two modes above.
+    token_budgets: Mapping[str, int] | int | None = None
     sample_seed: int = 7
     # cross-document boilerplate removal (off by default: an extra
     # chunk+hash aggregation pass over the filtered corpus)
@@ -278,11 +283,21 @@ def curate(
     # 6. deterministic per-language sampling (id = (doc, chunk) via a
     # derived synthetic id so chunk membership is also reproducible).
     # Either fixed per-stratum fractions or target-mixture resampling.
-    if config.sample_fractions and config.mixture_weights:
-        raise ValueError(
-            "sample_fractions and mixture_weights are mutually exclusive"
+    modes = [
+        m
+        for m in (
+            config.sample_fractions,
+            config.mixture_weights,
+            config.token_budgets,
         )
-    if config.sample_fractions or config.mixture_weights:
+        if m is not None and m != {}
+    ]
+    if len(modes) > 1:
+        raise ValueError(
+            "sample_fractions, mixture_weights, and token_budgets are"
+            " mutually exclusive"
+        )
+    if modes:
         chunks = chunks.withColumn(
             "_cid", F.xxhash64(F.col(id_col), F.col("chunk_id"))
         )
@@ -294,7 +309,7 @@ def curate(
                 id_col="_cid",
                 seed=config.sample_seed,
             )
-        else:
+        elif config.mixture_weights:
             from bbdc20_submission_spark.operators.sampling import (
                 mixture_sample,
             )
@@ -304,6 +319,19 @@ def curate(
                 "lang_pred",
                 config.mixture_weights,
                 total_fraction=config.mixture_total_fraction,
+                id_col="_cid",
+                seed=config.sample_seed,
+            )
+        else:
+            from bbdc20_submission_spark.operators.sampling import (
+                token_budget_sample,
+            )
+
+            chunks = token_budget_sample(
+                chunks,
+                "lang_pred",
+                config.token_budgets,
+                tokens_col="n_tokens",
                 id_col="_cid",
                 seed=config.sample_seed,
             )

@@ -266,3 +266,48 @@ def test_curate_quality_keeper_policy(spark, sf_dir):
         for r in clusters.filter(~F.col("is_duplicate")).collect()
     }
     assert expected_keep != default_keep
+
+
+def test_curate_token_budget_sampling_stage(spark, sf_dir):
+    """token_budgets mode: the sampled chunk set is a subset of the
+    unsampled run, per-lang token sums respect budget + one-chunk
+    overshoot, every budgeted lang with chunks keeps at least one, and
+    the mode is deterministic and exclusive with the other two."""
+    import pytest
+
+    docs = load_table(spark, "documents", sf_dir)
+    base, _ = curate(docs)
+    budget = 500
+    cfg = CurationConfig(token_budgets=budget)
+    out, _ = curate(docs, cfg)
+
+    key = lambda df: {
+        (r["doc_id"], r["chunk_id"]) for r in df.select("doc_id", "chunk_id").collect()
+    }
+    kept, full = key(out), key(base)
+    assert kept and kept < full
+
+    stats = (
+        out.groupBy("lang_pred")
+        .agg(
+            F.sum("n_tokens").alias("toks"),
+            F.max("n_tokens").alias("max_chunk"),
+        )
+        .collect()
+    )
+    langs_full = {r["lang_pred"] for r in base.select("lang_pred").distinct().collect()}
+    assert {r["lang_pred"] for r in stats} == langs_full  # >=1 chunk per lang
+    for r in stats:
+        # greedy-with-overshoot: sum < budget + the overshooting chunk
+        assert r["toks"] < budget + r["max_chunk"], r
+
+    again, _ = curate(docs, cfg)
+    assert key(again) == kept
+
+    with pytest.raises(ValueError):
+        curate(
+            docs,
+            CurationConfig(
+                token_budgets=10, mixture_weights={"en": 1.0}
+            ),
+        )
