@@ -66,12 +66,16 @@ def _interleave_bits(buckets: Sequence[Column], bits: int) -> Column:
     Built as a fold of shift/mask expressions — stays inside codegen.
     k*bits must fit a signed long (<= 62)."""
     k = len(buckets)
+    # cast to LONG before shifting: an INT bucket shifted to position
+    # >= 31 overflows into the int sign bit and sign-extends through
+    # the OR (k=4 x bits=8 reaches exactly position 31)
+    buckets = [b.cast("long") for b in buckets]
     z = F.lit(0).cast("long")
     for i in range(bits):
         for j, b in enumerate(buckets):
             z = z.bitwiseOR(
                 F.shiftleft(
-                    F.shiftright(b, i).bitwiseAND(F.lit(1)),
+                    F.shiftright(b, i).bitwiseAND(F.lit(1).cast("long")),
                     i * k + (k - 1 - j),
                 )
             )

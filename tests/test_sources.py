@@ -343,3 +343,28 @@ def test_zorder_three_columns(spark, tmp_path):
         write_zorder(df, path, ("x",))
     with pytest.raises(ValueError):
         write_zorder(df, path, ("x", "y", "w"), bits=32)
+
+
+def test_zorder_interleave_matches_python_morton(spark):
+    """_interleave_bits at the k=4 x bits=8 corner (bit position 31 —
+    the int sign bit) must equal a pure-python Morton computation and
+    stay non-negative."""
+    from pyspark.sql import functions as F
+
+    from bbdc20_submission_spark.sources.layout import _interleave_bits
+
+    def morton(vals, k, bits):
+        z = 0
+        for i in range(bits):
+            for j, v in enumerate(vals):
+                z |= ((v >> i) & 1) << (i * k + (k - 1 - j))
+        return z
+
+    rows = [(a, b, c, d) for a in (0, 255, 170) for b in (0, 255, 85)
+            for c in (1, 254) for d in (0, 255)]
+    df = spark.createDataFrame(rows, "a int, b int, c int, d int")
+    z = _interleave_bits([F.col(x) for x in ("a", "b", "c", "d")], 8)
+    got = [r["z"] for r in df.select(z.alias("z")).collect()]
+    want = [morton(r, 4, 8) for r in rows]
+    assert got == want
+    assert all(v >= 0 for v in got)
