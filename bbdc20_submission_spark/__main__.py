@@ -68,13 +68,20 @@ def _cmd_curate(args: argparse.Namespace) -> int:
             mixture[lang] = float(w)
     budgets = None
     if args.token_budget:
-        budgets = {}
-        for spec in args.token_budget:
-            lang, sep, n = spec.partition("=")
-            if not sep:  # bare integer = same budget for every lang
-                budgets = int(lang)
-                break
-            budgets[lang] = int(n)
+        bare = [s for s in args.token_budget if "=" not in s]
+        keyed = [s for s in args.token_budget if "=" in s]
+        if bare and keyed or len(bare) > 1:
+            raise SystemExit(
+                "--token-budget: pass EITHER one bare integer OR"
+                f" repeated LANG=N specs, got {args.token_budget}"
+            )
+        if bare:  # one bare integer = same budget for every lang
+            budgets = int(bare[0])
+        else:
+            budgets = {}
+            for spec in keyed:
+                lang, _, n = spec.partition("=")
+                budgets[lang] = int(n)
     cfg = CurationConfig(
         blocked_sources=tuple(args.block_source) or None,
         dedup_spans_min_count=args.dedup_spans_min_count,

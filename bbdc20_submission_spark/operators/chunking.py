@@ -484,6 +484,15 @@ def reselect_keepers(
     self-join on the id); ``keeper_col``/``dup_col`` rename the
     outputs so they can coexist with passed-through originals.
 
+    Partial-score semantics (deliberate, not an error): ``scores``
+    need not cover every member. An UNSCORED member never wins the
+    argmax (it is absent from the candidate set), and a cluster with
+    NO scored member falls back to its existing label (the min-id
+    keeper) via the coalesce. Pass a complete score frame — as every
+    caller here does (d12: n_chars off the corpus; curate: the
+    keeper column of the exact-unique frame) — when the max-score
+    policy must hold for every cluster.
+
     Scale shape: the corpus NEVER shuffles. Real clusters (size ≥ 2)
     are a small fraction of any sane corpus — the same boundedness
     the driver-union-find path in :func:`dedup_clusters` relies on —
@@ -493,13 +502,26 @@ def reselect_keepers(
     through one narrow coalesce."""
     from pyspark.sql import Window
 
+    from bbdc20_submission_spark.caching import managed_persist
+
+    # the (id, label) projection is read three times (the real-cluster
+    # broadcast build, the member broadcast build, and the output
+    # scan) — persist it once so the clusters lineage (which may be a
+    # whole dedup pipeline) is not re-executed per consumer. Ids +
+    # labels only: two longs per doc, the same O(n)-ids persist class
+    # as curate()'s keep-id set.
+    cl = managed_persist(
+        clusters.select(
+            *list(dict.fromkeys([id_col, cluster_col, *passthrough]))
+        )
+    )
     # cluster labels that actually have >1 member: tiny by assumption
     real = (
-        clusters.filter(F.col(cluster_col) != F.col(id_col))
+        cl.filter(F.col(cluster_col) != F.col(id_col))
         .select(cluster_col)
         .distinct()
     )
-    members = clusters.select(id_col, cluster_col).join(
+    members = cl.select(id_col, cluster_col).join(
         F.broadcast(real), cluster_col, "left_semi"
     )
     member_scores = scores.select(id_col, score_col).join(
@@ -513,10 +535,8 @@ def reselect_keepers(
         .filter(F.col("_rn") == 1)
         .select(cluster_col, F.col(id_col).alias("_best"))
     )
-    in_cols = list(dict.fromkeys([id_col, cluster_col, *passthrough]))
     return (
-        clusters.select(*in_cols)
-        .join(F.broadcast(best), cluster_col, "left")
+        cl.join(F.broadcast(best), cluster_col, "left")
         .select(
             id_col,
             *passthrough,

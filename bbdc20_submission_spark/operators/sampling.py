@@ -239,7 +239,9 @@ def token_budget_sample(
     was open when reached) and every stratum with a positive budget
     keeps at least one doc. Strata absent from a ``budgets`` mapping
     get budget 0 and are dropped (mixture_sample's weight-0 rule); an
-    int budget applies to every stratum.
+    int budget applies to every stratum — including a NULL stratum,
+    which is one group like any other (null-safe join; under a
+    mapping, NULL counts as absent and is dropped).
 
     Scale shape — the naive form (one cumulative-sum window per
     stratum) serializes each stratum through a single task, the same
@@ -255,6 +257,13 @@ def token_budget_sample(
     bucket = portable_hash_bucket if portable else _hash_bucket
     if _BUCKETS % n_coarse:
         raise ValueError(f"n_coarse={n_coarse} must divide {_BUCKETS}")
+    clash = {"_fb", "_cb", "_t", "_cls", "_cum0", "_budget", "_cumd", "_ds",
+             "_dcb"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"token_budget_sample reserves working columns {sorted(clash)};"
+            " rename them on the input frame"
+        )
     fine = bucket(F.col(id_col), seed)
     coarse = F.floor(fine / F.lit(_BUCKETS // n_coarse)).cast("long")
 
@@ -288,13 +297,27 @@ def token_budget_sample(
             .otherwise(F.lit(1)),
         )
         .filter(F.col("_cls") > 0)
-        .select(strata_col, "_cb", "_cls", "_cum0", "_budget")
+        .select(
+            F.col(strata_col).alias("_ds"),
+            F.col("_cb").alias("_dcb"),
+            "_cls",
+            "_cum0",
+            "_budget",
+        )
     )
 
+    # null-safe equality on the stratum key: a NULL stratum is a
+    # stratum like any other (groupBy and the window already treat it
+    # as one group; a plain equi-join would silently drop its rows)
     tagged = (
         df.withColumn("_fb", fine)
         .withColumn("_cb", coarse)
-        .join(F.broadcast(dim), [strata_col, "_cb"])
+        .join(
+            F.broadcast(dim),
+            F.col(strata_col).eqNullSafe(F.col("_ds"))
+            & (F.col("_cb") == F.col("_dcb")),
+        )
+        .drop("_ds", "_dcb")
     )
     full = tagged.filter(F.col("_cls") == 2)
     w2 = Window.partitionBy(strata_col, "_cb").orderBy(

@@ -282,3 +282,37 @@ def test_token_budget_sample_matches_spec(spark):
     per = {r["lang"]: r["count"] for r in tiny.groupBy("lang").count().collect()}
     assert set(per) == set(langs)
     assert {r["doc_id"] for r in tiny.collect()} == _spec_token_budget(rows, 1)
+
+
+def test_token_budget_sample_null_stratum_and_reserved_cols(spark):
+    """A NULL stratum is a group like any other under a scalar budget
+    (null-safe join — a plain equi-join would silently drop it); under
+    a mapping it counts as absent (budget 0). Reserved working-column
+    names on the input must raise, not silently corrupt."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from bbdc20_submission_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    rows = [(i, None if i % 3 == 0 else "en", 10) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, toks long")
+
+    got = token_budget_sample(df, "lang", 45, "toks", portable=True)
+    per = {
+        r["lang"]: r["count"] for r in got.groupBy("lang").count().collect()
+    }
+    # budget 45 at 10 tokens/doc -> cum-before < 45 keeps exactly 5 docs
+    assert per == {None: 5, "en": 5}
+
+    mapped = token_budget_sample(df, "lang", {"en": 45}, "toks", portable=True)
+    assert {r["lang"] for r in mapped.select("lang").distinct().collect()} == {
+        "en"
+    }
+
+    with pytest.raises(ValueError, match="reserves working columns"):
+        token_budget_sample(
+            df.withColumn("_cb", F.lit(1)), "lang", 45, "toks"
+        )
