@@ -108,9 +108,36 @@ def incremental_dedup(
     join + signature-estimated Jaccard >= ``min_jaccard``),
     near-within-batch (exact-verified LSH + components, keep each
     cluster's representative)."""
+    kept, appended = _dedup_batch(
+        new_docs, index, id_col, text_col, shingle_k, num_hashes,
+        bands, min_jaccard,
+    )
+    return kept, index.unionByName(appended)
+
+
+def _dedup_batch(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int,
+    num_hashes: int,
+    bands: int,
+    min_jaccard: float,
+) -> tuple[DataFrame, DataFrame]:
+    """Core of :func:`incremental_dedup`: returns ``(kept_new_docs,
+    appended_index_rows)`` — the survivors plus exactly their index
+    rows, sliced from the ALREADY-COMPUTED batch index (checkpointed
+    below), so no caller pays a second md5 + MinHash pass to persist
+    the updated index."""
     batch_index = build_dedup_index(
         new_docs, id_col, text_col, shingle_k, num_hashes
     )
+    # one row per batch doc, a few dozen bytes each; consumed by the
+    # exact filter, the banding, the estimate join, AND the appended
+    # slice — materialize once instead of re-running the signature
+    # aggregation per consumer
+    batch_index = batch_index.localCheckpoint()
 
     # 1. exact vs index (hash-only anti-join)
     fresh = batch_index.join(
@@ -166,20 +193,27 @@ def incremental_dedup(
     cands = minhash_lsh_candidates(
         surv_docs, id_col, text_col, shingle_k, num_hashes, bands
     )
+    # shingle_k MUST flow through: verifying at a different k than the
+    # candidates/signatures silently shifts the effective threshold
     pairs = jaccard_pairs(
-        surv_docs, cands, id_col, text_col, min_jaccard=min_jaccard
+        surv_docs, cands, id_col, text_col, shingle_k=shingle_k,
+        min_jaccard=min_jaccard,
     ).filter(F.col("jaccard") >= min_jaccard)
     reps = dedup_clusters(surv_docs, pairs, id_col).filter(
         ~F.col("is_duplicate")
     ).select(id_col)
     kept = surv_docs.join(reps, id_col, "left_semi")
+    # kept is consumed twice by every caller (the survivor write/use
+    # AND the appended-index slice) — checkpoint so the LSH-verify-CC
+    # chain runs once. Eager by design: this operator's callers
+    # materialize both outputs immediately (batch: persist survivors +
+    # index; stream: two appends per micro-batch).
+    kept = kept.localCheckpoint()
 
-    updated = index.unionByName(
-        batch_index.join(
-            kept.select(F.col(id_col).alias("_id")), "_id", "left_semi"
-        )
+    appended = batch_index.join(
+        kept.select(F.col(id_col).alias("_id")), "_id", "left_semi"
     )
-    return kept, updated
+    return kept, appended
 
 
 def stream_incremental_exact_filter(
@@ -233,20 +267,35 @@ def stream_incremental_dedup(
     format."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         spark = batch_df.sparkSession
-        index = spark.read.parquet(index_path)
-        kept, _ = incremental_dedup(
-            batch_df, index, id_col=id_col, text_col=text_col, **dedup_kwargs
+        try:
+            index = spark.read.parquet(index_path)
+        except AnalysisException:
+            # day-0 bootstrap: no index persisted yet — an empty frame
+            # with the index schema (limit(0) never touches the data)
+            index = build_dedup_index(
+                batch_df.limit(0),
+                id_col=id_col,
+                text_col=text_col,
+                shingle_k=dedup_kwargs.get("shingle_k", 3),
+                num_hashes=dedup_kwargs.get("num_hashes", 16),
+            )
+        kept, appended = _dedup_batch(
+            batch_df,
+            index,
+            id_col,
+            text_col,
+            dedup_kwargs.get("shingle_k", 3),
+            dedup_kwargs.get("num_hashes", 16),
+            dedup_kwargs.get("bands", 4),
+            dedup_kwargs.get("min_jaccard", 0.5),
         )
-        kept = kept.localCheckpoint()  # one computation, two writes
         kept.write.mode("append").parquet(kept_path)
-        build_dedup_index(
-            kept,
-            id_col=id_col,
-            text_col=text_col,
-            shingle_k=dedup_kwargs.get("shingle_k", 3),
-            num_hashes=dedup_kwargs.get("num_hashes", 16),
-        ).write.mode("append").parquet(index_path)
+        # the survivors' index rows are a slice of the checkpointed
+        # batch index — no second md5 + MinHash pass per micro-batch
+        appended.write.mode("append").parquet(index_path)
 
     return stream_docs.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir

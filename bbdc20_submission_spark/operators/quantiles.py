@@ -103,6 +103,15 @@ def exact_percentile_frame(
     ``percentile(col, p)`` (same interpolation evaluation order)."""
     if not 0.0 <= p <= 1.0:
         raise ValueError(f"p={p} outside [0, 1]")
+    if accuracy < 200:
+        # the no-retry proof needs rank error n/accuracy strictly
+        # inside the ±0.01·n bracket margin; 200 gives 2x slack. A
+        # looser accuracy would let the target order statistic fall
+        # outside [_lo, _hi] and element_at index past _vals.
+        raise ValueError(
+            f"accuracy={accuracy} < 200 voids the bracket-containment"
+            " proof this no-retry variant relies on"
+        )
     base = df.select(F.col(col).cast("double").alias("_v")).filter(
         F.col("_v").isNotNull()
     )

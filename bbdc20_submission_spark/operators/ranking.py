@@ -171,6 +171,11 @@ def bm25_score_multi(
         F.count(F.lit(1)).alias("_n"),
         F.avg(F.size(ws_tokens(text_col))).alias("_avgdl"),
     ).collect()[0]
+    if not stats["_n"]:
+        raise ValueError(
+            "bm25_score_multi: empty corpus — BM25's idf/avgdl are"
+            " undefined over zero documents"
+        )
     n_docs, avg_dl = int(stats["_n"]), float(stats["_avgdl"])
 
     q_arr = F.array(*[F.lit(t) for t in union_toks])
@@ -284,18 +289,27 @@ def ranking_eval(
             F.count(F.lit(1)).alias("_nrel"),
         )
     )
+    # universe = queries with >=1 relevant judgment (trec_eval's rule:
+    # queries with no relevant docs are excluded — their ideal DCG is
+    # undefined). LEFT join from that universe: a judged query the run
+    # retrieved NOTHING for must report zeros, not vanish — an inner
+    # join here made total retrieval failures IMPROVE the averages.
     return (
-        got.join(ideal, "_q")
+        ideal.join(got, "_q", "left")
         .select(
             F.col("_q").alias(query_col),
-            F.round(F.col("_dcg") / F.col("_idcg"), 6).alias("ndcg_at_k"),
+            F.round(
+                F.coalesce(F.col("_dcg"), F.lit(0.0)) / F.col("_idcg"), 6
+            ).alias("ndcg_at_k"),
             F.round(
                 F.coalesce(F.lit(1.0) / F.col("_first"), F.lit(0.0)), 6
             ).alias("mrr"),
-            F.round(F.col("_hits") / F.lit(float(k)), 6).alias(
-                "precision_at_k"
-            ),
-            F.round(F.col("_hits") / F.col("_nrel"), 6).alias("recall_at_k"),
+            F.round(
+                F.coalesce(F.col("_hits"), F.lit(0)) / F.lit(float(k)), 6
+            ).alias("precision_at_k"),
+            F.round(
+                F.coalesce(F.col("_hits"), F.lit(0)) / F.col("_nrel"), 6
+            ).alias("recall_at_k"),
             F.col("_nrel").cast("long").alias("n_rel"),
         )
     )

@@ -141,7 +141,10 @@ def mixture_sample(
     literals, so any engine derives bit-identical thresholds."""
     bucket = portable_hash_bucket if portable else _hash_bucket
     counts = df.groupBy(strata_col).agg(F.count("*").alias("_n_s"))
-    total = df.agg(F.count("*").alias("_n"))
+    # N derives from the stratum counts — a df.agg(count(*)) here
+    # would be a second full-corpus scan for a number the tiny counts
+    # frame already holds
+    total = counts.agg(F.sum("_n_s").alias("_n"))
     wmap = F.create_map(
         *[
             x

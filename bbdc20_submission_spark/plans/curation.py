@@ -125,10 +125,12 @@ def curate(
 
     # 0. source/domain blocklist — the cheapest possible rejection
     # (scan-pushed predicate), so it runs before anything pays for a
-    # blocked doc.
+    # blocked doc. NULL sources are NOT blocked: a bare NOT IN drops
+    # them via three-valued logic, so the null branch is explicit.
     if config.blocked_sources:
+        src = F.col(config.source_col)
         docs = docs.filter(
-            ~F.col(config.source_col).isin(*config.blocked_sources)
+            src.isNull() | ~src.isin(*config.blocked_sources)
         )
         _tap("source_pass", docs)
 

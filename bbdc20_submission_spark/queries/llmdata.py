@@ -1597,7 +1597,8 @@ def r_ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # d10 scrub+chunk), composed in the curate() order.
 _C1_ORACLE = f"""
     WITH RECURSIVE
-    src AS (SELECT * FROM documents WHERE source NOT IN ('src19')),
+    src AS (SELECT * FROM documents
+            WHERE source IS NULL OR source NOT IN ('src19')),
     keep AS (SELECT min(doc_id) AS kid FROM src GROUP BY md5(text)),
     eu AS (SELECT d.* FROM src d JOIN keep k ON k.kid = d.doc_id),
     toks AS MATERIALIZED (SELECT doc_id, str_split(text, ' ') AS t FROM eu),

@@ -50,7 +50,8 @@ def stream_curate(
     a batch frame (the operators don't know the difference), so tests
     certify stream output == batch output on identical data."""
     if blocked_sources:
-        docs = docs.filter(~F.col(source_col).isin(*blocked_sources))
+        src = F.col(source_col)
+        docs = docs.filter(src.isNull() | ~src.isin(*blocked_sources))
     scored = language_id(quality_score(docs, text_col), text_col)
     filtered = scored.filter(
         (F.col("quality") >= min_quality)

@@ -258,6 +258,10 @@ def test_fuzz_ranking_eval_cross_engine(spark):
             qrel_rows.append((q, d, rng.randint(0, 3)))
         # guarantee >=1 relevant doc so the query survives the ideal join
         qrel_rows.append((q, 99, rng.randint(1, 3)))
+    # query 6: judged (with relevant docs) but the run retrieved
+    # NOTHING — must report zeroed metrics, not vanish
+    qrel_rows.append((6, 5, 2))
+    qrel_rows.append((6, 7, 1))
     for k in (3, 20):
         runs = spark.createDataFrame(
             runs_rows, "query_id int, doc_id long, score double"
@@ -322,12 +326,12 @@ def test_fuzz_ranking_eval_cross_engine(spark):
                           FROM qrels WHERE rel > 0)
                     GROUP BY query_id
                 )
-                SELECT g.query_id, round(g.dcg / i.idcg, 6),
+                SELECT i.query_id, round(coalesce(g.dcg, 0) / i.idcg, 6),
                        round(coalesce(1.0 / g.first_rel, 0), 6),
-                       round(g.hits / {float(k)}, 6),
-                       round(g.hits * 1.0 / i.nrel, 6),
+                       round(coalesce(g.hits, 0) / {float(k)}, 6),
+                       round(coalesce(g.hits, 0) * 1.0 / i.nrel, 6),
                        CAST(i.nrel AS BIGINT)
-                FROM got g JOIN ideal i ON i.query_id = g.query_id
+                FROM ideal i LEFT JOIN got g ON g.query_id = i.query_id
                 """).fetchall()
             }
         finally:

@@ -311,3 +311,24 @@ def test_curate_token_budget_sampling_stage(spark, sf_dir):
                 token_budgets=10, mixture_weights={"en": 1.0}
             ),
         )
+
+
+def test_curate_blocklist_keeps_null_sources(spark, sf_dir):
+    """A NULL source is not on the blocklist: the stage-0 NOT-IN must
+    not silently drop it through three-valued logic."""
+    docs = load_table(spark, "documents", sf_dir).limit(50)
+    nulled = docs.withColumn(
+        "source",
+        F.when(F.col("doc_id") % 5 == 0, F.lit(None)).otherwise(
+            F.col("source")
+        ),
+    )
+    cfg = CurationConfig(blocked_sources=("src19",))
+    _, audit = curate(nulled, cfg, audit=True)
+    survivors = (
+        nulled.filter(
+            F.col("source").isNull() | (F.col("source") != "src19")
+        ).count()
+    )
+    assert audit["source_pass"] == survivors
+    assert nulled.filter(F.col("source").isNull()).count() > 0

@@ -168,3 +168,38 @@ def test_stream_incremental_dedup_updates_index(spark, sf_dir, tmp_path):
     assert len(kept_ids) == 60
     # index grew by exactly the kept docs
     assert spark.read.parquet(index_path).count() == 80 + 60
+
+
+def test_stream_incremental_dedup_bootstraps_empty_index(spark, tmp_path):
+    """Day-0: no index exists yet at index_path — the first micro-batch
+    must bootstrap an empty index (not crash with PATH_NOT_FOUND),
+    dedup within itself, and seed the index with its survivors."""
+    import os
+
+    from bbdc20_submission_spark.operators.incremental import (
+        stream_incremental_dedup,
+    )
+
+    def _doc(i: int) -> str:
+        return " ".join(f"b{i}w{j}" for j in range(30))
+
+    staged = str(tmp_path / "in")
+    os.makedirs(staged, exist_ok=True)
+    rows = [(i, _doc(i)) for i in range(20)] + [(900, _doc(0))]  # 1 dup
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("append").parquet(staged)
+
+    schema = spark.read.parquet(staged).schema
+    stream = spark.readStream.schema(schema).parquet(staged)
+    index_path = str(tmp_path / "idx")  # never created
+    kept_path = str(tmp_path / "kept")
+    q = stream_incremental_dedup(
+        stream, index_path, kept_path, str(tmp_path / "ck")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    kept = {r["doc_id"] for r in spark.read.parquet(kept_path).collect()}
+    assert kept == set(range(20))  # 900 is an exact dup of 0
+    idx = spark.read.parquet(index_path)
+    assert {r["_id"] for r in idx.select("_id").collect()} == set(range(20))
