@@ -142,11 +142,29 @@ def main() -> None:
         docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
         return bm25_score(docs, ["the", "data", "model", "quick"])
 
+    def _incremental(spark, d):
+        # the daily-ingest shape: index the lower half of the corpus
+        # (per replica id ranges, so the index grows with the factor),
+        # dedup the upper half against it + within itself. Timed as
+        # one unit — index build + batch dedup are both per-day costs.
+        from bbdc20_submission_spark.operators.incremental import (
+            build_dedup_index,
+            incremental_dedup,
+        )
+
+        docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+        mid = docs.approxQuantile("doc_id", [0.5], 0.001)[0]
+        hist = docs.filter(F.col("doc_id") < mid)
+        batch = docs.filter(F.col("doc_id") >= mid)
+        kept, _ = incremental_dedup(batch, build_dedup_index(hist))
+        return kept.select("doc_id")
+
     EXT = {
         "curation_dag": _curate,
         "curation_dag_strip": _curate_strip,
         "bm25_score": _bm25,
         "duplicate_span_stats": _span_dedup,
+        "incremental_dedup": _incremental,
     }
 
     store = {"queries": {}, "ext": {}, "rows": {}}
