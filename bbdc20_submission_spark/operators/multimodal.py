@@ -159,7 +159,16 @@ def perceptual_hash(
     deterministic fake decoder stands in, but the Spark-side shape —
     Arrow batches in, one signed-long fingerprint per blob out — is
     the production one. Output: [_id, _fp], ready for
-    ``dedup.hamming_near_pairs``."""
+    ``dedup.hamming_near_pairs``.
+
+    Width caveat: ``hamming_near_pairs``'s multi-index band slices —
+    and therefore its pigeonhole recall guarantee and its hot-bucket
+    economics — assume FULL 64-bit fingerprints. With ``taps < 65``
+    the unused high bits are zero for every blob, so the high band
+    slices become universal buckets: recall still holds only up to
+    the bucket cap, and pair volume degrades toward the capped
+    worst case. Use taps=65 for dedup; smaller widths are for
+    compact similarity sketches, not the near-dup path."""
     if not 3 <= taps <= 65:
         raise ValueError(
             f"taps={taps}: need 3..65 (taps-1 bits must fit a 64-bit long)"

@@ -52,6 +52,21 @@ from bbdc20_submission_spark.operators.sampling import stratified_sample
 from bbdc20_submission_spark.operators.text import language_id, quality_score
 
 
+def source_blocklist_filter(
+    docs: DataFrame,
+    blocked: tuple[str, ...],
+    source_col: str = "source",
+) -> DataFrame:
+    """C4-style source/domain blocklist — the SHARED predicate for the
+    batch DAG (stage 0) and the streaming curation chain, so batch and
+    stream can never desynchronize on it. NULL sources are NOT
+    blocked: a bare ``NOT IN`` drops them via three-valued logic, so
+    the null branch is explicit (load-bearing: the c1 oracle carries
+    the matching ``IS NULL OR NOT IN`` form)."""
+    src = F.col(source_col)
+    return docs.filter(src.isNull() | ~src.isin(*blocked))
+
+
 @dataclass(frozen=True)
 class CurationConfig:
     """Knobs for ``curate`` — defaults mirror common pretraining-filter
@@ -125,12 +140,10 @@ def curate(
 
     # 0. source/domain blocklist — the cheapest possible rejection
     # (scan-pushed predicate), so it runs before anything pays for a
-    # blocked doc. NULL sources are NOT blocked: a bare NOT IN drops
-    # them via three-valued logic, so the null branch is explicit.
+    # blocked doc.
     if config.blocked_sources:
-        src = F.col(config.source_col)
-        docs = docs.filter(
-            src.isNull() | ~src.isin(*config.blocked_sources)
+        docs = source_blocklist_filter(
+            docs, config.blocked_sources, config.source_col
         )
         _tap("source_pass", docs)
 

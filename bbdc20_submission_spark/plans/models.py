@@ -125,7 +125,21 @@ def predict_vote(
 
     @F.pandas_udf(T.LongType())
     def vote(batch: pd.Series) -> pd.Series:
-        x = np.array(batch.tolist(), dtype=np.float64)
+        vals = batch.tolist()
+        # fail with row context instead of numpy's opaque "setting an
+        # array element with a sequence" deep in an executor task
+        bad = [i for i, v in enumerate(vals) if v is None]
+        if bad:
+            raise ValueError(
+                f"predict_vote: null features at batch rows {bad[:5]}"
+                " (feature-build join miss?)"
+            )
+        lens = {len(v) for v in vals}
+        if len(lens) > 1:
+            raise ValueError(
+                f"predict_vote: ragged feature lengths {sorted(lens)[:5]}"
+            )
+        x = np.array(vals, dtype=np.float64)
         if len(x) == 0:
             return pd.Series([], dtype="int64")
         votes = np.stack(

@@ -50,8 +50,11 @@ def stream_curate(
     a batch frame (the operators don't know the difference), so tests
     certify stream output == batch output on identical data."""
     if blocked_sources:
-        src = F.col(source_col)
-        docs = docs.filter(src.isNull() | ~src.isin(*blocked_sources))
+        from bbdc20_submission_spark.plans.curation import (
+            source_blocklist_filter,
+        )
+
+        docs = source_blocklist_filter(docs, blocked_sources, source_col)
     scored = language_id(quality_score(docs, text_col), text_col)
     filtered = scored.filter(
         (F.col("quality") >= min_quality)

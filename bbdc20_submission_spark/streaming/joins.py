@@ -30,12 +30,17 @@ def stream_static_enrich(
     dim: DataFrame,
     on: Sequence[str] | Column,
     how: str = "left",
+    broadcast: bool = True,
 ) -> DataFrame:
     """Enrich a streaming fact with a batch dimension (stream–static
     join). Stateless: no watermark needed — each micro-batch joins
     against the CURRENT contents of ``dim`` (re-read per batch for
-    file/table sources, so dim updates flow through). The dim side is
-    explicitly broadcast: at any stream rate the fact never shuffles.
+    file/table sources, so dim updates flow through). With
+    ``broadcast=True`` (default) the dim side is explicitly broadcast
+    so the fact never shuffles at any stream rate — correct for the
+    usual small-dimension case, an OOM hazard for a huge dim: pass
+    ``broadcast=False`` there and let Catalyst pick the strategy from
+    its size estimate.
 
     Only stream-side-preserving joins make streaming sense here
     (inner / left); right/full would need the unmatched-dim set,
@@ -44,7 +49,7 @@ def stream_static_enrich(
         raise ValueError(
             f"stream_static_enrich supports inner/left/left_semi/left_anti, got {how!r}"
         )
-    return stream.join(F.broadcast(dim), on, how)
+    return stream.join(F.broadcast(dim) if broadcast else dim, on, how)
 
 
 def stream_stream_interval_join(

@@ -95,12 +95,28 @@ def stream_rle_islands(
     ts_col: str = "ts",
     key_col: str = "user_id",
     value_col: str = "event_type",
+    watermark: str | None = None,
+    idle_flush: str | None = None,
 ) -> DataFrame:
     """W6's value-change RLE as a custom stateful streaming operator
     (``applyInPandasWithState``): per key, carry (current value, run
     start, run count) across micro-batches; emit a finished run row
-    whenever the value changes. The final open run stays in state
-    (exactly the reference's open segment) until timeout/stream end.
+    whenever the value changes. With BOTH ``watermark`` and
+    ``idle_flush`` set (the production form), an open run is FLUSHED
+    as final once the watermark passes ``idle_flush`` beyond its last
+    event — every run is eventually emitted and idle keys' state is
+    evicted. The default (both None) is the strict stream==batch
+    shape the equivalence tests certify: only value-change-closed
+    runs are emitted, and each key's final open run stays in state
+    forever (unbounded keys -> unbounded state; long-running
+    deployments should set the flush).
+
+    Correctness notes baked in: all Arrow chunks of a key's
+    micro-batch are concatenated BEFORE the single sort (chunk order
+    is not guaranteed — a per-chunk sort mis-segments runs that span
+    chunks; the buffer is bounded by one key's micro-batch volume),
+    and run-state existence is a separate flag, not a None sentinel
+    (a NULL value is a legal run value).
 
     This is the applyInPandasWithState pattern the reference's island
     scan (generate_submission.py:522-562) would need as a stream.
@@ -120,39 +136,85 @@ def stream_rle_islands(
     state_schema = (
         f"value {value_type}, start_ts timestamp, last_ts timestamp, n long"
     )
+    use_timeout = watermark is not None and idle_flush is not None
+    idle_ms = _interval_ms(idle_flush) if use_timeout else 0
+
+    def _same(a, b) -> bool:
+        try:
+            if pd.isna(a) and pd.isna(b):
+                return True
+        except (TypeError, ValueError):
+            pass
+        return a == b
 
     def fn(key, pdf_iter, state: GroupState):
         (k,) = key
-        if state.exists:
+        if use_timeout and state.hasTimedOut:
+            # watermark passed last_ts + idle_flush: the open run is
+            # final — emit it and evict the key's state
+            cur_val, cur_start, cur_last, cur_n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(k, cur_val, cur_start, cur_last, cur_n)],
+                columns=[key_col, value_col, "start_ts", "end_ts", "n_rows"],
+            )
+            return
+        has_run = state.exists
+        if has_run:
             cur_val, cur_start, cur_last, cur_n = state.get
         else:
             cur_val, cur_start, cur_last, cur_n = None, None, None, 0
         finished = []
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values([ts_col])
-            for _, row in pdf.iterrows():
-                v, t = row[value_col], row[ts_col]
-                if cur_val is None:
-                    cur_val, cur_start, cur_last, cur_n = v, t, t, 1
-                elif v == cur_val:
-                    cur_last, cur_n = t, cur_n + 1
-                else:
-                    finished.append((k, cur_val, cur_start, cur_last, cur_n))
-                    cur_val, cur_start, cur_last, cur_n = v, t, t, 1
-        state.update((cur_val, cur_start, cur_last, cur_n))
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        rows = (
+            pd.concat(chunks, ignore_index=True).sort_values(
+                [ts_col], kind="mergesort"  # stable: ties keep arrival order
+            )
+            if chunks
+            else pd.DataFrame(columns=[ts_col, value_col])
+        )
+        for _, row in rows.iterrows():
+            v, t = row[value_col], row[ts_col]
+            if not has_run:
+                has_run = True
+                cur_val, cur_start, cur_last, cur_n = v, t, t, 1
+            elif _same(v, cur_val):
+                cur_last, cur_n = t, cur_n + 1
+            else:
+                finished.append((k, cur_val, cur_start, cur_last, cur_n))
+                cur_val, cur_start, cur_last, cur_n = v, t, t, 1
+        if has_run:
+            state.update((cur_val, cur_start, cur_last, cur_n))
+            if use_timeout:
+                state.setTimeoutTimestamp(
+                    int(pd.Timestamp(cur_last).timestamp() * 1000) + idle_ms
+                )
         if finished:
             yield pd.DataFrame(
                 finished,
                 columns=[key_col, value_col, "start_ts", "end_ts", "n_rows"],
             )
 
-    return events.groupBy(key_col).applyInPandasWithState(
+    src = events.withWatermark(ts_col, watermark) if use_timeout else events
+    return src.groupBy(key_col).applyInPandasWithState(
         fn,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if use_timeout
+            else GroupStateTimeout.NoTimeout
+        ),
     )
+
+
+def _interval_ms(interval: str) -> int:
+    """Parse '1 hour' / '30 minutes' / '45 seconds' to milliseconds."""
+    n, unit = interval.split()
+    per = {"second": 1000, "minute": 60_000, "hour": 3_600_000,
+           "day": 86_400_000, "millisecond": 1}
+    return int(n) * per[unit.rstrip("s")]
 
 
 def stream_dedup(
@@ -161,9 +223,15 @@ def stream_dedup(
     ts_col: str = "ts",
     watermark: str = "1 hour",
 ) -> DataFrame:
-    """Streaming exact dedup: dropDuplicates over the key columns with
-    a watermark bounding the dedup state — the streaming form of the
-    exact-dedup operator (state evicts keys older than the watermark,
-    so memory is bounded at any stream length)."""
+    """Streaming exact dedup: ``dropDuplicatesWithinWatermark`` over
+    the key columns — the streaming form of the exact-dedup operator
+    with state ACTUALLY bounded by the watermark (plain
+    ``dropDuplicates(keys)`` without the event-time column in the
+    subset keeps one state entry per distinct key forever; the
+    WithinWatermark variant evicts entries once the watermark passes,
+    guaranteeing dedup for duplicates arriving within the watermark
+    delay of each other — the standard bounded-state contract)."""
     keys = keys or ["user_id", "event_type"]
-    return events.withWatermark(ts_col, watermark).dropDuplicates(keys)
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )

@@ -337,3 +337,51 @@ def test_stream_curate_blocklist_matches_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert blocked and not ({d for d, _ in got} & blocked)
+
+
+def test_stream_rle_idle_flush_emits_open_runs(spark, events_stream, tmp_path):
+    """Production form (watermark + idle_flush): a key idle past the
+    flush horizon has its OPEN run emitted as final when a later
+    micro-batch advances the watermark — the run the NoTimeout default
+    holds in state forever."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    early = [(1, t0 + dt.timedelta(minutes=i), "a", 100 + i) for i in range(3)]
+    # 10h later, a different key: watermark (max ts - 2h) lands 8h past
+    # key 1's last event — far beyond the 1h idle flush
+    late = [
+        (2, t0 + dt.timedelta(hours=10, minutes=i), "b", 200 + i)
+        for i in range(3)
+    ]
+    staged = str(tmp_path / "flush")
+    for block in (early, late):
+        spark.createDataFrame(
+            block, "user_id long, ts timestamp, event_type string, event_id long"
+        ).coalesce(1).write.mode("append").parquet(staged)
+
+    schema = spark.read.parquet(staged).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    from bbdc20_submission_spark.streaming.windows import stream_rle_islands
+
+    out = stream_rle_islands(
+        stream, watermark="2 hours", idle_flush="1 hour"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_rle_flush")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["event_type"], r["n_rows"])
+        for r in spark.sql("SELECT * FROM t_rle_flush").collect()
+    }
+    # key 1's single 3-row run must have been flushed by the timeout
+    assert (1, "a", 3) in got
