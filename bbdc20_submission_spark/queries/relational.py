@@ -759,6 +759,29 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_custkey FROM orders
         GROUP BY o_custkey HAVING count(*) >= 15
     )
+    UNION ALL
+    SELECT 'recursive' AS pattern, CAST(nat AS BIGINT) AS id,
+           CAST(count(*) AS VARCHAR) AS label,
+           CAST(sum(key * depth) % 1000000007 AS DOUBLE) AS metric
+    FROM (
+        WITH RECURSIVE edges AS (
+            SELECT c_nationkey AS nat, c_custkey AS key,
+                   lead(c_custkey) OVER (PARTITION BY c_nationkey
+                                         ORDER BY c_custkey) AS next_key,
+                   row_number() OVER (PARTITION BY c_nationkey
+                                      ORDER BY c_custkey) AS rn
+            FROM customer WHERE c_custkey <= 2000
+        ),
+        heads AS (SELECT nat, key FROM edges WHERE rn = 1),
+        walk AS (
+            SELECT nat, key, 1 AS depth FROM heads
+            UNION ALL
+            SELECT w.nat, e.next_key, w.depth + 1
+            FROM walk w JOIN edges e ON e.nat = w.nat AND e.key = w.key
+            WHERE e.next_key IS NOT NULL AND w.depth < 8
+        )
+        SELECT * FROM walk
+    ) GROUP BY nat
     """,
 )
 def sq_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -771,7 +794,13 @@ def sq_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     - exists: TPC-H Q4 shape, correlated EXISTS with a non-equi
       condition -> left-semi join with the extra predicate;
     - in_having: TPC-H Q18 shape, IN over a grouped-HAVING subquery ->
-      semi join against the aggregate."""
+      semi join against the aggregate;
+    - recursive (r6, Spark 4's WITH RECURSIVE): a 25-step linked-list
+      walk over per-nation customer-key chains — anchor = each
+      nation's min key, step = join to the lead()-derived next-key
+      edge list; the checksum sum(key*depth) certifies the whole
+      traversal (depth-bounded under the default
+      spark.sql.cteRecursionLevelLimit of 100)."""
     load_table(spark, "part", sf_dir).createOrReplaceTempView("v_part")
     load_table(spark, "orders", sf_dir).createOrReplaceTempView("v_orders")
     load_table(spark, "lineitem", sf_dir).createOrReplaceTempView("v_lineitem")
@@ -799,6 +828,29 @@ def sq_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT o_custkey FROM v_orders
             GROUP BY o_custkey HAVING count(*) >= 15
         )
+        UNION ALL
+        SELECT 'recursive' AS pattern, CAST(nat AS BIGINT) AS id,
+               CAST(count(*) AS STRING) AS label,
+               CAST(sum(key * depth) % 1000000007 AS DOUBLE) AS metric
+        FROM (
+            WITH RECURSIVE edges AS (
+                SELECT c_nationkey AS nat, c_custkey AS key,
+                       lead(c_custkey) OVER (PARTITION BY c_nationkey
+                                             ORDER BY c_custkey) AS next_key,
+                       row_number() OVER (PARTITION BY c_nationkey
+                                          ORDER BY c_custkey) AS rn
+                FROM v_customer
+            ),
+            heads AS (SELECT nat, key FROM edges WHERE rn = 1),
+            walk AS (
+                SELECT nat, key, 1 AS depth FROM heads
+                UNION ALL
+                SELECT w.nat, e.next_key, w.depth + 1
+                FROM walk w JOIN edges e ON e.nat = w.nat AND e.key = w.key
+                WHERE e.next_key IS NOT NULL AND w.depth < 8
+            )
+            SELECT * FROM walk
+        ) GROUP BY nat
         """
     )
 
