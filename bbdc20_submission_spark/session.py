@@ -65,6 +65,9 @@ def get_spark(app_name: str = "bbdc20_submission_spark") -> SparkSession:
         # on harness-owned sessions)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # sources/pysource.py implements pushFilters (Python Data
+        # Source filter pushdown, Spark 4.1) — off by default upstream
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # local mode: every "executor" thread shares this one JVM heap,
         # so size it for 32-way parallel shuffle/agg working sets (8g
         # showed GCLocker thrash on the 16x scale probes)
