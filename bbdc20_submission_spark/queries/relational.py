@@ -108,7 +108,9 @@ def p5_p6_arith_abs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id,
            coalesce(CASE WHEN value < 20.0 THEN NULL ELSE value END, 0.0) AS value_filled,
-           CAST(props->>'$.k' AS BIGINT) AS prop_k
+           CAST(props->>'$.k' AS BIGINT) AS prop_k,
+           CAST(props->>'$.k' AS BIGINT) AS variant_k,
+           CAST(props->>'$.missing' AS BIGINT) AS variant_missing
     FROM events
     """,
 )
@@ -118,13 +120,22 @@ def p7_null_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     P7: NaN/null -> 0 normalization (ref fillna(0)/nan_to_num,
     load_data.py:95, generate_submission.py:36) — nulls synthesized by
     masking small values since the harness table has none. prop_k
-    certifies get_json_object over events.props."""
+    certifies get_json_object over events.props; variant_k /
+    variant_missing certify Spark 4's VARIANT path (parse_json ->
+    typed variant_get, incl. the null-on-absent-path try semantics)
+    against DuckDB's JSON extraction of the same fields."""
     e = load_table(spark, "events", sf_dir)
     masked = F.when(F.col("value") < 20.0, F.lit(None)).otherwise(F.col("value"))
     return e.select(
         "event_id",
         F.coalesce(masked, F.lit(0.0)).alias("value_filled"),
         F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias(
+            "variant_k"
+        ),
+        F.expr(
+            "try_variant_get(parse_json(props), '$.missing', 'bigint')"
+        ).alias("variant_missing"),
     )
 
 
@@ -782,6 +793,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT * FROM walk
     ) GROUP BY nat
+    UNION ALL
+    SELECT 'sql_udf' AS pattern, p_partkey AS id, p_brand AS label,
+           round(p_retailprice * 0.1, 6) AS metric
+    FROM part WHERE p_size = 1
     """,
 )
 def sq_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -795,16 +810,27 @@ def sq_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
       condition -> left-semi join with the extra predicate;
     - in_having: TPC-H Q18 shape, IN over a grouped-HAVING subquery ->
       semi join against the aggregate;
-    - recursive (r6, Spark 4's WITH RECURSIVE): a 25-step linked-list
+    - recursive (r6, Spark 4's WITH RECURSIVE): an 8-step linked-list
       walk over per-nation customer-key chains — anchor = each
       nation's min key, step = join to the lead()-derived next-key
-      edge list; the checksum sum(key*depth) certifies the whole
-      traversal (depth-bounded under the default
-      spark.sql.cteRecursionLevelLimit of 100)."""
+      edge list over an SF-independent key slice; the checksum
+      sum(key*depth) certifies the whole traversal (depth-bounded
+      under the default spark.sql.cteRecursionLevelLimit of 100);
+    - sql_udf (r6, Spark 4's CREATE FUNCTION ... RETURN): a
+      SQL-defined scalar function inlined by Catalyst, certified by
+      the oracle carrying the inlined formula."""
     load_table(spark, "part", sf_dir).createOrReplaceTempView("v_part")
     load_table(spark, "orders", sf_dir).createOrReplaceTempView("v_orders")
     load_table(spark, "lineitem", sf_dir).createOrReplaceTempView("v_lineitem")
     load_table(spark, "customer", sf_dir).createOrReplaceTempView("v_customer")
+    # Spark 4 SQL-defined scalar UDF (CREATE FUNCTION ... RETURN):
+    # inlined by Catalyst into the plan — the battery's sql_udf family
+    # calls it; the oracle carries the inlined formula (DuckDB macros
+    # can't ride a single oracle statement).
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION brand_margin(p DOUBLE)"
+        " RETURNS DOUBLE RETURN round(p * 0.1, 6)"
+    )
     return spark.sql(
         """
         SELECT 'scalar_agg' AS pattern, p_partkey AS id, p_name AS label,
@@ -851,6 +877,10 @@ def sq_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             SELECT * FROM walk
         ) GROUP BY nat
+        UNION ALL
+        SELECT 'sql_udf' AS pattern, p_partkey AS id, p_brand AS label,
+               brand_margin(p_retailprice) AS metric
+        FROM v_part WHERE p_size = 1
         """
     )
 
