@@ -385,3 +385,45 @@ def test_stream_rle_idle_flush_emits_open_runs(spark, events_stream, tmp_path):
     }
     # key 1's single 3-row run must have been flushed by the timeout
     assert (1, "a", 3) in got
+
+
+def test_statestore_reader_exposes_open_runs(spark, events_stream, tmp_path):
+    """Spark 4 statestore source: after a run of the stateful RLE, the
+    checkpoint's state must hold EXACTLY each key's open (final) run —
+    the complement of the emitted closed runs — certifying both the
+    operator's state invariant and the introspection path."""
+    from bbdc20_submission_spark.operators.sessionize import sessionize
+    from bbdc20_submission_spark.streaming.state import read_group_state
+    from bbdc20_submission_spark.streaming.windows import stream_rle_islands
+
+    stream, batch = events_stream
+    sub_stream = stream.filter(F.col("user_id") < 30)
+    sub_batch = batch.filter(F.col("user_id") < 30)
+    ck = str(tmp_path / "ck_state")
+    q = (
+        stream_rle_islands(sub_stream)
+        .writeStream.format("memory")
+        .queryName("t_rle_state")
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    state = {
+        (r["user_id"], r["value"], r["start_ts"], r["last_ts"], r["n"])
+        for r in read_group_state(spark, ck).collect()
+    }
+    runs = sessionize(
+        sub_batch, ["user_id"], "ts", "event_type", order_by=["ts", "event_id"]
+    ).collect()
+    finals = {}
+    for r in runs:
+        cur = finals.get(r["user_id"])
+        if cur is None or r["start_ts"] > cur[2]:
+            finals[r["user_id"]] = (
+                r["user_id"], r["event_type"], r["start_ts"], r["end_ts"],
+                r["n_rows"],
+            )
+    assert state == set(finals.values())
