@@ -58,3 +58,35 @@ def test_sql_similarity_scalars(spark):
     assert row["h"] == 2  # 1011 ^ 1000 = 0011
     assert row["m"] == 1000001  # round-half-up at the tie
     assert row["mneg"] == -33260937  # floor(x*1e6 + 0.5): half rounds UP (toward +inf)
+
+
+def test_arrow_udf_cosine_within_one_ulp(spark, sf_dir):
+    """Spark 4.1 arrow-native UDF: arrow_cosine agrees with the
+    expression-path cosine to 1 ulp on real embeddings (pairwise vs
+    left-fold summation — documented contract), nulls pass through."""
+    from pyspark.sql import functions as F
+
+    from bbdc20_submission_spark.functions.arrowfns import arrow_cosine
+    from bbdc20_submission_spark.operators.similarity import cosine
+    from bbdc20_submission_spark.sources.harness import load_table
+
+    em = load_table(spark, "embeddings", sf_dir)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    two = (
+        em.select("vec_id", v.alias("a"))
+        .limit(300)
+        .withColumn("b", F.reverse(F.col("a")))
+        .withColumn(
+            "a", F.when(F.col("vec_id") % 97 == 0, F.lit(None)).otherwise(F.col("a"))
+        )
+    )
+    rows = two.select(
+        "vec_id",
+        cosine(F.col("a"), F.col("b")).alias("e"),
+        arrow_cosine(F.col("a"), F.col("b")).alias("g"),
+    ).collect()
+    assert len(rows) == 300
+    nulls = [r for r in rows if r["e"] is None]
+    assert nulls and all(r["g"] is None for r in nulls)
+    diffs = [abs(r["e"] - r["g"]) for r in rows if r["e"] is not None]
+    assert max(diffs) <= 5e-16, max(diffs)
