@@ -897,14 +897,23 @@ def sq_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
            levenshtein(p_name, p_brand) AS edit_dist,
            CAST(length(p_name) AS BIGINT) AS name_len,
            regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
-           regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num
+           regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+           CAST(lower(p_name) = lower(upper(p_name)) AS BIGINT) AS ci_eq,
+           CAST(contains(lower(p_name), lower(substr(upper(p_name), 1, 3)))
+                AS BIGINT) AS ci_contains
     FROM part
     """,
 )
 def p_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.2 breadth: string-function battery (case, trim, pad, replace,
-    edit distance, regex extraction) — all JVM built-ins."""
+    edit distance, regex extraction) — all JVM built-ins.
+
+    r6: ci_eq / ci_contains certify Spark 4 COLLATIONS — equality and
+    contains under UTF8_LCASE are computed with `collate()` (the
+    collation-aware operators, not a lower() rewrite) and the oracle
+    reproduces the semantics via DuckDB lower()."""
     p = load_table(spark, "part", sf_dir)
+    ci = lambda c: F.collate(c, "UTF8_LCASE")
     return p.select(
         "p_partkey",
         F.lower("p_name").alias("lowered"),
@@ -916,6 +925,14 @@ def p_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("p_name").cast("long").alias("name_len"),
         F.regexp_extract("p_name", r"^([a-z]+)", 1).alias("first_word"),
         F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
+        (ci(F.col("p_name")) == ci(F.upper("p_name")))
+        .cast("long")
+        .alias("ci_eq"),
+        F.contains(
+            ci(F.col("p_name")), ci(F.substring(F.upper("p_name"), 1, 3))
+        )
+        .cast("long")
+        .alias("ci_contains"),
     )
 
 
