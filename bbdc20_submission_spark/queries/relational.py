@@ -865,7 +865,7 @@ def sq_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
                                              ORDER BY c_custkey) AS next_key,
                        row_number() OVER (PARTITION BY c_nationkey
                                           ORDER BY c_custkey) AS rn
-                FROM v_customer
+                FROM v_customer WHERE c_custkey <= 2000
             ),
             heads AS (SELECT nat, key FROM edges WHERE rn = 1),
             walk AS (

@@ -110,11 +110,19 @@ class SyntheticEventsReader(DataSourceReader):
                     self.hi = min(self.hi, int(f.value) + 1)
                     continue
             if getattr(f, "attribute", None) == ("event_type",):
+                # conjunctive semantics: multiple consumed predicates
+                # INTERSECT (overwriting would silently drop all but
+                # the last one and return rows the query excluded)
+                vals = None
                 if isinstance(f, EqualTo):
-                    self.types = {f.value}
-                    continue
-                if isinstance(f, In):
-                    self.types = set(f.values)
+                    vals = {f.value}
+                elif isinstance(f, In):
+                    vals = set(f.value)  # the In dataclass field is
+                    # `value` (a tuple), not `values`
+                if vals is not None:
+                    self.types = (
+                        vals if self.types is None else self.types & vals
+                    )
                     continue
             yield f  # residual: Spark applies it after the read
 

@@ -420,3 +420,14 @@ def test_python_datasource_synth_events(spark):
         if 100 <= r["event_id"] < 300 and r["event_type"] == "click"
     ]
     assert got == want and len(got) > 0
+
+    # IN pushdown, and CONJUNCTIVE semantics for two consumed
+    # predicates (they must intersect, not overwrite)
+    got_in = (
+        df.filter(F.col("event_type").isin("click", "view"))
+        .filter(F.col("event_type").isin("view", "error"))
+        .orderBy("event_id")
+        .collect()
+    )
+    want_in = [r for r in a if r["event_type"] == "view"]
+    assert got_in == want_in and len(got_in) > 0

@@ -80,6 +80,17 @@ def test_arrow_udf_cosine_within_one_ulp(spark, sf_dir):
             "a", F.when(F.col("vec_id") % 97 == 0, F.lit(None)).otherwise(F.col("a"))
         )
     )
+    # null ELEMENTS and length mismatches must also agree (the
+    # expression path's zip_with/aggregate null propagation)
+    two = two.withColumn(
+        "a",
+        F.when(
+            F.col("vec_id") % 89 == 0,
+            F.concat(F.slice("a", 1, 63), F.array(F.lit(None).cast("double"))),
+        )
+        .when(F.col("vec_id") % 83 == 0, F.slice("a", 1, 10))
+        .otherwise(F.col("a")),
+    )
     rows = two.select(
         "vec_id",
         cosine(F.col("a"), F.col("b")).alias("e"),
@@ -87,6 +98,28 @@ def test_arrow_udf_cosine_within_one_ulp(spark, sf_dir):
     ).collect()
     assert len(rows) == 300
     nulls = [r for r in rows if r["e"] is None]
-    assert nulls and all(r["g"] is None for r in nulls)
+    # whole-array nulls + null-element rows + short-array rows
+    assert len(nulls) >= 6 and all(r["g"] is None for r in nulls)
     diffs = [abs(r["e"] - r["g"]) for r in rows if r["e"] is not None]
     assert max(diffs) <= 5e-16, max(diffs)
+
+
+def test_arrow_udf_cosine_fast_path_pure_batches(spark, sf_dir):
+    """All-valid equal-length batches take the vectorized reduceat
+    fast path — results must still match the expression twin."""
+    from pyspark.sql import functions as F
+
+    from bbdc20_submission_spark.functions.arrowfns import arrow_cosine
+    from bbdc20_submission_spark.operators.similarity import cosine
+    from bbdc20_submission_spark.sources.harness import load_table
+
+    em = load_table(spark, "embeddings", sf_dir)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    two = em.select(v.alias("a")).limit(500).withColumn("b", F.reverse("a"))
+    rows = two.select(
+        cosine(F.col("a"), F.col("b")).alias("e"),
+        arrow_cosine(F.col("a"), F.col("b")).alias("g"),
+    ).collect()
+    assert len(rows) == 500
+    assert all(r["e"] is not None and r["g"] is not None for r in rows)
+    assert max(abs(r["e"] - r["g"]) for r in rows) <= 5e-16
