@@ -122,21 +122,44 @@ def curate(
     id_col: str = "doc_id",
     text_col: str = "text",
     audit: bool = False,
-) -> tuple[DataFrame, dict[str, int]]:
+    observe: bool = False,
+) -> tuple[DataFrame, dict]:
     """Run the full curation DAG. Returns (curated chunk frame, audit
-    counts per stage — empty unless ``audit=True``).
+    counts per stage — empty unless ``audit=True`` or ``observe=True``).
 
     Output columns: [id_col, chunk_id, chunk_text, n_tokens,
     lang_pred, quality]. Audit keys: raw, exact_unique, near_unique,
     quality_lang_pass, chunks, sampled — each the surviving row count
-    after that stage."""
-    counts: dict[str, int] = {}
+    after that stage.
 
-    def _tap(name: str, df: DataFrame) -> None:
+    ``audit=True`` pays one count() JOB per stage (a full re-execution
+    of each prefix — diagnostics only, never production).
+    ``observe=True`` is the production form of the same telemetry:
+    each stage is wrapped in ``df.observe`` (Spark's Observation
+    metric API), so stage row counts are collected as accumulator
+    side-channels of the action the caller already runs — no per-stage
+    re-execution of the prefix (a few cheap bookkeeping jobs can
+    appear where observe nodes block exchange reuse; still strictly
+    fewer jobs than audit, asserted in tests). The returned dict maps
+    stage name ->
+    Observation; after any action on the returned frame, resolve them
+    with :func:`observed_counts`. (If a stage's subtree executes more
+    than once in the final plan, the first execution's metrics win —
+    counts here are deterministic, so the value is the same.)"""
+    counts: dict = {}
+
+    def _tap(name: str, df: DataFrame) -> DataFrame:
         if audit:
             counts[name] = df.count()
+        if observe:
+            from pyspark.sql import Observation
 
-    _tap("raw", docs)
+            ob = Observation(name)
+            counts[name] = ob
+            df = df.observe(ob, F.count(F.lit(1)).alias("n"))
+        return df
+
+    docs = _tap("raw", docs)
 
     # 0. source/domain blocklist — the cheapest possible rejection
     # (scan-pushed predicate), so it runs before anything pays for a
@@ -145,7 +168,7 @@ def curate(
         docs = source_blocklist_filter(
             docs, config.blocked_sources, config.source_col
         )
-        _tap("source_pass", docs)
+        docs = _tap("source_pass", docs)
 
     # 1. exact dedup: keep each content group's lowest id. Broadcast
     # the (tiny relative to corpus) keep-id set? No — the group frame
@@ -162,7 +185,7 @@ def curate(
         )
     )
     exact_unique = docs.join(keep, id_col, "left_semi")
-    _tap("exact_unique", exact_unique)
+    exact_unique = _tap("exact_unique", exact_unique)
 
     # 2. near-dup clustering over the exact-unique survivors (exact
     # dups are already gone, so LSH only pays for real near-dup work);
@@ -189,7 +212,7 @@ def curate(
         )
     reps = clusters.filter(~F.col("is_duplicate")).select(id_col)
     near_unique = exact_unique.join(reps, id_col, "left_semi")
-    _tap("near_unique", near_unique)
+    near_unique = _tap("near_unique", near_unique)
 
     # 2b. optional duplicate-substring span dedup on the survivors:
     # repeated >=min_count 8-token windows are excised (single pass,
@@ -216,7 +239,7 @@ def curate(
             )
             .filter(F.length(text_col) > 0)
         )
-        _tap("span_deduped", near_unique)
+        near_unique = _tap("span_deduped", near_unique)
 
     # 3+4. quality, language, (optional) classifier, scrub: all narrow
     # maps — one projection pipeline, no shuffles between them.
@@ -233,7 +256,7 @@ def curate(
         scored = classifier_quality_score(scored, text_col)
         keep = keep & (F.col("clf_score") >= config.min_clf_score)
     filtered = scored.filter(keep)
-    _tap("quality_lang_pass", filtered)
+    filtered = _tap("quality_lang_pass", filtered)
     scrubbed = scrub_text(filtered, text_col, out_col="_scrubbed")
 
     # 4b. optional cross-document boilerplate strip on the scrubbed
@@ -280,7 +303,7 @@ def curate(
             # rather than emit a single empty chunk
             .filter(F.length("_scrubbed") > 0)
         )
-        _tap("boilerplate_stripped", scrubbed)
+        scrubbed = _tap("boilerplate_stripped", scrubbed)
 
     # 5. chunking on the scrubbed text; re-attach the doc-level
     # metadata columns the chunk generator drops.
@@ -293,7 +316,7 @@ def curate(
     ).join(
         scrubbed.select(id_col, "lang_pred", "quality"), id_col
     )
-    _tap("chunks", chunks)
+    chunks = _tap("chunks", chunks)
 
     # 6. deterministic per-language sampling (id = (doc, chunk) via a
     # derived synthetic id so chunk membership is also reproducible).
@@ -351,5 +374,12 @@ def curate(
                 seed=config.sample_seed,
             )
         chunks = chunks.drop("_cid")
-    _tap("sampled", chunks)
+    chunks = _tap("sampled", chunks)
     return chunks, counts
+
+
+def observed_counts(observations: dict) -> dict[str, int]:
+    """Resolve the Observation handles ``curate(observe=True)``
+    returned into plain stage counts. Call AFTER an action on the
+    curated frame (the observations fire with that action)."""
+    return {k: int(ob.get["n"]) for k, ob in observations.items()}

@@ -332,3 +332,48 @@ def test_curate_blocklist_keeps_null_sources(spark, sf_dir):
     )
     assert audit["source_pass"] == survivors
     assert nulled.filter(F.col("source").isNull()).count() > 0
+
+
+def test_curate_observe_mode_matches_audit_counts(spark, sf_dir):
+    """observe=True: stage counts arrive as Observation side-channels
+    of the one output action — they must equal audit mode's per-stage
+    count() results while launching strictly fewer jobs than audit
+    (no per-stage re-execution of the prefix; a few bookkeeping jobs
+    may appear where observe nodes block exchange reuse)."""
+    from pyspark.sql import Observation
+
+    from bbdc20_submission_spark.plans.curation import observed_counts
+
+    docs = load_table(spark, "documents", sf_dir)
+    cfg = CurationConfig(blocked_sources=("src19",))
+
+    tracker = spark.sparkContext.statusTracker()
+
+    def jobs_during(fn):
+        before = len(tracker.getJobIdsForGroup(None) or [])
+        res = fn()
+        after = len(tracker.getJobIdsForGroup(None) or [])
+        return res, after - before
+
+    def run_audit():
+        _, audit = curate(docs, cfg, audit=True)
+        return audit
+
+    def run_observed():
+        out, obs = curate(docs, cfg, observe=observe_flag)
+        out.write.mode("overwrite").format("noop").save()
+        return obs
+
+    audit, jobs_audit = jobs_during(run_audit)
+
+    observe_flag = False
+    obs, _ = jobs_during(run_observed)
+    assert obs == {}
+    observe_flag = True
+    obs, jobs_observed = jobs_during(run_observed)
+    assert set(obs) == set(audit)
+    assert all(isinstance(o, Observation) for o in obs.values())
+    assert observed_counts(obs) == audit
+    # no per-stage prefix re-execution: strictly fewer jobs than the
+    # audit mode's count()-per-stage
+    assert jobs_observed < jobs_audit, (jobs_observed, jobs_audit)
