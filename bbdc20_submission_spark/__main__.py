@@ -94,7 +94,9 @@ def _cmd_curate(args: argparse.Namespace) -> int:
         chunk_tokens=args.chunk_tokens,
         strip_boilerplate_min_docs=args.strip_boilerplate_min_docs,
     )
-    out, audit = curate(docs, cfg, audit=args.audit)
+    out, audit = curate(
+        docs, cfg, audit=args.audit, observe=args.observe
+    )
     if args.out:
         out.write.mode("overwrite").parquet(args.out)
     if args.shards_out:
@@ -110,7 +112,14 @@ def _cmd_curate(args: argparse.Namespace) -> int:
         )
     if args.audit:
         print(json.dumps(audit))
-    if not args.out and not args.shards_out and not args.audit:
+    if args.observe:
+        from bbdc20_submission_spark.plans.curation import observed_counts
+
+        if not (args.out or args.shards_out):
+            # observations need one action on the curated frame
+            out.write.mode("overwrite").format("noop").save()
+        print(json.dumps(observed_counts(audit)))
+    if not args.out and not args.shards_out and not args.audit and not args.observe:
         out.show(20, truncate=False)
     return 0
 
@@ -201,6 +210,12 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--documents", required=True)
     c.add_argument("--out")
     c.add_argument("--audit", action="store_true")
+    c.add_argument(
+        "--observe",
+        action="store_true",
+        help="stage counts via Spark Observation metrics (production"
+        " telemetry: no per-stage recount jobs)",
+    )
     c.add_argument(
         "--block-source",
         action="append",
