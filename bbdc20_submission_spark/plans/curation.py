@@ -146,6 +146,12 @@ def curate(
     with :func:`observed_counts`. (If a stage's subtree executes more
     than once in the final plan, the first execution's metrics win —
     counts here are deterministic, so the value is the same.)"""
+    if audit and observe:
+        raise ValueError(
+            "audit and observe are mutually exclusive: audit pays a"
+            " count() job per stage, observe collects the same counts"
+            " as Observation side-channels — pick one"
+        )
     counts: dict = {}
 
     def _tap(name: str, df: DataFrame) -> DataFrame:

@@ -350,9 +350,12 @@ def test_curate_observe_mode_matches_audit_counts(spark, sf_dir):
     tracker = spark.sparkContext.statusTracker()
 
     def jobs_during(fn):
-        before = len(tracker.getJobIdsForGroup(None) or [])
+        # max(jobId) deltas, not list length: the status store retains
+        # only spark.ui.retainedJobs entries, so len() saturates in a
+        # long session-scoped suite; job ids increase monotonically
+        before = max(tracker.getJobIdsForGroup(None) or [0])
         res = fn()
-        after = len(tracker.getJobIdsForGroup(None) or [])
+        after = max(tracker.getJobIdsForGroup(None) or [0])
         return res, after - before
 
     def run_audit():
@@ -360,16 +363,16 @@ def test_curate_observe_mode_matches_audit_counts(spark, sf_dir):
         return audit
 
     def run_observed():
-        out, obs = curate(docs, cfg, observe=observe_flag)
+        out, obs = curate(docs, cfg, observe=True)
         out.write.mode("overwrite").format("noop").save()
         return obs
 
     audit, jobs_audit = jobs_during(run_audit)
 
-    observe_flag = False
-    obs, _ = jobs_during(run_observed)
+    # no-telemetry contract is plan-construction-time: no action needed
+    _, obs = curate(docs, cfg)
     assert obs == {}
-    observe_flag = True
+
     obs, jobs_observed = jobs_during(run_observed)
     assert set(obs) == set(audit)
     assert all(isinstance(o, Observation) for o in obs.values())
@@ -377,3 +380,8 @@ def test_curate_observe_mode_matches_audit_counts(spark, sf_dir):
     # no per-stage prefix re-execution: strictly fewer jobs than the
     # audit mode's count()-per-stage
     assert jobs_observed < jobs_audit, (jobs_observed, jobs_audit)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        curate(docs, cfg, audit=True, observe=True)
