@@ -37,18 +37,24 @@ def block_sum_diff(
     """``sum(last k rows) - sum(first k rows)`` per group (SURVEY A4).
 
     Ref: ``generate_submission.py:17-18`` (start/end block-sum diff,
-    k=7 at the call site). Implemented with two row_numbers (asc/desc)
-    and conditional sums — one shuffle, no self-join.
+    k=7 at the call site). One ascending row_number plus a partition
+    count; the 'last k' membership derives as rn > n - k — a second
+    DESCENDING sort would double the per-partition sort work, and
+    under non-unique order keys two independent sorts don't even
+    guarantee the last-k set is the reversal of the first-k order
+    (the derived form does). One shuffle, no self-join.
     """
     asc = Window.partitionBy(*keys).orderBy(*[F.col(c).asc() for c in order_by])
-    desc = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_by])
+    keysw = Window.partitionBy(*keys)
     v = F.col(value_col)
     tagged = df.withColumn("_rn_asc", F.row_number().over(asc)).withColumn(
-        "_rn_desc", F.row_number().over(desc)
+        "_n", F.count(F.lit(1)).over(keysw)
     )
     return tagged.groupBy(*keys).agg(
         (
-            F.sum(F.when(F.col("_rn_desc") <= k, v).otherwise(F.lit(0.0)))
+            F.sum(
+                F.when(F.col("_rn_asc") > F.col("_n") - k, v).otherwise(F.lit(0.0))
+            )
             - F.sum(F.when(F.col("_rn_asc") <= k, v).otherwise(F.lit(0.0)))
         ).alias("block_sum_diff")
     )
@@ -82,17 +88,17 @@ def robust_scale(
 
     Ref: per-subject RobustScaler(25-75) at
     ``generate_submission.py:304-313`` and per-trial 15-85 variant at
-    ``load_data.py:109-111`` (SURVEY A8/A9). Exact percentiles (not
-    approx) so the DuckDB oracle hash-matches. Group stats via a
-    partition-only window — one shuffle, stats broadcast within each
-    partition rather than a join-back.
-    """
-    w = Window.partitionBy(*keys)
-    v = F.col(value_col)
-    med = F.expr(f"percentile({value_col}, 0.5)").over(w)
-    lo = F.expr(f"percentile({value_col}, {q_low})").over(w)
-    hi = F.expr(f"percentile({value_col}, {q_high})").over(w)
-    return df.withColumn(out_col, (v - med) / (hi - lo))
+    ``load_data.py:109-111`` (SURVEY A8/A9). Thin delegate over
+    ``scalers.scale_group(mode='robust')`` — one formula, one place
+    to hold the sklearn parity rules (exact percentiles; zero-IQR
+    groups scale by 1, sklearn's _handle_zeros_in_scale)."""
+    from bbdc20_submission_spark.operators.scalers import scale_group
+
+    out = scale_group(
+        df, keys, [value_col], mode="robust", q_low=q_low, q_high=q_high,
+        suffix="__rs",
+    )
+    return out.withColumnRenamed(f"{value_col}__rs", out_col)
 
 
 def label_encode(df: DataFrame, label_col: str, code_col: str = "code") -> DataFrame:

@@ -63,20 +63,33 @@ def asof_join(
     One shuffle on ``keys``, linear work — survives 100x scale-up
     where a range join would not. Ref analog: grid-point -> interval
     alignment in ``load_data.py:34-42`` (SURVEY J2/J5).
+
+    The right payload rides as ONE struct, carried forward whole —
+    per-column carry would silently resurrect an older row's value
+    wherever the latest right row holds a null in that column, and
+    could mix columns from different right rows (row tearing). The
+    struct form is exactly ASOF-join row semantics: every output
+    payload column comes from the same (latest) right row, nulls
+    included.
     """
+    from pyspark.sql import types as T
+
     lcols = left.columns
     # side flag orders right rows BEFORE left rows at equal ts unless strict
     side = 0 if not strict else 2
+    pay_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in right_cols]
+    )
     l_tag = left.select(
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_cols],
+        F.lit(None).cast(pay_type).alias("_rpay"),
         F.col(left_ts).alias("_ats"),
         F.lit(1).alias("_side"),
     )
     r_tag = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in keys],
         *[F.col(k) for k in keys],
-        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        F.struct(*[F.col(c).alias(c) for c in right_cols]).alias("_rpay"),
         F.col(right_ts).alias("_ats"),
         F.lit(side).alias("_side"),
     )
@@ -86,10 +99,11 @@ def asof_join(
         .orderBy("_ats", "_side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    pay = F.last("_rpay", ignorenulls=True).over(w)
     filled = unioned.select(
         *lcols,
         "_side",
-        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{c}_asof") for c in right_cols],
+        *[pay[c].alias(f"{c}_asof") for c in right_cols],
     )
     return filled.filter(F.col("_side") == 1).drop("_side")
 
@@ -131,9 +145,9 @@ def salted_join(
     """Skew-resistant equi-join: salt the big side, replicate the small.
 
     A hot key on the big side lands all its rows in one shuffle
-    partition; salting spreads each key over ``n_salts`` partitions by
-    hashing a deterministic per-row salt (xxhash64 over all big-side
-    columns), while the small side is replicated ``n_salts`` times so
+    partition; salting spreads each key over ``n_salts`` partitions
+    via a per-row round-robin salt (see below — layout-dependent, NOT
+    content-based), while the small side is replicated ``n_salts`` times so
     every (key, salt) bucket still finds its match. Shuffle volume:
     big unchanged, small x n_salts — use when the small side is too
     big to broadcast AND the key distribution is heavy-tailed. For

@@ -89,20 +89,21 @@ def rle_intervals(
     """
     order_by = list(order_by) if order_by is not None else [ts_col]
     tagged = rle_islands(df, keys, order_by, value_col)
+    # carry each run's max ts through the SAME aggregation, then the
+    # key's max is a window max over the tiny runs frame — no second
+    # scan of df, no join back (one shuffle on keys total)
     runs = (
         tagged.groupBy(*keys, "island", value_col)
-        .agg(F.min(ts_col).alias("start"))
+        .agg(F.min(ts_col).alias("start"), F.max(ts_col).alias("_run_max"))
     )
     w = Window.partitionBy(*keys).orderBy("island")
     key_end = Window.partitionBy(*keys)
-    runs = runs.withColumn("end", F.lead("start").over(w))
-    # Final open segment closes at the key's max ts; dropped when empty.
-    last_ts = (
-        df.groupBy(*keys).agg(F.max(ts_col).alias("_key_max_ts"))
+    runs = runs.withColumn("end", F.lead("start").over(w)).withColumn(
+        "_key_max_ts", F.max("_run_max").over(key_end)
     )
+    # Final open segment closes at the key's max ts; dropped when empty.
     runs = (
-        runs.join(last_ts, list(keys), "inner")
-        .withColumn("end", F.coalesce(F.col("end"), F.col("_key_max_ts")))
+        runs.withColumn("end", F.coalesce(F.col("end"), F.col("_key_max_ts")))
         .filter(F.col("end") > F.col("start"))
         .select(*keys, value_col, "start", "end")
     )

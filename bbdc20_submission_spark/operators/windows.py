@@ -17,12 +17,16 @@ def tumbling_window_key(ts: Column | str, step_ms: int = 200) -> Column:
     """Event-time tumbling-window start key in ms (SURVEY W1/P8).
 
     Ref: ``int(ts*1000) // step * step`` at ``load_data.py:122-123``
-    (ts in float seconds). For TimestampType input use
-    ``F.window(ts, ...)`` instead; this is the exact integer-key form
-    the reference uses and the one hash-checked against the oracle.
+    (ts in float seconds; ``int()`` truncates toward zero, ``//``
+    FLOORS). For TimestampType input use ``F.window(ts, ...)``
+    instead; this is the exact integer-key form the reference uses.
+    The quotient uses F.floor, not a long cast — a cast truncates
+    toward zero, bucketing negative (pre-epoch/relative) timestamps
+    one window too high.
     """
     t = F.col(ts) if isinstance(ts, str) else ts
-    return ((t * 1000).cast("long") / step_ms).cast("long") * step_ms
+    ms = (t * 1000).cast("long")
+    return (F.floor(ms / F.lit(step_ms)) * step_ms).cast("long")
 
 
 def tumbling_window_ts(ts: Column | str, step: str = "200 milliseconds") -> Column:
@@ -129,6 +133,12 @@ def context_gather_stats(
     partitionBy/orderBy, so Catalyst evaluates them in a single Window
     physical operator chain. Empty frames yield null (the reference
     pads with NaN -> stats NaN; normalize downstream like P7).
+
+    INTEGER range_col required: the half-open [t+lo, t+hi) is emulated
+    as the closed frame [lo, hi-1], exact only when range_col values
+    are integral (the reference's ms grid keys). Non-integer range
+    values in (t+hi-1, t+hi) would be silently excluded — pre-scale
+    fractional ranges to integers (e.g. seconds -> ms) first.
     """
     w = Window.partitionBy(*keys).orderBy(range_col)
     out_cols = list(df.columns)
@@ -173,11 +183,19 @@ def grid_pad(
     pad_value: float | None = None,
 ) -> DataFrame:
     """Missing-window padding (SURVEY W8): left-join the dense grid to
-    the data; absent slots become ``pad_value`` (None keeps null —
+    the data; ABSENT SLOTS become ``pad_value`` (None keeps null —
     the reference's NaN block for mocap, 0.0 for EMG,
-    ``utils.py:66-73``)."""
+    ``utils.py:66-73``). Only grid-added rows are padded: a null
+    observed in a REAL data row passes through untouched (a blanket
+    na.fill would silently zero genuine null observations, making
+    them indistinguishable from padding)."""
     grid = dense_grid(df, keys, ts_col, step, out_col=ts_col)
-    joined = grid.join(df, [*keys, ts_col], "left")
+    marked = df.withColumn("_obs", F.lit(1))
+    joined = grid.join(marked, [*keys, ts_col], "left")
     if pad_value is not None:
-        joined = joined.na.fill({c: pad_value for c in value_cols})
-    return joined
+        pad = F.col("_obs").isNull()
+        for c in value_cols:
+            joined = joined.withColumn(
+                c, F.when(pad, F.lit(pad_value)).otherwise(F.col(c))
+            )
+    return joined.drop("_obs")

@@ -65,10 +65,11 @@ PIPELINE_USE_SENSORS = {
 
 
 def window_key(ts_col: str = "ts", step_ms: int = STEP_MS) -> F.Column:
-    """``int(ts*1000) // step * step`` (load_data.py:122-123)."""
-    return (
-        (F.col(ts_col) * 1000).cast("long") / step_ms
-    ).cast("long") * step_ms
+    """``int(ts*1000) // step * step`` (load_data.py:122-123) —
+    ``//`` floors, so the quotient uses F.floor (a long cast truncates
+    toward zero, off by one window for negative timestamps)."""
+    ms = (F.col(ts_col) * 1000).cast("long")
+    return (F.floor(ms / F.lit(step_ms)) * step_ms).cast("long")
 
 
 def expand_targets(labels: DataFrame, step_ms: int = STEP_MS) -> DataFrame:

@@ -474,10 +474,10 @@ def _micro(col: str) -> Column:
         FROM events
     )
     SELECT event_id,
-           CAST(floor((value - mu) / sigma * 1e6 + 0.5 + 1e-9) AS BIGINT)        AS standard,
+           CAST(floor((value - mu) / (CASE WHEN sigma = 0 THEN 1 ELSE sigma END) * 1e6 + 0.5 + 1e-9) AS BIGINT)        AS standard,
            CAST(floor((value - mu) * 1e6 + 0.5 + 1e-9) AS BIGINT)                AS zero_mean,
-           CAST(floor((value - lo) / (hi - lo) * 1e6 + 0.5 + 1e-9) AS BIGINT)    AS minmax,
-           CAST(floor((value - med) / (q85 - q15) * 1e6 + 0.5 + 1e-9) AS BIGINT) AS robust
+           CAST(floor((value - lo) / (CASE WHEN hi = lo THEN 1 ELSE hi - lo END) * 1e6 + 0.5 + 1e-9) AS BIGINT)    AS minmax,
+           CAST(floor((value - med) / (CASE WHEN q85 = q15 THEN 1 ELSE q85 - q15 END) * 1e6 + 0.5 + 1e-9) AS BIGINT) AS robust
     FROM s
     """,
 )

@@ -313,3 +313,93 @@ def test_write_training_shards_layout(spark, sf_dir, tmp_path):
         "doc_id", "chunk_id", "pack_bucket", "seq_id", "seq_pos"
     )
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_scaler_zero_scale_matches_sklearn_rule(spark):
+    """Constant groups (zero stddev/range/IQR): sklearn's
+    _handle_zeros_in_scale divides by 1, so every scaled value is 0.0
+    — never null."""
+    from bbdc20_submission_spark.operators.aggregates import robust_scale
+    from bbdc20_submission_spark.operators.scalers import scale_group
+
+    df = spark.createDataFrame(
+        [("a", 5.0), ("a", 5.0), ("a", 5.0), ("b", 1.0), ("b", 3.0)],
+        "k string, v double",
+    )
+    for mode in ("standard", "minmax", "robust"):
+        got = {
+            (r["k"], r["v"]): r["v_scaled"]
+            for r in scale_group(df, ["k"], ["v"], mode=mode).collect()
+        }
+        assert all(
+            got[("a", 5.0)] == 0.0 for _ in range(1)
+        ), (mode, got)
+        assert all(v is not None for v in got.values()), (mode, got)
+    rs = {
+        r["k"]: r["scaled"]
+        for r in robust_scale(df, ["k"], "v").filter("k = 'a'").collect()
+    }
+    assert rs["a"] == 0.0
+
+
+def test_tumbling_window_key_floors_negative_ts(spark):
+    """Reference semantics int(ts*1000) // step * step: // FLOORS, so
+    ts=-0.05 s at step 200 ms buckets to -200, not 0."""
+    from bbdc20_submission_spark.operators.windows import tumbling_window_key
+
+    df = spark.createDataFrame(
+        [(-0.05,), (-0.2,), (0.05,), (0.399,)], "ts double"
+    )
+    got = {
+        r["ts"]: r["w"]
+        for r in df.select(
+            "ts", tumbling_window_key("ts", 200).alias("w")
+        ).collect()
+    }
+    ref = {t: (int(t * 1000) // 200) * 200 for t in got}
+    assert got == ref, (got, ref)
+
+
+def test_grid_pad_preserves_observed_nulls(spark):
+    """pad_value fills only grid-added slots; a null observed in a
+    real data row passes through."""
+    import datetime as dt
+
+    from bbdc20_submission_spark.operators.windows import grid_pad
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1.0),
+        (1, t0 + dt.timedelta(days=1), None),  # observed null
+        # day 2 missing -> padded
+        (1, t0 + dt.timedelta(days=3), 4.0),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+    out = {
+        r["ts"]: r["v"]
+        for r in grid_pad(
+            df, ["k"], "ts", __import__("pyspark").sql.functions.expr(
+                "interval 1 day"
+            ), ["v"], pad_value=0.0
+        ).collect()
+    }
+    assert out[t0 + dt.timedelta(days=2)] == 0.0  # padded slot
+    assert out[t0 + dt.timedelta(days=1)] is None  # observed null kept
+    assert out[t0] == 1.0 and out[t0 + dt.timedelta(days=3)] == 4.0
+
+
+def test_asof_join_carries_whole_rows(spark):
+    """A null payload column in the LATEST right row must not be
+    resurrected from an older row (whole-row ASOF semantics)."""
+    from bbdc20_submission_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 3.0)], "k long, ts double")
+    right = spark.createDataFrame(
+        [(1, 1.0, 5.0, 1.0), (1, 2.0, None, 2.0)],
+        "k long, rts double, a double, b double",
+    )
+    row = asof_join(
+        left, right, keys=["k"], left_ts="ts", right_ts="rts",
+        right_cols=["a", "b"],
+    ).collect()[0]
+    assert row["a_asof"] is None and row["b_asof"] == 2.0
