@@ -95,10 +95,10 @@ def pack_sequences(
     assignment is oracle-checkable, and a given corpus packs
     identically run to run — which is what makes packed-sequence
     training reproducible."""
+    from bbdc20_submission_spark.operators.text import portable_md5_prefix64
+
     bucket = F.pmod(
-        F.conv(
-            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
-        ).cast("long"),
+        portable_md5_prefix64(F.col(id_col).cast("string")),
         F.lit(n_buckets),
     )
     out = chunks.withColumn("pack_bucket", bucket)

@@ -31,6 +31,11 @@ def exact_percentile(
     Returns the same value as ``F.expr(f"percentile({col}, {p})")``.
     Nulls are ignored (as the builtin does).
     """
+    if not 0.0 <= p <= 1.0:
+        # out-of-range p would otherwise make the bracket-retry loop
+        # spin forever (the full-range bracket can never contain a
+        # rank outside [0, n-1])
+        raise ValueError(f"p={p} outside [0, 1]")
     base = df.select(F.col(col).alias("v")).filter(F.col("v").isNotNull())
     first = base.agg(
         F.count("v").alias("n"),
@@ -44,7 +49,7 @@ def exact_percentile(
     if n == 0:
         return None
     if n == 1:
-        return base.collect()[0]["v"]
+        return float(base.collect()[0]["v"])
     rank = (n - 1) * p  # fractional rank, quantile_cont semantics
     k = int(rank)
     frac = rank - k
@@ -201,6 +206,8 @@ def exact_percentile_by(
     Returns driver-side rows ``[(key..., value), ...]`` (group count
     is bounded by contract); callers needing a DataFrame broadcast a
     local frame from them."""
+    if not 0.0 <= p <= 1.0:
+        raise ValueError(f"p={p} outside [0, 1]")
     spark = df.sparkSession
     base = df.select(*keys, F.col(col).alias("_v")).filter(
         F.col("_v").isNotNull()
@@ -241,7 +248,14 @@ def exact_percentile_by(
             ).schema,
         )
         got = (
-            base.join(F.broadcast(bdim), keys)
+            # null-safe equi-join: a NULL group key is a group like
+            # any other (a plain equi-join never matches NULL=NULL
+            # and would silently DROP the whole group from the result)
+            base.join(
+                F.broadcast(bdim),
+                [base[k].eqNullSafe(bdim[k]) for k in keys],
+            )
+            .drop(*[bdim[k] for k in keys])
             .groupBy(*keys)
             .agg(
                 F.sum(
@@ -278,4 +292,8 @@ def exact_percentile_by(
             else:  # sketch-violating corner: widen to the full range
                 nxt[gk] = (lo_all, hi_all)
         pend = nxt
-    return [(*gk, res[gk]) for gk in sorted(res)]
+    # null-safe sort key: a NULL group key must not crash the sort
+    return [
+        (*gk, res[gk])
+        for gk in sorted(res, key=lambda t: tuple((v is None, v) for v in t))
+    ]

@@ -39,13 +39,11 @@ def portable_hash_bucket(id_col: Column, seed: int) -> Column:
     ``CAST(('0x'||substr(md5(id||':s'),1,8)) AS BIGINT) % 1048576``) —
     the property that makes a curation sample auditable outside Spark.
     ~3x the per-row hash cost of xxhash64; both are narrow."""
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(id_col.cast("string"), F.lit(f":{seed}"))), 1, 8
-        ),
-        16,
-        10,
-    ).cast("long")
+    from bbdc20_submission_spark.operators.text import portable_md5_prefix64
+
+    h = portable_md5_prefix64(
+        F.concat(id_col.cast("string"), F.lit(f":{seed}"))
+    )
     return F.pmod(h, F.lit(_BUCKETS))
 
 
@@ -100,6 +98,11 @@ def reservoir_per_stratum(
     window (single shuffle on the strata columns). Ties are impossible
     (id is unique), so the result is total-order deterministic.
     ``portable=True`` uses the md5-based engine-portable hash."""
+    if "_rk" in df.columns:
+        raise ValueError(
+            "reservoir_per_stratum reserves the working column '_rk';"
+            " rename it on the input frame"
+        )
     bucket = portable_hash_bucket if portable else _hash_bucket
     w = Window.partitionBy(*strata_cols).orderBy(
         bucket(F.col(id_col), seed), F.col(id_col)
@@ -176,7 +179,10 @@ def mixture_sample(
     return (
         df.join(F.broadcast(dim), strata_col)
         .filter(bucket(F.col(id_col), seed) < F.col("_thr"))
-        .drop("_thr")
+        # the USING join moved strata_col to the front — restore the
+        # caller's column order (position-sensitive consumers: union,
+        # positional parquet append)
+        .select(*df.columns)
     )
 
 

@@ -29,6 +29,17 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
 TOKEN_PATTERN = "[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
 
 
+def portable_md5_prefix64(x: Column) -> Column:
+    """THE engine-portable hash core: first 8 hex chars of md5(x) as
+    a non-negative long. This exact expression is the cross-engine
+    parity contract with every DuckDB oracle
+    (``CAST(('0x'||substr(md5(x),1,8)) AS BIGINT)``) — all portable
+    hashing (sampling buckets, fingerprints, classifier features,
+    pack buckets) MUST route through this one definition so a change
+    can never silently desynchronize one operator's certification."""
+    return F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long")
+
+
 def ws_tokens(text: Column | str) -> Column:
     """Whitespace tokenization -> array<string>."""
     t = F.col(text) if isinstance(text, str) else text
@@ -68,13 +79,23 @@ def raw_text_stats(text_col: str = "text") -> dict[str, Column]:
     spaces = F.length(F.regexp_replace(t, "[^ ]", ""))
     punct = n_chars - alpha - digits - spaces
     sw = stopword_hits(toks, STOPWORDS["en"])
+    # n_chars is 0 for the empty document — routine in web corpora;
+    # under Spark 4's default ANSI mode a bare division would ABORT
+    # the whole job with DIVIDE_BY_ZERO, so empty docs get 0.0 ratios
+    # (-> a finite rock-bottom quality score, filtered like any other
+    # junk). n_tokens is never 0: ws_tokens('') is ['']. The certified
+    # corpus contains no empty docs, so the oracle formulas (which
+    # divide bare) remain hash-identical on certified data.
+    def _ratio(num: Column, den: Column) -> Column:
+        return F.when(den == 0, F.lit(0.0)).otherwise(num / den)
+
     return {
         "n_chars": n_chars,
         "n_tokens": n_tokens,
-        "avg_token_len": n_chars / n_tokens,
-        "punct_ratio": punct / n_chars,
-        "digit_ratio": digits / n_chars,
-        "stopword_ratio": sw / n_tokens,
+        "avg_token_len": _ratio(n_chars, n_tokens),
+        "punct_ratio": _ratio(punct, n_chars),
+        "digit_ratio": _ratio(digits, n_chars),
+        "stopword_ratio": _ratio(sw, n_tokens),
     }
 
 
@@ -164,7 +185,7 @@ def portable_fingerprint(
         lambda acc, x: (
             acc * base
             + F.pmod(
-                F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long"), F.lit(mod)
+                portable_md5_prefix64(x), F.lit(mod)
             )
         )
         % mod,
@@ -275,6 +296,11 @@ def with_repetition_flag(
     """Append only the pass/fail repetition flag, keeping every input
     column — the filter-stage form (streaming-safe: pure narrow maps,
     no joins, no state)."""
+    if "_toks" in df.columns:
+        raise ValueError(
+            "with_repetition_flag reserves the working column '_toks';"
+            " rename it on the input frame"
+        )
     raw = df.withColumn("_toks", ws_tokens(text_col)).select(
         "*", *_repetition_raw_exprs()
     )
@@ -335,7 +361,7 @@ def classifier_quality_score(
 
     def _w(x: Column) -> Column:
         h = F.pmod(
-            F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long"),
+            portable_md5_prefix64(x),
             F.lit(n_features),
         )
         return F.element_at(W, (h + 1).cast("int"))
@@ -488,7 +514,7 @@ def fit_quality_classifier(
     import numpy as np
 
     h = F.pmod(
-        F.conv(F.substring(F.md5(F.col("_tok")), 1, 8), 16, 10).cast("long"),
+        portable_md5_prefix64(F.col("_tok")),
         F.lit(n_features),
     )
     toks = (

@@ -296,3 +296,22 @@ def test_boilerplate_detection_matches_python_reference(spark, docs, chunk_token
         ).collect()
     }
     assert got == want
+
+
+def test_text_stats_empty_document_no_ansi_crash(spark):
+    """An empty document must not abort the job with DIVIDE_BY_ZERO
+    under Spark 4's default ANSI mode: char-denominator ratios come
+    back 0.0, the quality score stays finite."""
+    from bbdc20_submission_spark.operators.text import quality_score
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "the quick brown fox is in the barn")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in quality_score(df).collect()}
+    empty = rows[1]
+    assert empty["stat_n_chars"] == 0
+    assert empty["stat_punct_ratio"] == 0.0
+    assert empty["stat_digit_ratio"] == 0.0
+    assert empty["quality"] is not None and 0.0 <= empty["quality"] <= 1.0
+    assert rows[2]["quality"] > empty["quality"]

@@ -128,3 +128,31 @@ def test_duplicate_endpoint_short_circuit(spark):
     assert exact_percentile_frame(df, "v", 0.37).collect()[0]["pct"] == want
     g = spark.createDataFrame([(1, v) for v in vals], "k long, v double")
     assert exact_percentile_by(g, ["k"], "v", 0.37) == [(1, want)]
+
+
+def test_exact_percentile_by_null_group_and_p_guard(spark):
+    """A NULL group key is a group like any other (null-safe bracket
+    join — a plain equi-join silently dropped it); out-of-range p must
+    raise instead of looping forever."""
+    import pytest
+
+    from bbdc20_submission_spark.operators.quantiles import (
+        exact_percentile,
+        exact_percentile_by,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), (None, 5.0), (None, 7.0)],
+        "g string, x double",
+    )
+    got = exact_percentile_by(df, ["g"], "x", 0.5)
+    assert got == [("a", 1.5), (None, 6.0)]
+
+    with pytest.raises(ValueError, match="outside"):
+        exact_percentile_by(df, ["g"], "x", 1.5)
+    with pytest.raises(ValueError, match="outside"):
+        exact_percentile(df, "x", -0.1)
+    # n == 1 path returns a float even for integer columns
+    one = spark.createDataFrame([(7,)], "x long")
+    v = exact_percentile(one, "x", 0.5)
+    assert v == 7.0 and isinstance(v, float)
