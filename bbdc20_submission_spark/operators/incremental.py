@@ -63,6 +63,12 @@ def build_dedup_index(
 
 def _banded(index: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     """Band the signature columns: [_id, band, bucket]."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands "
+            f"({bands}); a remainder would silently drop the trailing "
+            "signature columns and lower recall"
+        )
     rows_per_band = num_hashes // bands
     return index.select(
         "_id",

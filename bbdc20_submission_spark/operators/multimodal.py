@@ -189,7 +189,11 @@ def perceptual_hash(
                     arr,
                 )
                 bits = (sig[1:] > sig[:-1]).astype(np.uint64)
-                assert bits.size == n_bits
+                if bits.size != n_bits:  # assert would vanish under -O
+                    raise ValueError(
+                        f"decode/resample mismatch for media_id={mid}: "
+                        f"got {bits.size} bits, expected {n_bits}"
+                    )
                 v = int((bits * weights).sum())
                 ids.append(mid)
                 fps.append(v - (1 << 64) if v >= (1 << 63) else v)

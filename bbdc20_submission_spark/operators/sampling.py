@@ -143,6 +143,11 @@ def mixture_sample(
     rate arithmetic stays in IEEE doubles with the weights as exact
     literals, so any engine derives bit-identical thresholds."""
     bucket = portable_hash_bucket if portable else _hash_bucket
+    if "_strata_d" in df.columns or "_thr" in df.columns:
+        raise ValueError(
+            "mixture_sample reserves the working columns '_strata_d'"
+            " and '_thr'; rename them on the input frame"
+        )
     counts = df.groupBy(strata_col).agg(F.count("*").alias("_n_s"))
     # N derives from the stratum counts — a df.agg(count(*)) here
     # would be a second full-corpus scan for a number the tiny counts
@@ -176,12 +181,15 @@ def mixture_sample(
         )
         .select(strata_col, "_thr")
     )
+    # eqNullSafe, matching token_budget_sample: a NULL stratum is a
+    # legitimate group and must take the unlisted-stratum weight-0
+    # path (dropped by rate), not vanish by equi-join mechanics
+    d = dim.withColumnRenamed(strata_col, "_strata_d")
     return (
-        df.join(F.broadcast(dim), strata_col)
+        df.join(
+            F.broadcast(d), F.col(strata_col).eqNullSafe(F.col("_strata_d"))
+        )
         .filter(bucket(F.col(id_col), seed) < F.col("_thr"))
-        # the USING join moved strata_col to the front — restore the
-        # caller's column order (position-sensitive consumers: union,
-        # positional parquet append)
         .select(*df.columns)
     )
 

@@ -48,7 +48,23 @@ from bbdc20_submission_spark.operators.text import (
     ws_tokens,
 )
 from bbdc20_submission_spark.registry import query
-from bbdc20_submission_spark.sources.harness import load_table
+from bbdc20_submission_spark.sources.harness import load_table, table_row_count
+
+
+def _check_plant_offset(sf_dir: str, offset: int, table: str = "embeddings") -> None:
+    """Planted ground-truth rows live at ``vec_id + offset``; if the
+    table ever grows past ``offset`` rows the planted ids collide with
+    real ones and silently corrupt the keep-lowest-id / top-k
+    predictions the certification relies on. ids are dense 0..n-1 in
+    the harness tables, so the parquet-footer row count bounds
+    max(vec_id); fail loudly instead of certifying garbage."""
+    n = table_row_count(table, sf_dir)
+    if n is not None and n >= offset:
+        raise ValueError(
+            f"{table} has {n} rows >= planted-id offset {offset}; "
+            "planted ground-truth ids would collide with real ids — "
+            "raise the offset for this data scale"
+        )
 
 # Shared DuckDB CTE chain: exact 3-word-shingle Jaccard over ALL pairs
 # (brute force — the oracle-side ground truth the banded Spark paths
@@ -1043,6 +1059,7 @@ def s3_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     set non-empty: the green hash proves the 4-band LSH actually
     recovered every planted pair (miss probability per pair at this
     angle ~7e-6; verified deterministically at every test SF)."""
+    _check_plant_offset(sf_dir, 100000)
     em = load_table(spark, "embeddings", sf_dir)
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     base = em.select("vec_id", v.alias("embedding"))
@@ -1106,9 +1123,8 @@ def s4_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmeans_assign_checked,
         semantic_dedup,
     )
-    from bbdc20_submission_spark.sources.harness import table_row_count
-
     THRESH = 0.95
+    _check_plant_offset(sf_dir, 100000)
     em = load_table(spark, "embeddings", sf_dir)
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     base = em.select("vec_id", v.alias("embedding"))
@@ -1194,6 +1210,7 @@ def s5_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors) stays property-tested in tests/test_similarity.py."""
     from bbdc20_submission_spark.operators.clustering import ivf_topk
 
+    _check_plant_offset(sf_dir, 200000)
     em = load_table(spark, "embeddings", sf_dir)
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     base = em.select("vec_id", v.alias("embedding"))

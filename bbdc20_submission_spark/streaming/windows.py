@@ -210,11 +210,27 @@ def stream_rle_islands(
 
 
 def _interval_ms(interval: str) -> int:
-    """Parse '1 hour' / '30 minutes' / '45 seconds' to milliseconds."""
-    n, unit = interval.split()
+    """Parse an interval string to milliseconds. Accepts the compound
+    forms Spark does elsewhere: '1 hour', '30 minutes',
+    '1 hour 30 minutes', '1 day 2 hours 3 seconds'."""
     per = {"second": 1000, "minute": 60_000, "hour": 3_600_000,
            "day": 86_400_000, "millisecond": 1}
-    return int(n) * per[unit.rstrip("s")]
+    parts = interval.split()
+    if not parts or len(parts) % 2 != 0:
+        raise ValueError(
+            f"bad interval {interval!r}: expected 'N unit [N unit ...]'"
+            f" with units in {sorted(per)}"
+        )
+    total = 0
+    for n, unit in zip(parts[::2], parts[1::2]):
+        key = unit.rstrip("s").lower()
+        if key not in per or not n.lstrip("-").isdigit():
+            raise ValueError(
+                f"bad interval part {n + ' ' + unit!r} in {interval!r}:"
+                f" expected 'N unit' with unit in {sorted(per)}"
+            )
+        total += int(n) * per[key]
+    return total
 
 
 def stream_dedup(

@@ -1,7 +1,9 @@
 #!/usr/bin/env python
 """Benchmark: run every declared query at $SPARK_GRAFT_SF_DIR and print
 one JSON line {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "sf": ...}. Per-query medians and run detail
+land in bench_detail.json next to this file (the stdout line must fit
+the harness's 2000-char tail window).
 
 Each query is forced with a noop-format write (full computation, no
 driver collect). First a warmup pass of the flagship query pays JVM /
@@ -74,12 +76,23 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "queries_median": medians,
         "sf": sf,
     }
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    # the harness captures only the LAST ~2000 chars of stdout and
+    # parses the final line as JSON — the line must stay inside that
+    # window (r6's inline medians pushed it past and the run recorded
+    # parsed=null). Medians and full detail go to a side file instead.
+    detail = dict(out, queries_median=medians, reps=reps)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_detail.json"), "w") as fh:
+        json.dump(detail, fh, indent=1)
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1900:  # last-ditch: drop per-query detail, keep the contract keys
+        out["queries"] = {"_truncated_see_bench_detail_json": len(timings)}
+        line = json.dumps(out, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":
