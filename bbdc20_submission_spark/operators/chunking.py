@@ -392,6 +392,10 @@ def dedup_clusters(
     pairs: DataFrame,
     id_col: str = "doc_id",
     driver_edge_threshold: int = 1_000_000,
+    keeper_scores: DataFrame | None = None,
+    score_col: str = "score",
+    quality_keeper_col: str | None = None,
+    quality_dup_col: str | None = None,
 ) -> DataFrame:
     """Assign every document its dedup cluster representative: docs in
     a near-dup component share its min id; singletons keep their own.
@@ -407,7 +411,23 @@ def dedup_clusters(
     boilerplate farms where edges ~ corpus) the iterative
     ``connected_components`` loop takes over: same labels, all-Spark,
     O(log n) rounds. Both paths are exercised in tests and produce
-    identical output."""
+    identical output.
+
+    ``keeper_scores`` switches on quality-aware keeper selection
+    (:func:`reselect_keepers` semantics: each cluster keeps its max-
+    ``score_col`` member, ties -> lowest id, clusters with no scored
+    member fall back to the min-id label). On the driver-union-find
+    path the cluster membership is ALREADY on the driver, so the
+    argmax costs one bounded job (fetch the members' scores — at most
+    2x the edge bound — through a broadcast semi-join) instead of
+    reselect_keepers' persist + distinct + window + re-join chain;
+    the labels ride back in the same single broadcast join. Above the
+    threshold the all-Spark :func:`reselect_keepers` composition takes
+    over — identical output, proven in tests. With
+    ``quality_keeper_col``/``quality_dup_col`` set, BOTH policies are
+    emitted side by side ([id, keep_id, is_duplicate, q_keeper,
+    q_dup]); otherwise the quality keeper REPLACES keep_id (the
+    policy a curation pipeline actually wants)."""
     src, dst = (
         ("id_a", "id_b")
         if {"id_a", "id_b"} <= set(pairs.columns)
@@ -433,16 +453,41 @@ def dedup_clusters(
         # id/component carry the caller's id type (long doc ids, string
         # uuids, ...) — derive it from the edge frame, don't hardcode
         id_type = pairs_p.schema["_ea"].dataType
-        schema = T.StructType(
-            [
-                T.StructField("id", id_type),
-                T.StructField("component", id_type),
-            ]
-        )
-        comp = spark.createDataFrame(list(mapping.items()), schema=schema)
+        fields = [
+            T.StructField("id", id_type),
+            T.StructField("component", id_type),
+        ]
+        rows: list[tuple] = list(mapping.items())
+        if keeper_scores is not None:
+            q_map = _driver_quality_keepers(
+                mapping, keeper_scores, id_col, score_col, id_type
+            )
+            fields.append(T.StructField("_qcomp", id_type))
+            rows = [(n, c, q_map[n]) for n, c in mapping.items()]
+        comp = spark.createDataFrame(rows, schema=T.StructType(fields))
         comp = F.broadcast(comp)
-    else:
-        comp = connected_components(pairs_p, src="_ea", dst="_eb")
+        out = df.select(id_col).join(
+            comp.withColumnRenamed("id", id_col), id_col, "left"
+        )
+        keep = F.coalesce("component", F.col(id_col))
+        cols = [
+            F.col(id_col),
+            keep.alias("keep_id"),
+            (keep != F.col(id_col)).alias("is_duplicate"),
+        ]
+        if keeper_scores is not None:
+            qkeep = F.coalesce("_qcomp", F.col(id_col))
+            qcols = [
+                qkeep.alias(quality_keeper_col or "keep_id"),
+                (qkeep != F.col(id_col)).alias(quality_dup_col or "is_duplicate"),
+            ]
+            # both policies side by side, or the quality keeper
+            # REPLACING the min-id label — one broadcast join either way
+            cols = cols + qcols if quality_keeper_col else [F.col(id_col), *qcols]
+        out = out.select(*cols)
+        pairs_p.unpersist()
+        return out
+    comp = connected_components(pairs_p, src="_ea", dst="_eb")
     out = (
         df.select(id_col)
         .join(comp.withColumnRenamed("id", id_col), id_col, "left")
@@ -455,7 +500,85 @@ def dedup_clusters(
         )
     )
     pairs_p.unpersist()
+    if keeper_scores is not None:
+        # above the driver bound the membership never comes to the
+        # driver — the all-Spark reselect pass provides the identical
+        # argmax/tie/fallback semantics
+        if quality_keeper_col:
+            out = reselect_keepers(
+                out,
+                keeper_scores.select(id_col, score_col),
+                id_col=id_col,
+                score_col=score_col,
+                passthrough=("keep_id", "is_duplicate"),
+                keeper_col=quality_keeper_col,
+                dup_col=quality_dup_col or "is_duplicate_q",
+            )
+        else:
+            out = reselect_keepers(
+                out,
+                keeper_scores.select(id_col, score_col),
+                id_col=id_col,
+                score_col=score_col,
+            )
     return out
+
+
+def _driver_quality_keepers(
+    mapping: dict,
+    keeper_scores: DataFrame,
+    id_col: str,
+    score_col: str,
+    id_type,
+) -> dict:
+    """Driver-side argmax keeper per component, for the union-find
+    path of :func:`dedup_clusters`. ``mapping`` is node -> min-id
+    label for every node on an edge (so |members| <= 2 * edge bound).
+    One Spark job: the members' score rows come back through a
+    broadcast semi-join against the score frame. Semantics mirror
+    :func:`reselect_keepers` / a ``row_number() OVER (ORDER BY score
+    DESC, id ASC)`` window exactly: NaN scores sort as the LARGEST
+    value (Spark's float ordering), NULL scores sort last (DESC NULLS
+    LAST), unscored members never win, and a cluster with no scored
+    member keeps its min-id label."""
+    import math
+
+    spark = keeper_scores.sparkSession
+    members = spark.createDataFrame(
+        [(n,) for n in mapping],
+        schema=T.StructType([T.StructField(id_col, id_type)]),
+    )
+    scored = (
+        keeper_scores.select(id_col, score_col)
+        .join(F.broadcast(members), id_col)
+        .collect()
+    )
+
+    def cat(s) -> int:
+        # DESC ordering class: NaN largest (0), values (1), NULL last (2)
+        if s is None:
+            return 2
+        if isinstance(s, float) and math.isnan(s):
+            return 0
+        return 1
+
+    def beats(s1, i1, s2, i2) -> bool:
+        """(s1, i1) ranks before (s2, i2) under ORDER BY score DESC
+        NULLS LAST, id ASC — no negation, so string scores order the
+        same way the Spark window would."""
+        c1, c2 = cat(s1), cat(s2)
+        if c1 != c2:
+            return c1 < c2
+        if c1 == 1 and s1 != s2:
+            return s1 > s2
+        return i1 < i2
+
+    best: dict = {}
+    for r in scored:
+        comp = mapping[r[0]]
+        if comp not in best or beats(r[1], r[0], *best[comp]):
+            best[comp] = (r[1], r[0])
+    return {n: best[c][1] if c in best else c for n, c in mapping.items()}
 
 
 def reselect_keepers(

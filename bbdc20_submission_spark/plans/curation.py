@@ -81,8 +81,10 @@ class CurationConfig:
     near_dup_jaccard: float = 0.5
     # quality-aware keeper policy: when set, each near-dup cluster's
     # representative is the member maximizing this column (tie →
-    # lowest id) via chunking.reselect_keepers, instead of the min-id
-    # label. The column must exist on the input docs (e.g. n_chars).
+    # lowest id) instead of the min-id label; selection rides inside
+    # dedup_clusters (driver argmax under the edge bound,
+    # chunking.reselect_keepers above it). The column must exist on
+    # the input docs (e.g. n_chars).
     keeper_score_col: str | None = None
     # exact duplicate-substring dedup (Lee-et-al suffix-array style,
     # operators.dedup.duplicate_span_stats) over the near-dup
@@ -204,18 +206,23 @@ def curate(
         text_col,
         min_jaccard=config.near_dup_jaccard,
     ).filter(F.col("jaccard") >= config.near_dup_jaccard)
-    clusters = dedup_clusters(exact_unique, pairs, id_col)
-    if config.keeper_score_col is not None:
-        from bbdc20_submission_spark.operators.chunking import (
-            reselect_keepers,
-        )
-
-        clusters = reselect_keepers(
-            clusters,
-            exact_unique.select(id_col, config.keeper_score_col),
-            id_col=id_col,
-            score_col=config.keeper_score_col,
-        )
+    # the quality-keeper policy (keep each cluster's max-score member)
+    # rides INSIDE dedup_clusters: on the driver-union-find path the
+    # membership is already on the driver, so the argmax costs one
+    # bounded member-score fetch instead of a persist + distinct +
+    # window + re-join chain (reselect_keepers remains the all-Spark
+    # form above the edge bound, composed by dedup_clusters itself)
+    clusters = dedup_clusters(
+        exact_unique,
+        pairs,
+        id_col,
+        keeper_scores=(
+            exact_unique.select(id_col, config.keeper_score_col)
+            if config.keeper_score_col is not None
+            else None
+        ),
+        score_col=config.keeper_score_col or "score",
+    )
     reps = clusters.filter(~F.col("is_duplicate")).select(id_col)
     near_unique = exact_unique.join(reps, id_col, "left_semi")
     near_unique = _tap("near_unique", near_unique)

@@ -223,32 +223,32 @@ def d12_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster labels are engine-portable; the oracle recomputes them with
     a recursive CTE over the brute-force pairs.
 
-    r6: also certifies quality-aware KEEPER RESELECTION
-    (``chunking.reselect_keepers`` — the production policy of keeping
-    each cluster's best member rather than its min id): columns
-    quality_keep_id / is_duplicate_q re-pick every keeper as the
-    member with max ``n_chars`` (tie → lowest id), and the oracle
-    re-derives the argmax per component."""
-    from bbdc20_submission_spark.operators.chunking import (
-        dedup_clusters,
-        reselect_keepers,
-    )
+    r6: also certifies quality-aware KEEPER RESELECTION (the
+    production policy of keeping each cluster's best member rather
+    than its min id): columns quality_keep_id / is_duplicate_q re-pick
+    every keeper as the member with max ``n_chars`` (tie → lowest id),
+    and the oracle re-derives the argmax per component. r7: the
+    argmax runs driver-side inside ``dedup_clusters`` (the union-find
+    membership is already collected; ``reselect_keepers`` is the
+    identical-semantics all-Spark path above the edge bound)."""
+    from bbdc20_submission_spark.operators.chunking import dedup_clusters
 
     d = load_table(spark, "documents", sf_dir)
     cands = minhash_lsh_candidates(d, shingle_k=3, num_hashes=16, bands=4)
     pairs = jaccard_pairs(d, cands, shingle_k=3, min_jaccard=0.5, broadcast_sets=True).filter(F.col("jaccard") >= 0.5)
-    out = dedup_clusters(d, pairs)
-    # both keeper policies ride ONE broadcast pass over the cluster
-    # frame (passthrough) — a separate reselect + re-join on doc_id
-    # would be a corpus-sized SortMergeJoin just to present them
-    # side by side (caught by the d12 plan pin).
-    both = reselect_keepers(
-        out,
-        d.select("doc_id", "n_chars"),
+    # both keeper policies ride the ONE broadcast label join inside
+    # dedup_clusters (driver-side argmax over the already-collected
+    # membership; reselect_keepers is its all-Spark fallback above the
+    # edge bound) — a separate reselect + re-join on doc_id would be a
+    # corpus-sized SortMergeJoin just to present them side by side
+    # (caught by the d12 plan pin).
+    both = dedup_clusters(
+        d,
+        pairs,
+        keeper_scores=d.select("doc_id", "n_chars"),
         score_col="n_chars",
-        passthrough=("keep_id", "is_duplicate"),
-        keeper_col="quality_keep_id",
-        dup_col="is_duplicate_q",
+        quality_keeper_col="quality_keep_id",
+        quality_dup_col="is_duplicate_q",
     )
     return both.select(
         "doc_id",

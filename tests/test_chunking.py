@@ -95,6 +95,48 @@ def test_dedup_clusters_driver_and_distributed_paths_agree(spark):
     assert len(via_driver) == 200
 
 
+def test_dedup_clusters_keeper_paths_agree(spark):
+    """keeper_scores integration: the driver-argmax fast path and the
+    reselect_keepers fallback (edge count above threshold) must agree
+    — both the replace-policy shape and the both-policies shape — and
+    must match reselect_keepers composed by hand. Scores carry a NULL
+    and ties so the ordering corners are exercised."""
+    import random
+
+    from bbdc20_submission_spark.operators.chunking import reselect_keepers
+
+    rng = random.Random(11)
+    docs = spark.createDataFrame([(i,) for i in range(120)], "doc_id long")
+    edges = sorted({
+        (min(a, b), max(a, b))
+        for a, b in ((rng.randrange(80), rng.randrange(80)) for _ in range(70))
+        if a != b
+    })
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    # NULL score on 7, exact ties on many ids (score = id % 9)
+    scores = spark.createDataFrame(
+        [(i, None if i == 7 else float(i % 9)) for i in range(120)],
+        "doc_id long, s double",
+    )
+
+    def snap(df):
+        return {tuple(r) for r in df.collect()}
+
+    kw = dict(keeper_scores=scores, score_col="s")
+    # replace-policy: driver vs fallback vs hand-composed
+    a = snap(dedup_clusters(docs, pairs, **kw))
+    b = snap(dedup_clusters(docs, pairs, driver_edge_threshold=-1, **kw))
+    c = snap(reselect_keepers(dedup_clusters(docs, pairs), scores, score_col="s"))
+    assert a == b == c
+    # both-policies shape
+    kw2 = dict(kw, quality_keeper_col="qk", quality_dup_col="qd")
+    d = snap(dedup_clusters(docs, pairs, **kw2))
+    e = snap(dedup_clusters(docs, pairs, driver_edge_threshold=-1, **kw2))
+    assert d == e
+    # the quality policy must actually bite somewhere
+    assert any(r[1] != r[3] for r in d)
+
+
 def test_dedup_clusters_empty_pairs(spark):
     """No edges: every doc is its own keep_id, nothing flagged."""
     docs = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
