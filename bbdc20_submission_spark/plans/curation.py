@@ -318,16 +318,21 @@ def curate(
         )
         scrubbed = _tap("boilerplate_stripped", scrubbed)
 
-    # 5. chunking on the scrubbed text; re-attach the doc-level
-    # metadata columns the chunk generator drops.
+    # 5. chunking on the scrubbed text. The doc-level metadata columns
+    # ride THROUGH the explode (keep_cols) — re-attaching them with a
+    # join back on the id would be a corpus-sized shuffle AND would
+    # re-execute the whole dedup->filter->scrub prefix a second time
+    # under the metadata side (measured ~2.8s of the sf0.1 DAG when
+    # the strip checkpoint is off).
     chunks = chunk_by_tokens(
-        scrubbed.select(id_col, F.col("_scrubbed").alias(text_col)),
+        scrubbed.select(
+            id_col, F.col("_scrubbed").alias(text_col), "lang_pred", "quality"
+        ),
         text_col,
         id_col,
         chunk_tokens=config.chunk_tokens,
         overlap=config.chunk_overlap,
-    ).join(
-        scrubbed.select(id_col, "lang_pred", "quality"), id_col
+        keep_cols=("lang_pred", "quality"),
     )
     chunks = _tap("chunks", chunks)
 
