@@ -359,39 +359,40 @@ def simhash_df(
     the partial agg once, and the exchange carries one 33-long row per
     doc. Measured ~2x on d9 end-to-end at sf0.1. Lane overflow needs a
     doc with >= 2^32 tokens — not a real input. Output: [_id, _fp]."""
+    # every expression below is assembled as a SQL STRING and handed to
+    # the JVM in a handful of selectExpr/expr calls: the earlier
+    # per-bit Column-operator form made ~400 py4j round trips and cost
+    # ~1.2s of pure DataFrame BUILD time per invocation (measured at
+    # d9; execution identical either way)
     hashed = df.select(
         F.col(id_col).alias("_id"),
         F.explode(ws_tokens(text_col)).alias("_tok"),
-    ).select("_id", F.xxhash64("_tok").alias("_h"))
+    ).selectExpr("_id", "xxhash64(_tok) AS _h")
     packed = [
-        F.expr(
-            f"(shiftright(_h, {g}) & 1) | shiftleft(shiftright(_h, {g + 32}) & 1, 32)"
-        ).alias(f"_p{g}")
+        f"(shiftright(_h, {g}) & 1) | shiftleft(shiftright(_h, {g + 32}) & 1, 32)"
+        f" AS _p{g}"
         for g in range(32)
     ]
     counts = (
-        hashed.select("_id", *packed)
+        hashed.selectExpr("_id", *packed)
         .groupBy("_id")
         .agg(
-            F.count(F.lit(1)).alias("_n"),
-            *[F.sum(f"_p{g}").alias(f"_s{g}") for g in range(32)],
+            F.expr("count(1)").alias("_n"),
+            *[F.expr(f"sum(_p{g})").alias(f"_s{g}") for g in range(32)],
         )
     )
-    fp = F.lit(0).cast("long")
+    fp_terms = []
     for g in range(32):
-        lo = F.expr(f"_s{g} & 4294967295")
-        hi = F.expr(f"shiftright(_s{g}, 32)")
-        fp = fp.bitwiseOR(
-            F.when(lo * 2 > F.col("_n"), F.lit(1 << g).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-        ).bitwiseOR(
-            F.when(
-                hi * 2 > F.col("_n"),
-                F.expr(f"shiftleft(CAST(1 AS BIGINT), {g + 32})"),
-            ).otherwise(F.lit(0).cast("long"))
+        fp_terms.append(
+            f"(CASE WHEN (_s{g} & 4294967295) * 2 > _n"
+            f" THEN CAST({1 << g} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
         )
-    return counts.select("_id", fp.alias("_fp"))
+        fp_terms.append(
+            f"(CASE WHEN shiftright(_s{g}, 32) * 2 > _n"
+            f" THEN shiftleft(CAST(1 AS BIGINT), {g + 32})"
+            f" ELSE CAST(0 AS BIGINT) END)"
+        )
+    return counts.selectExpr("_id", "(%s) AS _fp" % " | ".join(fp_terms))
 
 
 def hamming64(a: Column, b: Column) -> Column:

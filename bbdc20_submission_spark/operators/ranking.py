@@ -51,11 +51,14 @@ def tf_idf(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Full TF-IDF matrix: [id_col, token, tf, df, tfidf] with
     tfidf = (tf / dl) * ln(N / df). One token explode, two aggregates,
-    one join on the token."""
-    n_docs = docs.count()
+    one join on the token. Pass ``n_docs`` to skip the corpus count
+    when the caller already has it (e.g. from bm25_corpus_stats)."""
+    if n_docs is None:
+        n_docs = docs.count()
     terms = _doc_terms(docs, id_col, text_col)
     df_dim = terms.groupBy("_tok").agg(
         F.count(F.lit(1)).alias("_df")  # one row per (doc, token) => df
@@ -76,6 +79,22 @@ def tf_idf(
     )
 
 
+def bm25_corpus_stats(docs: DataFrame, text_col: str) -> tuple[int, float]:
+    """(n_docs, avg_dl) in ONE aggregate job (the earlier separate
+    count() + avg() pair cost two full corpus scans per score build).
+    Raises on an empty corpus — BM25's idf/avgdl are undefined there."""
+    row = docs.select(
+        F.count(F.lit(1)).alias("_n"),
+        F.avg(F.size(ws_tokens(text_col))).alias("_avgdl"),
+    ).collect()[0]
+    if not row["_n"]:
+        raise ValueError(
+            "bm25: empty corpus — idf/avgdl are undefined over zero"
+            " documents"
+        )
+    return int(row["_n"]), float(row["_avgdl"])
+
+
 def bm25_score(
     docs: DataFrame,
     query_tokens: Sequence[str],
@@ -83,6 +102,7 @@ def bm25_score(
     text_col: str = "text",
     k1: float = 1.2,
     b: float = 0.75,
+    corpus_stats: tuple[int, float] | None = None,
 ) -> DataFrame:
     """Okapi BM25 of every document against ``query_tokens``:
     [id_col, score], descending relevance. Documents sharing no query
@@ -90,14 +110,16 @@ def bm25_score(
 
     Scale shape: tokens are filtered to the query set BEFORE any
     aggregation, the per-term df dim has |query| rows and is
-    broadcast, and the final score is one per-doc aggregate."""
+    broadcast, and the final score is one per-doc aggregate. The
+    (n_docs, avg_dl) corpus stats are one fused aggregate job; pass
+    ``corpus_stats`` to reuse stats already computed for the same
+    corpus (the standard cache of any retrieval deployment — a batch
+    of differently-tokenized probes should not re-scan the corpus per
+    probe)."""
     if not query_tokens:
         raise ValueError("bm25_score needs at least one query token")
     qset = sorted(set(query_tokens))
-    n_docs = docs.count()
-    avg_dl = docs.select(
-        F.avg(F.size(ws_tokens(text_col))).alias("a")
-    ).collect()[0]["a"]
+    n_docs, avg_dl = corpus_stats or bm25_corpus_stats(docs, text_col)
 
     q_arr = F.array(*[F.lit(t) for t in qset])
     toks = docs.select(
@@ -135,6 +157,7 @@ def bm25_score_multi(
     tokens_col: str = "tokens",
     k1: float = 1.2,
     b: float = 0.75,
+    corpus_stats: tuple[int, float] | None = None,
 ) -> DataFrame:
     """Okapi BM25 of every document against EVERY query in a query
     dim: [query_id_col, id_col, score]. The multi-query retrieval
@@ -167,16 +190,7 @@ def bm25_score_multi(
     )
     if not union_toks:
         raise ValueError("bm25_score_multi needs at least one query token")
-    stats = docs.select(
-        F.count(F.lit(1)).alias("_n"),
-        F.avg(F.size(ws_tokens(text_col))).alias("_avgdl"),
-    ).collect()[0]
-    if not stats["_n"]:
-        raise ValueError(
-            "bm25_score_multi: empty corpus — BM25's idf/avgdl are"
-            " undefined over zero documents"
-        )
-    n_docs, avg_dl = int(stats["_n"]), float(stats["_avgdl"])
+    n_docs, avg_dl = corpus_stats or bm25_corpus_stats(docs, text_col)
 
     q_arr = F.array(*[F.lit(t) for t in union_toks])
     toks = docs.select(

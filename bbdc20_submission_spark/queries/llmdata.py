@@ -1521,6 +1521,7 @@ def r_ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       (ln(rank+1)/ln 2 discounts, 2^rel−1 gains, row_number over
       (rounded score desc, id asc))."""
     from bbdc20_submission_spark.operators.ranking import (
+        bm25_corpus_stats,
         bm25_score,
         bm25_score_multi,
         ranking_eval,
@@ -1529,7 +1530,12 @@ def r_ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bbdc20_submission_spark.operators.text import ws_tokens
 
     d = load_table(spark, "documents", sf_dir)
-    bm25 = bm25_score(d, ["data", "fast", "query", "spark"]).select(
+    # one fused (count, avg_dl) aggregate shared by every scorer in
+    # the suite — the corpus-stat cache any retrieval deployment keeps
+    stats = bm25_corpus_stats(d, "text")
+    bm25 = bm25_score(
+        d, ["data", "fast", "query", "spark"], corpus_stats=stats
+    ).select(
         F.lit("bm25").alias("family"),
         "doc_id",
         F.lit("").alias("token"),
@@ -1537,7 +1543,7 @@ def r_ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1).cast("long").alias("df"),
         "score",
     )
-    tfidf = tf_idf(d).select(
+    tfidf = tf_idf(d, n_docs=stats[0]).select(
         F.lit("tfidf").alias("family"),
         "doc_id",
         "token",
@@ -1554,7 +1560,7 @@ def r_ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "query_id int, tokens array<string>",
     )
-    runs = bm25_score_multi(d, qd)
+    runs = bm25_score_multi(d, qd, corpus_stats=stats)
     # graded qrels as a ZERO-shuffle narrow map: for a fixed query dim
     # the per-query intersect size is a literal array_intersect per
     # query, stacked — no explode, no join, no aggregation (the shape
