@@ -517,7 +517,6 @@ def semantic_dedup(
     full-scan ``count()`` job; auto-k only needs the ORDER of n, so
     any approximation within a small factor is fine."""
     from bbdc20_submission_spark.operators.dedup import _cap_buckets
-    from bbdc20_submission_spark.operators.similarity import dot, l2_norm
 
     if model is None:
         if n_clusters is None:
@@ -527,51 +526,67 @@ def semantic_dedup(
             df, k=n_clusters, vec_col=vec_col, seed=seed,
             max_iter=max_iter, fit_fraction=fit_fraction, approx_n=approx_n,
         )
-    # compute each row's L2 norm ONCE and materialize it through the
-    # persisted frame: pair cosine then costs a single dot product
-    # plus two scalar mults instead of dot + two per-pair norms — the
-    # higher-order-function expressions are interpreted (no codegen),
-    # so per-PAIR HOF count is the dominant cost of the cell
-    # self-join (measured ~2x on the sd stage at sf0.1). The persist
-    # boundary guarantees the norm is data, immune to CollapseProject
-    # re-inlining it into the pair expression.
     arr = F.col(vec_col).cast("array<double>")
-    tagged = managed_persist(
-        _cap_buckets(
-            _with_cluster(
-                df.select(
-                    F.col(id_col).alias("_id"),
-                    arr.alias("_v"),
-                    l2_norm(arr).alias("_n"),
-                ),
-                model.centers,
-                "_v",
-            ),
-            ["cluster"], "_id", cap,
-        )
+    tagged = _cap_buckets(
+        _with_cluster(
+            df.select(F.col(id_col).alias("_id"), arr.alias("_v")),
+            model.centers,
+            "_v",
+        ),
+        ["cluster"], "_id", cap,
     )
-    a = tagged.select(
-        "cluster", "sub_bucket",
-        F.col("_id").alias("_ida"), F.col("_v").alias("_va"),
-        F.col("_n").alias("_na"),
+    # per-cell duplicate detection as a blocked numpy GRAM MATRIX
+    # inside applyInPandas — the canonical SemDeDup shape (Abbas et
+    # al. compute per-cluster pairwise cosines as matrix products).
+    # The earlier cell SELF-JOIN scored each pair with interpreted
+    # higher-order-function folds: at ~64-member cells that is
+    # O(n * cell * dim) interpreted ops and measured ~3s of the s4
+    # certification at sf0.1; one X @ X.T per cell replaces it with
+    # vectorized BLAS and shuffles the vectors ONCE (by cell) instead
+    # of twice (both join sides). Blocked at 1024 rows so the worst
+    # cap-sized cell peaks at ~32 MB of scores. ULP-level sum-order
+    # drift vs the expression fold cannot flip results: callers
+    # threshold with wide margins by construction (near-dup pairs sit
+    # at cosine ~1, i.i.d. background far below any sane threshold).
+    # NOTE: the UDF closure is self-contained (numpy + threshold
+    # literal only, no package symbols) so it runs on workers that
+    # cannot import this package.
+    id_type = df.schema[id_col].dataType.simpleString()
+    thr = float(threshold)
+
+    def _cell_keepers(pdf):
+        import numpy as np
+        import pandas as pd
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"_ida": pdf["_id"][:0], "keeper_id": pdf["_id"][:0]})
+        ids = pdf["_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        X = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf["_v"].to_numpy()]
+        )[order]
+        norms = np.sqrt((X * X).sum(axis=1))
+        out_i: list = []
+        out_k: list = []
+        B = 1024
+        for s in range(1, n, B):
+            e = min(s + B, n)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = (X[s:e] @ X[:e].T) / np.outer(norms[s:e], norms[:e])
+            rows_abs = np.arange(s, e)
+            # only j < i (strictly lower id) may be a keeper
+            mask = (S >= thr) & (np.arange(e)[None, :] < rows_abs[:, None])
+            hit = mask.any(axis=1)
+            first = mask.argmax(axis=1)  # first True = lowest id, ids sorted
+            out_i.extend(ids[rows_abs[hit]])
+            out_k.extend(ids[first[hit]])
+        return pd.DataFrame({"_ida": out_i, "keeper_id": out_k})
+
+    keepers = tagged.groupBy("cluster", "sub_bucket").applyInPandas(
+        _cell_keepers, schema=f"_ida {id_type}, keeper_id {id_type}"
     )
-    b = tagged.select(
-        "cluster", "sub_bucket",
-        F.col("_id").alias("_idb"), F.col("_v").alias("_vb"),
-        F.col("_n").alias("_nb"),
-    )
-    dup_pairs = (
-        a.join(b, ["cluster", "sub_bucket"])
-        .filter(F.col("_idb") < F.col("_ida"))
-        .select(
-            "_ida", "_idb",
-            (dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))).alias(
-                "_sim"
-            ),
-        )
-        .filter(F.col("_sim") >= threshold)
-    )
-    keepers = dup_pairs.groupBy("_ida").agg(F.min("_idb").alias("keeper_id"))
     return (
         df.select(F.col(id_col))
         .join(keepers.withColumnRenamed("_ida", id_col), id_col, "left")
