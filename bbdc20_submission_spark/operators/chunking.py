@@ -428,6 +428,12 @@ def dedup_clusters(
     emitted side by side ([id, keep_id, is_duplicate, q_keeper,
     q_dup]); otherwise the quality keeper REPLACES keep_id (the
     policy a curation pipeline actually wants)."""
+    if quality_dup_col and not quality_keeper_col:
+        raise ValueError(
+            "dedup_clusters: quality_dup_col requires quality_keeper_col"
+            " (the replace-policy form names its outputs keep_id /"
+            " is_duplicate)"
+        )
     src, dst = (
         ("id_a", "id_b")
         if {"id_a", "id_b"} <= set(pairs.columns)

@@ -135,6 +135,12 @@ def test_dedup_clusters_keeper_paths_agree(spark):
     assert d == e
     # the quality policy must actually bite somewhere
     assert any(r[1] != r[3] for r in d)
+    # dup col without keeper col is ambiguous between the two shapes
+    import pytest
+
+    with pytest.raises(ValueError, match="quality_dup_col requires"):
+        dedup_clusters(docs, pairs, keeper_scores=scores, score_col="s",
+                       quality_dup_col="qd")
 
 
 def test_dedup_clusters_empty_pairs(spark):

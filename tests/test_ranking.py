@@ -119,6 +119,42 @@ def test_bm25_multi_matches_single_per_query(spark):
         assert got == single, qid
 
 
+def test_bm25_precomputed_corpus_stats_identical(spark):
+    """Passing corpus_stats (the suite's fused-aggregate cache) must
+    change NOTHING about the scores — single and multi form — and the
+    helper must equal the per-call stats exactly."""
+    from bbdc20_submission_spark.operators.ranking import (
+        bm25_corpus_stats,
+        bm25_score_multi,
+    )
+
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    stats = bm25_corpus_stats(docs, "text")
+    assert stats[0] == docs.count()
+    base = {r["doc_id"]: r["score"] for r in bm25_score(docs, ["cat"]).collect()}
+    cached = {
+        r["doc_id"]: r["score"]
+        for r in bm25_score(docs, ["cat"], corpus_stats=stats).collect()
+    }
+    assert base == cached
+    qd = spark.createDataFrame([(1, ["cat"])], "query_id int, tokens array<string>")
+    multi = {
+        r["doc_id"]: r["score"]
+        for r in bm25_score_multi(docs, qd, corpus_stats=stats).collect()
+    }
+    assert multi == base
+
+
+def test_bm25_corpus_stats_rejects_empty_corpus(spark):
+    import pytest
+
+    from bbdc20_submission_spark.operators.ranking import bm25_corpus_stats
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    with pytest.raises(ValueError, match="empty corpus"):
+        bm25_corpus_stats(docs, "text")
+
+
 def test_ranking_eval_hand_computed(spark):
     """nDCG/MRR/precision/recall on a tiny hand-worked example.
 
