@@ -58,10 +58,13 @@ HEADLINERS = {
     "d12_dedup_clusters": (
         "Dedup clustering, small-edge-set regime: the verified pair "
         "list (materialized once during query build) fits the driver "
-        "threshold, so components come from driver union-find and the "
-        "RETURNED plan is just documents LEFT JOIN broadcast(labels) — "
-        "no iterative stage in the final plan. Above the threshold the "
-        "O(log n) pointer-doubling loop builds the same labels "
+        "threshold, so components come from driver union-find — and "
+        "BOTH keeper policies (min-id label + quality argmax over the "
+        "already-collected membership) ride the same label frame, so "
+        "the RETURNED plan is just documents LEFT JOIN "
+        "broadcast(labels) with no reselect join stage. Above the "
+        "threshold the O(log n) pointer-doubling loop plus the "
+        "all-Spark reselect_keepers pass build the same output "
         "distributed."
     ),
     "s3_embedding_near_dups": (
