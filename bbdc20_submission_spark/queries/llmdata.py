@@ -48,23 +48,32 @@ from bbdc20_submission_spark.operators.text import (
     ws_tokens,
 )
 from bbdc20_submission_spark.registry import query
-from bbdc20_submission_spark.sources.harness import load_table, table_row_count
+from bbdc20_submission_spark.sources.harness import (
+    load_table,
+    table_column_max,
+    table_row_count,
+)
 
 
-def _check_plant_offset(sf_dir: str, offset: int, table: str = "embeddings") -> None:
-    """Planted ground-truth rows live at ``vec_id + offset``; if the
-    table ever grows past ``offset`` rows the planted ids collide with
-    real ones and silently corrupt the keep-lowest-id / top-k
-    predictions the certification relies on. ids are dense 0..n-1 in
-    the harness tables, so the parquet-footer row count bounds
-    max(vec_id); fail loudly instead of certifying garbage."""
-    n = table_row_count(table, sf_dir)
-    if n is not None and n >= offset:
-        raise ValueError(
-            f"{table} has {n} rows >= planted-id offset {offset}; "
-            "planted ground-truth ids would collide with real ids — "
-            "raise the offset for this data scale"
-        )
+def _plant_offset(
+    spark: SparkSession, sf_dir: str, table: str = "embeddings",
+    id_col: str = "vec_id",
+) -> int:
+    """Collision-PROOF offset for planted ground-truth ids:
+    max(id) + 1, so planted rows (base id + offset) can never alias a
+    real id at any data scale — a fixed literal offset silently
+    corrupts the keep-lowest-id / top-k predictions the moment the id
+    space grows past it (round-6 advice). Comes from parquet
+    row-group statistics (footer-only, exact for int64) with a real
+    max() job as the fallback; the DuckDB oracles derive the SAME
+    number with a ``max(vec_id) + 1`` subquery, so both engines plant
+    identical ids."""
+    m = table_column_max(table, id_col, sf_dir)
+    if m is None:
+        m = load_table(spark, table, sf_dir).agg(
+            F.max(id_col).alias("m")
+        ).collect()[0]["m"]
+    return int(m) + 1
 
 # Shared DuckDB CTE chain: exact 3-word-shingle Jaccard over ALL pairs
 # (brute force — the oracle-side ground truth the banded Spark paths
@@ -1031,8 +1040,10 @@ def s_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH base AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+    ), off AS (
+        SELECT max(vec_id) + 1 AS o FROM embeddings
     ), planted AS (
-        SELECT vec_id + 100000 AS vec_id,
+        SELECT vec_id + (SELECT o FROM off) AS vec_id,
                list_transform(generate_series(1, 64),
                               i -> embedding[i] * 0.98 + embedding[65 - i] * 0.02) AS embedding
         FROM base WHERE vec_id < 8
@@ -1053,18 +1064,20 @@ def s3_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The harness embeddings are i.i.d. (max pairwise cosine ~0.51), so
     a 0.9 threshold alone certifies vacuously (0 pairs). Both engines
-    therefore plant 8 deterministic near-duplicates — vec_id+100000
-    with embedding' = 0.98*e + 0.02*reverse(e), cosine ~0.9998 — built
+    therefore plant 8 deterministic near-duplicates — vec_id offset
+    by max(vec_id)+1 (collision-proof at any scale, same subquery in
+    the oracle), embedding' = 0.98*e + 0.02*reverse(e), cosine
+    ~0.9998 — built
     from the same arithmetic on both sides, making the certified pair
     set non-empty: the green hash proves the 4-band LSH actually
     recovered every planted pair (miss probability per pair at this
     angle ~7e-6; verified deterministically at every test SF)."""
-    _check_plant_offset(sf_dir, 100000)
+    off = _plant_offset(spark, sf_dir)
     em = load_table(spark, "embeddings", sf_dir)
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     base = em.select("vec_id", v.alias("embedding"))
     planted = em.filter(F.col("vec_id") < 8).select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
+        (F.col("vec_id") + F.lit(off)).alias("vec_id"),
         F.zip_with(v, F.reverse(v), lambda x, y: x * 0.98 + y * 0.02).alias(
             "embedding"
         ),
@@ -1078,8 +1091,10 @@ def s3_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH base AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+    ), off AS (
+        SELECT max(vec_id) + 1 AS o FROM embeddings
     ), planted AS (
-        SELECT vec_id + 100000 AS vec_id,
+        SELECT vec_id + (SELECT o FROM off) AS vec_id,
                list_transform(generate_series(1, 64),
                               i -> embedding[i] * 0.995 + embedding[65 - i] * 0.005) AS embedding
         FROM base WHERE vec_id < 8
@@ -1089,8 +1104,9 @@ def s3_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            CAST(list_position(embedding, list_max(embedding)) - 1 AS BIGINT) AS argmax_idx,
            CAST(1 AS BIGINT) AS nearest_ok,
-           CAST(vec_id >= 100000 AS BIGINT) AS pruned,
-           CASE WHEN vec_id >= 100000 THEN vec_id - 100000 END AS keeper_id
+           CAST(vec_id >= (SELECT o FROM off) AS BIGINT) AS pruned,
+           CASE WHEN vec_id >= (SELECT o FROM off)
+                THEN vec_id - (SELECT o FROM off) END AS keeper_id
     FROM aug
     """,
 )
@@ -1100,7 +1116,8 @@ def s4_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     certification, plus SemDeDup semantic deduplication built on the
     same corpus — certified against PLANTED GROUND TRUTH, not
     self-checking flags (the r5 advice): 8 near-twins are planted
-    (vec_id+100000, e' = 0.995·e + 0.005·reverse(e), cosine ≈ 0.99999
+    (vec_id offset by max(vec_id)+1 — collision-proof at any scale,
+    same subquery in the oracle; e' = 0.995·e + 0.005·reverse(e), cosine ≈ 0.99999
     to the original; the same arithmetic s3 certifies cross-engine),
     and the oracle predicts SemDeDup's full output EXACTLY — every
     planted row must be pruned with keeper_id = its original (the only
@@ -1124,12 +1141,12 @@ def s4_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         semantic_dedup,
     )
     THRESH = 0.95
-    _check_plant_offset(sf_dir, 100000)
+    off = _plant_offset(spark, sf_dir)
     em = load_table(spark, "embeddings", sf_dir)
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     base = em.select("vec_id", v.alias("embedding"))
     planted = em.filter(F.col("vec_id") < 8).select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
+        (F.col("vec_id") + F.lit(off)).alias("vec_id"),
         F.zip_with(v, F.reverse(v), lambda x, y: x * 0.995 + y * 0.005).alias(
             "embedding"
         ),
@@ -1167,8 +1184,10 @@ def s4_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
     ), q AS (
         SELECT * FROM base WHERE vec_id < 5
+    ), off AS (
+        SELECT max(vec_id) + 1 AS o FROM embeddings
     ), twins AS (
-        SELECT vec_id + 200000 AS vec_id,
+        SELECT vec_id + (SELECT o FROM off) AS vec_id,
                list_transform(generate_series(1, 64),
                               i -> embedding[i] * 0.995 + embedding[65 - i] * 0.005) AS embedding
         FROM q
@@ -1196,7 +1215,8 @@ def s5_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     an all-1 invariant block).
 
     A near-twin of every query is planted into the corpus
-    (vec_id+200000, e' = 0.995·e + 0.005·reverse(e), cosine ≈ 0.99999
+    (vec_id offset by max(vec_id)+1 — collision-proof at any scale,
+    same subquery in the oracle; e' = 0.995·e + 0.005·reverse(e), cosine ≈ 0.99999
     — i.i.d. background pairs top out near 0.5, so the twin is the
     undisputed exact top-1). The certified output is the EXACT top-3
     (query_id, match_id, cosine, rank — every value recomputed by
@@ -1210,13 +1230,13 @@ def s5_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors) stays property-tested in tests/test_similarity.py."""
     from bbdc20_submission_spark.operators.clustering import ivf_topk
 
-    _check_plant_offset(sf_dir, 200000)
+    off = _plant_offset(spark, sf_dir)
     em = load_table(spark, "embeddings", sf_dir)
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     base = em.select("vec_id", v.alias("embedding"))
     q = base.filter(F.col("vec_id") < 5)
     twins = q.select(
-        (F.col("vec_id") + 200000).alias("vec_id"),
+        (F.col("vec_id") + F.lit(off)).alias("vec_id"),
         F.zip_with(
             F.col("embedding"), F.reverse("embedding"),
             lambda x, y: x * 0.995 + y * 0.005,
@@ -1228,7 +1248,7 @@ def s5_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one narrow pass per side, no union/distinct of wide vectors)
     ivf = ivf_topk(corpus, q, k=3, max_iter=5, fit_fraction=0.25, nprobe=2)
     twin_hits = (
-        ivf.filter(F.col("match_id") == F.col("query_id") + 200000)
+        ivf.filter(F.col("match_id") == F.col("query_id") + F.lit(off))
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("_th"))
     )

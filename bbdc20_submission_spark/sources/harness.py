@@ -105,6 +105,39 @@ def table_row_count(name: str, sf_dir: str = DEFAULT_SF_DIR) -> int | None:
         return None
 
 
+def table_column_max(
+    name: str, column: str, sf_dir: str = DEFAULT_SF_DIR
+) -> int | None:
+    """Exact maximum of an integer column from parquet row-group
+    min/max STATISTICS only — footer reads, no Spark job, no data
+    pages (int64 stats are exact, never truncated). What planted-
+    ground-truth queries use to derive a collision-proof id offset
+    (max + 1) at any data scale. Returns None when the path isn't
+    footer-readable, the column is missing, or any row group lacks
+    stats — callers fall back to a real max() job."""
+    try:
+        import pyarrow.dataset as ds
+
+        dataset = ds.dataset(
+            os.path.join(sf_dir, f"{name}.parquet"), format="parquet"
+        )
+        best: int | None = None
+        for frag in dataset.get_fragments():
+            md = frag.metadata
+            names = md.schema.names
+            if column not in names:
+                return None
+            ci = names.index(column)
+            for rg in range(md.num_row_groups):
+                stats = md.row_group(rg).column(ci).statistics
+                if stats is None or not stats.has_min_max:
+                    return None
+                best = stats.max if best is None else max(best, stats.max)
+        return best
+    except Exception:
+        return None
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     """Read all harness tables into a name -> DataFrame dict."""
     return {name: load_table(spark, name, sf_dir) for name in HARNESS_TABLES}

@@ -431,3 +431,26 @@ def test_python_datasource_synth_events(spark):
     )
     want_in = [r for r in a if r["event_type"] == "view"]
     assert got_in == want_in and len(got_in) > 0
+
+
+def test_table_column_max_footer_stats(spark, tmp_path):
+    """Planted-ground-truth offsets derive from max(vec_id)+1 so they
+    can never collide at any scale; the max must come from footer
+    row-group stats (exact for int64), including on id-SHIFTED replica
+    corpora, and degrade to None (caller falls back to a max() job)
+    on missing columns / unreadable paths."""
+    from bbdc20_submission_spark.sources.harness import (
+        table_column_max,
+        table_row_count,
+    )
+
+    sf = str(tmp_path)
+    # sparse id space like a scale-probe replica (shifted copies)
+    rows = [(i,) for i in range(10)] + [(10_000_000 + i,) for i in range(10)]
+    spark.createDataFrame(rows, "vec_id long").coalesce(1).write.parquet(
+        f"{sf}/embeddings.parquet"
+    )
+    assert table_row_count("embeddings", sf) == 20
+    assert table_column_max("embeddings", "vec_id", sf) == 10_000_009
+    assert table_column_max("embeddings", "nope", sf) is None
+    assert table_column_max("embeddings", "vec_id", "/nonexistent") is None
