@@ -483,9 +483,15 @@ def dedup_clusters(
         ]
         if keeper_scores is not None:
             qkeep = F.coalesce("_qcomp", F.col(id_col))
+            # both-policies mode defaults the dup column to
+            # is_duplicate_q (like the reselect_keepers fallback) so it
+            # can never collide with the min-id is_duplicate column
+            qdup = quality_dup_col or (
+                "is_duplicate_q" if quality_keeper_col else "is_duplicate"
+            )
             qcols = [
                 qkeep.alias(quality_keeper_col or "keep_id"),
-                (qkeep != F.col(id_col)).alias(quality_dup_col or "is_duplicate"),
+                (qkeep != F.col(id_col)).alias(qdup),
             ]
             # both policies side by side, or the quality keeper
             # REPLACING the min-id label — one broadcast join either way

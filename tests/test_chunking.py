@@ -135,6 +135,15 @@ def test_dedup_clusters_keeper_paths_agree(spark):
     assert d == e
     # the quality policy must actually bite somewhere
     assert any(r[1] != r[3] for r in d)
+    # defaulted dup-column name must be is_duplicate_q on BOTH paths
+    # (never colliding with the min-id is_duplicate column)
+    kw3 = dict(kw, quality_keeper_col="qk")
+    want = ["doc_id", "keep_id", "is_duplicate", "qk", "is_duplicate_q"]
+    assert dedup_clusters(docs, pairs, **kw3).columns == want
+    assert (
+        dedup_clusters(docs, pairs, driver_edge_threshold=-1, **kw3).columns
+        == want
+    )
     # dup col without keeper col is ambiguous between the two shapes
     import pytest
 
