@@ -33,7 +33,6 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from bbdc20_submission_spark.caching import managed_persist
 
 # assignment strategy switch: at or below this k the per-centroid
 # distance expressions stay comfortably inside whole-stage codegen;
