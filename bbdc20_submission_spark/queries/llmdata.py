@@ -395,8 +395,8 @@ def d2_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators.text.repetition_stats directly."""
     from bbdc20_submission_spark.operators.dedup import contamination_flags
     from bbdc20_submission_spark.operators.text import (
+        _repetition_counts,
         _repetition_final_exprs,
-        _repetition_raw_exprs,
     )
 
     d = load_table(spark, "documents", sf_dir)
@@ -410,16 +410,16 @@ def d2_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stat_stopword_ratio",
         "quality",
     ]
-    # two-stage repetition block (raw folds materialized once per row,
-    # then cheap derivations); [1:] drops its n_tokens — identical to
-    # stat_n_tokens (both = whitespace token count), kept once
+    # repetition counts ride the Arrow-batched UDF (one narrow map);
+    # fractions/flags stay Spark expressions so the oracle's rounding
+    # formulas hold bit-for-bit. [1:] drops its n_tokens — identical
+    # to stat_n_tokens (both = whitespace token count), kept once
     narrow = (
         classifier_quality_score(quality_score(d))
-        .withColumn("_toks", ws_tokens(F.col("text")))
         .select(
             *stat_cols,
             F.round("clf_score", 6).alias("clf_score"),
-            *_repetition_raw_exprs(),
+            _repetition_counts(F.col("text")).alias("_r"),
         )
         .select(*stat_cols, "clf_score", *_repetition_final_exprs(0.2, 0.2)[1:])
     )
