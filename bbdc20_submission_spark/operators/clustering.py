@@ -179,10 +179,16 @@ def fit_quantizer(
         eff_n = approx_n * min(fit_fraction, 1.0)
         if eff_n > 4 * sample_cap:
             fit_on = fit_on.sample(False, 4 * sample_cap / eff_n, seed + 1)
+    # NULL vectors carry no geometry — drop them from the fit sample
+    # (they would make the sample matrix ragged); assignment/dedup
+    # consumers handle them on their own paths
     sel = F.col(vec_col).cast("array<double>").alias("_v")
-    rows = _deterministic_head(fit_on.select(sel), sample_cap).collect()
+    src = fit_on.select(sel).filter(F.col("_v").isNotNull())
+    rows = _deterministic_head(src, sample_cap).collect()
     if len(rows) < k:
-        rows = _deterministic_head(df.select(sel), sample_cap).collect()
+        rows = _deterministic_head(
+            df.select(sel).filter(F.col("_v").isNotNull()), sample_cap
+        ).collect()
     X = np.asarray([r["_v"] for r in rows], dtype=np.float64)
     return CentroidQuantizer(_lloyd(X, k, seed, max_iter))
 
@@ -528,7 +534,14 @@ def semantic_dedup(
     arr = F.col(vec_col).cast("array<double>")
     tagged = _cap_buckets(
         _with_cluster(
-            df.select(F.col(id_col).alias("_id"), arr.alias("_v")),
+            # NULL vectors can never be pruned nor serve as keepers
+            # (their cosine is NULL in the expression form) — drop
+            # them before the cell grouping so the numpy batch below
+            # never sees one; they re-enter as kept rows through the
+            # final left join
+            df.select(F.col(id_col).alias("_id"), arr.alias("_v")).filter(
+                F.col("_v").isNotNull()
+            ),
             model.centers,
             "_v",
         ),

@@ -199,6 +199,59 @@ def test_lsh_bucket_signature_rejects_column_objects(spark):
     assert df.select(col.alias("b")).collect()[0]["b"] is not None
 
 
+def test_semantic_dedup_matches_bruteforce_reference(spark):
+    """The per-cell Gram-matrix path must reproduce the operator's
+    contract EXACTLY against an O(n^2) numpy reference computed over
+    the same cell assignment (single cluster => all pairs in one
+    cell): pruned iff some LOWER-id cell-mate clears the threshold,
+    keeper = the lowest such id. A NULL vector must pass through kept
+    and never poison the batch."""
+    import numpy as np
+
+    from bbdc20_submission_spark.operators.clustering import semantic_dedup
+
+    rng = random.Random(23)
+    base = [
+        np.array([rng.gauss(0, 1) for _ in range(DIM)]) for _ in range(12)
+    ]
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        # a few exact copies and near-copies at higher ids
+        if i % 3 == 0:
+            rows.append((100 + i, [float(x) for x in v]))
+        if i % 4 == 0:
+            rows.append(
+                (200 + i, [float(x + rng.gauss(0, 0.001)) for x in v])
+            )
+    rows.append((999, None))  # NULL embedding
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    thr = 0.98
+    out = {
+        r["vec_id"]: (r["keeper_id"], r["pruned"])
+        for r in semantic_dedup(
+            df, threshold=thr, n_clusters=1, seed=3, max_iter=2
+        ).collect()
+    }
+    # numpy reference over ALL pairs (one cluster => one cell)
+    vecs = {i: np.array(v) for i, v in rows if v is not None}
+    want = {}
+    for i, vi in vecs.items():
+        mates = [
+            j
+            for j, vj in vecs.items()
+            if j < i
+            and float(
+                vi @ vj / (np.linalg.norm(vi) * np.linalg.norm(vj))
+            )
+            >= thr
+        ]
+        want[i] = (min(mates) if mates else None, 1 if mates else 0)
+    want[999] = (None, 0)
+    assert out == want
+    assert len(out) == len(rows)
+
+
 def test_semantic_dedup_planted(spark):
     """Planted near-identical vectors must be pruned toward the
     lower-id twin; singletons stay kept."""
