@@ -222,6 +222,133 @@ def _dedup_batch(
     return kept, appended
 
 
+def build_semantic_index(
+    df: DataFrame,
+    model,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The embedding-side ingest-dedup index: [_id, _v, cluster] —
+    every vector cell-assigned with a PRE-FIT coarse quantizer
+    (:class:`clustering.CentroidQuantizer`; fit once per corpus, load
+    per batch — the same fit-once artifact the IVF operators reuse).
+    One narrow assignment pass; NULL vectors carry no geometry and are
+    excluded (they can never be near-duplicates). Callers persist the
+    frame between ingestion batches."""
+    from bbdc20_submission_spark.operators.clustering import _with_cluster
+
+    arr = F.col(vec_col).cast("array<double>")
+    return _with_cluster(
+        df.select(F.col(id_col).alias("_id"), arr.alias("_v")).filter(
+            F.col("_v").isNotNull()
+        ),
+        model.centers,
+        "_v",
+    )
+
+
+def incremental_semantic_dedup(
+    new_vecs: DataFrame,
+    index: DataFrame,
+    model,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cap: int = 4096,
+) -> tuple[DataFrame, DataFrame]:
+    """SemDeDup for the DAILY-INGEST shape: semantically deduplicate a
+    NEW embedding batch against a historical vector ``index`` (from
+    :func:`build_semantic_index`, SAME quantizer) AND within itself,
+    without re-shuffling the historical corpus — only the index cells
+    the batch actually touches do any pair work.
+
+    Keeper preference: any historical cell-mate with cosine >=
+    ``threshold`` beats the batch (lowest historical id reported);
+    otherwise the lowest-id new cell-mate keeps (the batch-internal
+    SemDeDup rule). Returns ``(kept_new_vecs, updated_index)`` where
+    the updated index covers the historical vectors plus the
+    survivors' index rows (sliced from the batch assignment — no
+    second assignment pass).
+
+    Scale shape: the batch is assigned with the pre-fit quantizer
+    (one narrow pass), the per-cell pair work runs as the same blocked
+    numpy Gram applyInPandas as :func:`clustering.semantic_dedup`
+    (vectors shuffle once, by cell), and hot cells are hash-split at
+    ``cap`` members with the usual recall trade. The historical side
+    shuffles only the touched cells' rows; at 100 TB the index is
+    stored cell-partitioned so that shuffle is a partition-pruned
+    read, not a reshuffle."""
+    from bbdc20_submission_spark.operators.dedup import _cap_buckets
+
+    batch_index = build_semantic_index(
+        new_vecs, model, id_col=id_col, vec_col=vec_col
+    ).localCheckpoint()
+
+    touched = batch_index.select("cluster").distinct()
+    old = index.join(F.broadcast(touched), "cluster", "left_semi").withColumn(
+        "_is_new", F.lit(False)
+    )
+    both = _cap_buckets(
+        old.unionByName(batch_index.withColumn("_is_new", F.lit(True))),
+        ["cluster"], "_id", cap,
+    )
+
+    id_type = batch_index.schema["_id"].dataType.simpleString()
+    thr = float(threshold)
+
+    def _cell_prune(pdf):
+        import numpy as np
+        import pandas as pd
+
+        new_mask_all = pdf["_is_new"].to_numpy()
+        if len(pdf) < 2 or not new_mask_all.any():
+            empty = pdf["_id"][:0]
+            return pd.DataFrame({"_ida": empty, "keeper_id": empty})
+        ids = pdf["_id"].to_numpy()
+        # historical rows first (lowest id first), then new rows by id:
+        # "first match" below is then exactly the keeper preference
+        order = sorted(range(len(pdf)), key=lambda i: (bool(new_mask_all[i]), ids[i]))
+        ids = ids[order]
+        is_new = new_mask_all[order]
+        X = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf["_v"].to_numpy()]
+        )[order]
+        norms = np.sqrt((X * X).sum(axis=1))
+        n = len(ids)
+        out_i: list = []
+        out_k: list = []
+        B = 1024
+        for s in range(1, n, B):
+            e = min(s + B, n)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = (X[s:e] @ X[:e].T) / np.outer(norms[s:e], norms[:e])
+            rows_abs = np.arange(s, e)
+            # a NEW row is pruned by anything EARLIER in the order
+            # (historical rows and lower-id new rows); historical rows
+            # are never pruned
+            mask = (
+                (S >= thr)
+                & (np.arange(e)[None, :] < rows_abs[:, None])
+                & is_new[s:e][:, None]
+            )
+            hit = mask.any(axis=1)
+            first = mask.argmax(axis=1)
+            out_i.extend(ids[rows_abs[hit]])
+            out_k.extend(ids[first[hit]])
+        return pd.DataFrame({"_ida": out_i, "keeper_id": out_k})
+
+    pruned = both.groupBy("cluster", "sub_bucket").applyInPandas(
+        _cell_prune, schema=f"_ida {id_type}, keeper_id {id_type}"
+    )
+    kept = new_vecs.join(
+        pruned.select(F.col("_ida").alias(id_col)), id_col, "left_anti"
+    ).localCheckpoint()
+    appended = batch_index.drop("_is_new").join(
+        kept.select(F.col(id_col).alias("_id")), "_id", "left_semi"
+    )
+    return kept, index.unionByName(appended)
+
+
 def stream_incremental_exact_filter(
     stream: DataFrame,
     index: DataFrame,

@@ -203,3 +203,105 @@ def test_stream_incremental_dedup_bootstraps_empty_index(spark, tmp_path):
     assert kept == set(range(20))  # 900 is an exact dup of 0
     idx = spark.read.parquet(index_path)
     assert {r["_id"] for r in idx.select("_id").collect()} == set(range(20))
+
+
+def test_incremental_semantic_dedup_contract(spark):
+    """Vector-side ingest dedup vs a brute-force reference: a new
+    vector is pruned iff some same-cell mate EARLIER in (historical,
+    id) order clears the threshold — historical mates beat the batch
+    (lowest historical id reported), otherwise lowest-id new mate;
+    survivors' index rows append; historical rows never change."""
+    import random as _random
+
+    import numpy as np
+
+    from bbdc20_submission_spark.operators.clustering import fit_quantizer
+    from bbdc20_submission_spark.operators.incremental import (
+        build_semantic_index,
+        incremental_semantic_dedup,
+    )
+
+    rng = _random.Random(7)
+    dim = 16
+
+    def vec():
+        return [float(rng.gauss(0, 1)) for _ in range(dim)]
+
+    hist_rows = [(i, vec()) for i in range(20)]
+    hist = spark.createDataFrame(hist_rows, "vec_id long, embedding array<double>")
+    model = fit_quantizer(hist, k=1, max_iter=3, seed=5)  # one cell => all pairs comparable
+    index = build_semantic_index(hist, model)
+
+    new_rows = []
+    # exact copies of historical (must be pruned toward the historical id),
+    # a batch-internal near-dup pair (higher id pruned toward lower),
+    # and fresh vectors (kept)
+    for j, (hid, hv) in enumerate(hist_rows[:4]):
+        new_rows.append((1000 + j, list(hv)))
+    shared = vec()
+    new_rows.append((2000, list(shared)))
+    new_rows.append((2001, [x + rng.gauss(0, 1e-4) for x in shared]))
+    for j in range(3):
+        new_rows.append((3000 + j, vec()))
+    new = spark.createDataFrame(new_rows, "vec_id long, embedding array<double>")
+
+    kept, updated = incremental_semantic_dedup(new, index, model, threshold=0.98)
+    kept_ids = {r["vec_id"] for r in kept.select("vec_id").collect()}
+
+    # brute-force reference (one cell, so all pairs are candidates)
+    hv = {i: np.array(v) for i, v in hist_rows}
+    nv = {i: np.array(v) for i, v in new_rows}
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    want_kept = set()
+    for i in sorted(nv):
+        hist_hit = any(cos(nv[i], h) >= 0.98 for h in hv.values())
+        new_hit = any(j < i and cos(nv[i], nv[j]) >= 0.98 for j in nv)
+        if not hist_hit and not new_hit:
+            want_kept.add(i)
+    assert kept_ids == want_kept
+    # the copies of historical vectors were pruned, fresh ones kept
+    assert {3000, 3001, 3002} <= kept_ids
+    assert not any(1000 <= i < 1004 for i in kept_ids)
+    assert 2000 in kept_ids and 2001 not in kept_ids
+
+    # updated index = historical rows + survivors' rows, ids disjoint
+    upd = {r["_id"] for r in updated.select("_id").collect()}
+    assert upd == {i for i, _ in hist_rows} | kept_ids
+
+
+def test_incremental_semantic_dedup_only_touched_cells_and_nulls(spark):
+    """Cells the batch never touches contribute no pair work (their
+    historical rows still ride into the updated index untouched), and
+    NULL-embedding new rows pass through kept but never enter the
+    index."""
+    import random as _random
+
+    from bbdc20_submission_spark.operators.clustering import fit_quantizer
+    from bbdc20_submission_spark.operators.incremental import (
+        build_semantic_index,
+        incremental_semantic_dedup,
+    )
+
+    rng = _random.Random(3)
+    dim = 8
+    # two well-separated blobs -> 2 cells
+    a = [(i, [float(10 + rng.gauss(0, 0.1)) for _ in range(dim)]) for i in range(5)]
+    b = [(10 + i, [float(-10 + rng.gauss(0, 0.1)) for _ in range(dim)]) for i in range(5)]
+    hist = spark.createDataFrame(a + b, "vec_id long, embedding array<double>")
+    model = fit_quantizer(hist, k=2, max_iter=5, seed=9)
+    index = build_semantic_index(hist, model)
+
+    # batch touches only blob A's cell; one NULL row rides along
+    new = spark.createDataFrame(
+        [(100, a[0][1]), (101, None)],
+        "vec_id long, embedding array<double>",
+    )
+    kept, updated = incremental_semantic_dedup(new, index, model, threshold=0.9)
+    kept_ids = {r["vec_id"] for r in kept.select("vec_id").collect()}
+    assert kept_ids == {101}  # 100 is a copy of a historical A vector
+    upd = {r["_id"] for r in updated.select("_id").collect()}
+    # NULL row kept but NOT indexed; historical rows all present
+    assert upd == {i for i, _ in a + b}
