@@ -278,6 +278,26 @@ def incremental_semantic_dedup(
     shuffles only the touched cells' rows; at 100 TB the index is
     stored cell-partitioned so that shuffle is a partition-pruned
     read, not a reshuffle."""
+    kept, appended = _semantic_dedup_batch(
+        new_vecs, index, model, threshold, id_col, vec_col, cap
+    )
+    return kept, index.unionByName(appended)
+
+
+def _semantic_dedup_batch(
+    new_vecs: DataFrame,
+    index: DataFrame,
+    model,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    cap: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Core of :func:`incremental_semantic_dedup`: returns
+    ``(kept_new_vecs, appended_index_rows)`` — the survivors plus
+    exactly their index rows, sliced from the ALREADY-COMPUTED batch
+    assignment (checkpointed below), so no caller pays a second
+    assignment pass to persist the updated index."""
     from bbdc20_submission_spark.operators.dedup import _cap_buckets
 
     batch_index = build_semantic_index(
@@ -343,10 +363,10 @@ def incremental_semantic_dedup(
     kept = new_vecs.join(
         pruned.select(F.col("_ida").alias(id_col)), id_col, "left_anti"
     ).localCheckpoint()
-    appended = batch_index.drop("_is_new").join(
+    appended = batch_index.join(
         kept.select(F.col(id_col).alias("_id")), "_id", "left_semi"
     )
-    return kept, index.unionByName(appended)
+    return kept, appended
 
 
 def stream_incremental_exact_filter(
@@ -431,5 +451,55 @@ def stream_incremental_dedup(
         appended.write.mode("append").parquet(index_path)
 
     return stream_docs.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+
+
+def stream_incremental_semantic_dedup(
+    stream_vecs: DataFrame,
+    index_path: str,
+    kept_path: str,
+    checkpoint_dir: str,
+    model,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cap: int = 4096,
+):
+    """Embedding-side ingest dedup on a STREAM via ``foreachBatch``:
+    each micro-batch reads the CURRENT vector index (cell-assigned
+    under the shared pre-fit quantizer), runs
+    :func:`incremental_semantic_dedup`, appends the survivors to
+    ``kept_path`` and their index rows to ``index_path`` — so later
+    micro-batches dedup against everything earlier ones admitted,
+    the sequential-ingest semantics of a production embedding feed.
+    Day-0 bootstrap: an empty index frame with the index schema.
+
+    Returns the unstarted ``DataStreamWriter`` (caller picks the
+    trigger and calls ``start()``). Same at-least-once caveat as
+    :func:`stream_incremental_dedup`: a replayed batch can append
+    twice; exactly-once deployments key outputs by ``batch_id`` or
+    write through a transactional table format."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        spark = batch_df.sparkSession
+        try:
+            index = spark.read.parquet(index_path)
+        except AnalysisException:
+            index = build_semantic_index(
+                batch_df.limit(0), model, id_col=id_col, vec_col=vec_col
+            )
+        kept, appended = _semantic_dedup_batch(
+            batch_df, index, model, threshold, id_col, vec_col, cap
+        )
+        kept.write.mode("append").parquet(kept_path)
+        # append-only is equivalent to rewriting the updated union —
+        # the survivors' rows are a slice of the checkpointed batch
+        # assignment, so no second assignment pass per micro-batch
+        appended.write.mode("append").parquet(index_path)
+
+    return stream_vecs.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir
     )

@@ -305,3 +305,76 @@ def test_incremental_semantic_dedup_only_touched_cells_and_nulls(spark):
     upd = {r["_id"] for r in updated.select("_id").collect()}
     # NULL row kept but NOT indexed; historical rows all present
     assert upd == {i for i, _ in a + b}
+
+
+def test_stream_incremental_semantic_dedup_updates_index(spark, tmp_path):
+    """foreachBatch embedding ingest dedup: micro-batches dedup against
+    the persisted vector index AND earlier batches' admissions; the
+    index grows by exactly the kept vectors (NULL vectors kept but not
+    indexed)."""
+    import os
+    import random as _random
+
+    from bbdc20_submission_spark.operators.clustering import fit_quantizer
+    from bbdc20_submission_spark.operators.incremental import (
+        build_semantic_index,
+        stream_incremental_semantic_dedup,
+    )
+
+    rng = _random.Random(19)
+    dim = 8
+
+    def vec():
+        return [float(rng.gauss(0, 1)) for _ in range(dim)]
+
+    hist_rows = [(i, vec()) for i in range(30)]
+    hist = spark.createDataFrame(
+        hist_rows, "vec_id long, embedding array<double>"
+    )
+    model = fit_quantizer(hist, k=2, max_iter=4, seed=11)
+    index_path = str(tmp_path / "vindex")
+    build_semantic_index(hist, model).write.mode("overwrite").parquet(index_path)
+
+    # file A: fresh vectors 100..109; file B: copies of history (0..4),
+    # copies of A (100..104), fresh 200..204, one NULL
+    staged = str(tmp_path / "vin")
+    os.makedirs(staged, exist_ok=True)
+    a_rows = [(100 + j, vec()) for j in range(10)]
+    spark.createDataFrame(
+        a_rows, "vec_id long, embedding array<double>"
+    ).coalesce(1).write.mode("append").parquet(staged)
+    b_rows = (
+        [(8000 + i, list(hist_rows[i][1])) for i in range(5)]
+        + [(8100 + j, list(a_rows[j][1])) for j in range(5)]
+        + [(200 + j, vec()) for j in range(5)]
+        + [(9999, None)]
+    )
+    spark.createDataFrame(
+        b_rows, "vec_id long, embedding array<double>"
+    ).coalesce(1).write.mode("append").parquet(staged)
+
+    schema = spark.read.parquet(staged).schema
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(staged)
+    kept_path = str(tmp_path / "vkept")
+    q = stream_incremental_semantic_dedup(
+        stream,
+        index_path,
+        kept_path,
+        str(tmp_path / "vckpt"),
+        model,
+        threshold=0.98,
+    ).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    kept_ids = sorted(
+        r["vec_id"] for r in spark.read.parquet(kept_path).collect()
+    )
+    assert not any(8000 <= i < 8200 for i in kept_ids)
+    assert set(range(100, 110)) <= set(kept_ids)
+    assert set(range(200, 205)) <= set(kept_ids)
+    assert 9999 in kept_ids  # NULL vector passes through kept
+    assert len(kept_ids) == 16
+    # index grew by exactly the kept GEOMETRIC vectors (not the NULL)
+    assert spark.read.parquet(index_path).count() == 30 + 15
