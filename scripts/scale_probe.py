@@ -159,12 +159,44 @@ def main() -> None:
         kept, _ = incremental_dedup(batch, build_dedup_index(hist))
         return kept.select("doc_id")
 
+    def _incremental_semantic(spark, d):
+        # embedding-side daily ingest: index the lower-id half of the
+        # replicated embeddings under one pre-fit quantizer, dedup the
+        # upper half against it + within itself. Quantizer fit + index
+        # build + batch dedup all timed — the full per-day cost.
+        from bbdc20_submission_spark.operators.clustering import (
+            fit_quantizer,
+        )
+        from bbdc20_submission_spark.operators.incremental import (
+            build_semantic_index,
+            incremental_semantic_dedup,
+        )
+        from bbdc20_submission_spark.sources.harness import (
+            table_column_max,
+            table_row_count,
+        )
+
+        em = spark.read.parquet(os.path.join(d, "embeddings.parquet"))
+        mid = (table_column_max("embeddings", "vec_id", d) or 0) // 2
+        hist = em.filter(F.col("vec_id") < mid)
+        batch = em.filter(F.col("vec_id") >= mid)
+        n = table_row_count("embeddings", d) or 2048
+        model = fit_quantizer(
+            hist, k=max(8, n // 128), max_iter=5, fit_fraction=0.5,
+            approx_n=n // 2,
+        )
+        kept, _ = incremental_semantic_dedup(
+            batch, build_semantic_index(hist, model), model, threshold=0.95
+        )
+        return kept.select("vec_id")
+
     EXT = {
         "curation_dag": _curate,
         "curation_dag_strip": _curate_strip,
         "bm25_score": _bm25,
         "duplicate_span_stats": _span_dedup,
         "incremental_dedup": _incremental,
+        "incremental_semantic_dedup": _incremental_semantic,
     }
 
     store = {"queries": {}, "ext": {}, "rows": {}}

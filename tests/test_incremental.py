@@ -378,3 +378,22 @@ def test_stream_incremental_semantic_dedup_updates_index(spark, tmp_path):
     assert len(kept_ids) == 16
     # index grew by exactly the kept GEOMETRIC vectors (not the NULL)
     assert spark.read.parquet(index_path).count() == 30 + 15
+
+
+def test_banded_rejects_indivisible_bands(spark):
+    """r6 advice: num_hashes % bands != 0 silently dropped trailing
+    signature columns (recall loss) — must raise instead."""
+    import pytest
+
+    from bbdc20_submission_spark.operators.incremental import (
+        incremental_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc body {i} " + " ".join(f"t{i}{j}" for j in range(20)))
+         for i in range(4)],
+        "doc_id long, text string",
+    )
+    index = build_dedup_index(docs, num_hashes=16)
+    with pytest.raises(ValueError, match="divisible"):
+        incremental_dedup(docs, index, num_hashes=16, bands=5)

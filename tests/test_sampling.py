@@ -316,3 +316,37 @@ def test_token_budget_sample_null_stratum_and_reserved_cols(spark):
         token_budget_sample(
             df.withColumn("_cb", F.lit(1)), "lang", 45, "toks"
         )
+
+
+def test_mixture_sample_null_stratum_takes_weight_zero_path(spark):
+    """r6 advice: NULL-stratum rows must flow through the weight-0
+    path (dropped by rate) via eqNullSafe — matching
+    token_budget_sample — rather than vanish by equi-join mechanics.
+    Either way they are absent from the output, but the join must not
+    error and listed strata must be unaffected by NULL rows."""
+    from bbdc20_submission_spark.operators.sampling import mixture_sample
+
+    rows = [(i, "en") for i in range(200)] + [(1000 + i, None) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = mixture_sample(
+        df, "lang", {"en": 1.0}, total_fraction=0.5, seed=3, portable=True
+    )
+    got = {r["doc_id"] for r in out.collect()}
+    assert got  # en rows sampled
+    assert not any(i >= 1000 for i in got)  # NULL stratum: weight 0
+    # the contract: NULL-stratum rows still count toward N, so en's
+    # keep rate is total_fraction * N * w / n_en = 0.5 * 250 / 200;
+    # membership is exactly the portable hash threshold
+    from bbdc20_submission_spark.operators.sampling import (
+        _BUCKETS,
+        portable_hash_bucket,
+    )
+
+    thr = int(0.5 * 250 * 1.0 / 200 * _BUCKETS)
+    want = {
+        r["doc_id"]
+        for r in df.filter("lang IS NOT NULL")
+        .filter(portable_hash_bucket(F.col("doc_id"), 3) < F.lit(thr))
+        .collect()
+    }
+    assert got == want

@@ -427,3 +427,19 @@ def test_statestore_reader_exposes_open_runs(spark, events_stream, tmp_path):
                 r["n_rows"],
             )
     assert state == set(finals.values())
+
+
+def test_interval_ms_compound_and_errors():
+    """r6 advice: _interval_ms accepts the compound forms Spark does
+    elsewhere and names the accepted format on bad input."""
+    import pytest
+
+    from bbdc20_submission_spark.streaming.windows import _interval_ms
+
+    assert _interval_ms("1 hour") == 3_600_000
+    assert _interval_ms("1 hour 30 minutes") == 5_400_000
+    assert _interval_ms("1 day 2 hours 3 seconds") == 93_603_000
+    with pytest.raises(ValueError, match="N unit"):
+        _interval_ms("90")
+    with pytest.raises(ValueError, match="N unit"):
+        _interval_ms("1 fortnight")
