@@ -272,6 +272,16 @@ def main() -> None:
         " artificially 16x-duplicated corpus; the duplicated-corpus"
         " regime (hot buckets) is bounded by the bucket cap and pinned"
         " by test_hot_bucket_cap_bounds_pair_count.",
+        "\nd12 and curation_dag_strip run the CERTIFIED configurations"
+        " (quality-keeper policy on — r7: the keeper argmax rides the"
+        " driver union-find path inside dedup_clusters, so it adds no"
+        " scaling term of its own).",
+        "\nincremental_dedup / incremental_semantic_dedup are the"
+        " daily-ingest shapes (index the lower half, dedup the upper"
+        " half against it + within itself, index build and — for the"
+        " semantic form — quantizer fit included): hash/signature and"
+        " touched-cell joins only, so both hold strongly sub-linear"
+        " ratios.",
     ]
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md"), "w") as fh:
         fh.write("\n".join(lines) + "\n")
