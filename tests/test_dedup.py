@@ -191,6 +191,47 @@ def test_repetition_stats_flags_spam(spark):
     assert got[3]["repetition_ok"] == 0
 
 
+def test_repetition_counts_corner_cases_match_python_reference(spark):
+    """The Arrow-batched counts must equal a pure-python reference of
+    the exact contract on adversarial texts: empty string (split(' ')
+    -> ['']), runs of spaces (empty tokens are tokens), single token
+    (one degenerate gram window), all-identical tokens, unicode, and
+    NULL text (NULL counts, not a crash)."""
+    from collections import Counter
+
+    from bbdc20_submission_spark.operators.text import _repetition_counts
+
+    texts = [
+        "",
+        " ",
+        "a  b   c",
+        "solo",
+        "x x x x x x",
+        "héllo wörld héllo wörld héllo",
+        "a b a b a b a b",
+        None,
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["_r"]["n"], r["_r"]["topc"], r["_r"]["d2"])
+        for r in df.select("doc_id", _repetition_counts(F.col("text")).alias("_r")).collect()
+    }
+    for i, t in enumerate(texts):
+        if t is None:
+            assert got[i] == (None, None, None)
+            continue
+        toks = t.split(" ")
+        n = len(toks)
+        want = (
+            n,
+            max(Counter(toks).values()),
+            1 if n == 1 else len(set(zip(toks, toks[1:]))),
+        )
+        assert got[i] == want, (i, t, got[i], want)
+
+
 def test_hamming_near_pairs_pigeonhole_recall(spark):
     """Constructed-fingerprint proof of the multi-index guarantee:
     every pair at hamming h <= max_hamming MUST be emitted with its
