@@ -281,6 +281,15 @@ def jaccard_pairs(
             lambda s: F.xxhash64(s),
         ).alias("_shingles"),
     )
+    # the per-doc set frame feeds BOTH pair sides, and the side
+    # projections differ (id_a/_sa vs id_b/_sb) so Spark's
+    # ReuseExchange never fires — without a persist the shingle
+    # hashing (the widest narrow stage of the verify) executes twice,
+    # once under each side's exchange. One materialization, two cached
+    # reads; released by the registry wrapper like every library
+    # persist. The cache holds hashed arrays (8 bytes/shingle), not
+    # text.
+    sets_df = managed_persist(sets_df)
     if broadcast_sets:
         sets_df = F.broadcast(sets_df)
     a = sets_df.select(
