@@ -104,12 +104,20 @@ def write_zorder(
     is the standard lakehouse layout for fact tables queried along
     independent axes (e.g. time + key + tenant).
 
-    Scale shape: one bounded driver-side ``approxQuantile`` pass fits
-    the per-column boundary arrays (2^bits - 1 doubles each, constant
-    size regardless of row count); bucketing + bit interleave are
-    narrow codegen expressions; then exactly the same
-    repartitionByRange + sortWithinPartitions write as the 1-D layout.
-    No UDFs, no second shuffle, no index service."""
+    Scale shape: the per-column boundary arrays (2^bits - 1 doubles
+    each, constant size regardless of row count) are fit DRIVER-side
+    as exact quantiles of a bounded seeded sample — the same fit-once
+    pattern as the KMeans quantizer. ``df.approxQuantile`` was the
+    earlier fit; its Greenwald-Khanna summaries merge in task-
+    completion order, so the boundaries (and therefore the whole file
+    layout) differed run to run under load — a layout writer must be
+    reproducible. Bucketing + bit interleave are narrow codegen
+    expressions; then exactly the same repartitionByRange +
+    sortWithinPartitions write as the 1-D layout. No UDFs, no second
+    shuffle, no index service. (``quantile_error`` is kept for API
+    compatibility; sampling error replaces summary error as the
+    approximation term, and equi-depth boundaries only need to be
+    roughly balanced.)"""
     cols = list(cols)
     if not 2 <= len(cols) <= 4:
         raise ValueError(f"write_zorder needs 2..4 columns, got {len(cols)}")
@@ -118,8 +126,21 @@ def write_zorder(
             f"{len(cols)} cols x {bits} bits = {len(cols) * bits} z-bits"
             " exceeds a signed long (max 62)"
         )
+    import numpy as np
+
+    from bbdc20_submission_spark.operators.clustering import (
+        _deterministic_head,
+    )
+
     probs = [i / (1 << bits) for i in range(1, 1 << bits)]
-    qs = df.approxQuantile(cols, probs, quantile_error)
+    sample = _deterministic_head(
+        df.select(*[F.col(c).cast("double").alias(c) for c in cols]).na.drop(),
+        262_144,
+    ).collect()
+    if not sample:
+        raise ValueError("write_zorder: no non-null rows to fit boundaries on")
+    X = np.asarray([[r[c] for c in cols] for r in sample], dtype=np.float64)
+    qs = [np.quantile(X[:, i], probs).tolist() for i in range(len(cols))]
     z = _interleave_bits(
         [_quantile_bucket(c, q) for c, q in zip(cols, qs)], bits
     )
