@@ -570,30 +570,53 @@ def semantic_dedup(
         import numpy as np
         import pandas as pd
 
-        n = len(pdf)
-        if n < 2:
-            return pd.DataFrame({"_ida": pdf["_id"][:0], "keeper_id": pdf["_id"][:0]})
-        ids = pdf["_id"].to_numpy()
-        order = np.argsort(ids, kind="stable")
-        ids = ids[order]
-        X = np.asarray(
-            [np.asarray(v, dtype=np.float64) for v in pdf["_v"].to_numpy()]
-        )[order]
-        norms = np.sqrt((X * X).sum(axis=1))
         out_i: list = []
         out_k: list = []
-        B = 1024
-        for s in range(1, n, B):
-            e = min(s + B, n)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                S = (X[s:e] @ X[:e].T) / np.outer(norms[s:e], norms[:e])
-            rows_abs = np.arange(s, e)
-            # only j < i (strictly lower id) may be a keeper
-            mask = (S >= thr) & (np.arange(e)[None, :] < rows_abs[:, None])
-            hit = mask.any(axis=1)
-            first = mask.argmax(axis=1)  # first True = lowest id, ids sorted
-            out_i.extend(ids[rows_abs[hit]])
-            out_k.extend(ids[first[hit]])
+        ids_all = pdf["_id"].to_numpy()
+        vecs = pdf["_v"].to_numpy()
+        # Degenerate-vector contract (matches the expression form it
+        # replaced, minus one quirk): rows are GROUPED BY LENGTH
+        # before the Gram product — a ragged pair's cosine is NULL
+        # under zip_with, i.e. never similar, and same-length
+        # grouping reproduces that exactly while keeping np.asarray
+        # rectangular (a mixed-length asarray builds an object array
+        # and crashes the matmul). Non-finite vectors (NaN/inf
+        # element) are DROPPED from the matrix: their cosine is
+        # undefined, so they are never pruned and never serve as
+        # keepers — they re-enter as kept rows through the caller's
+        # left join. (The old expression path pruned NaN rows only
+        # because Spark orders NaN above every threshold — a
+        # comparison quirk, not a semantic we preserve.)
+        lens = np.fromiter((len(v) for v in vecs), dtype=np.int64, count=len(vecs))
+        for L in np.unique(lens):
+            sub = np.flatnonzero(lens == L)
+            if len(sub) < 2:
+                continue
+            X = np.asarray([np.asarray(vecs[i], dtype=np.float64) for i in sub])
+            finite = np.isfinite(X).all(axis=1)
+            sub, X = sub[finite], X[finite]
+            n = len(sub)
+            if n < 2:
+                continue
+            ids = ids_all[sub]
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            X = X[order]
+            norms = np.sqrt((X * X).sum(axis=1))
+            B = 1024
+            for s in range(1, n, B):
+                e = min(s + B, n)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    S = (X[s:e] @ X[:e].T) / np.outer(norms[s:e], norms[:e])
+                rows_abs = np.arange(s, e)
+                # only j < i (strictly lower id) may be a keeper
+                mask = (S >= thr) & (np.arange(e)[None, :] < rows_abs[:, None])
+                hit = mask.any(axis=1)
+                first = mask.argmax(axis=1)  # first True = lowest id, sorted
+                out_i.extend(ids[rows_abs[hit]])
+                out_k.extend(ids[first[hit]])
+        if not out_i:
+            return pd.DataFrame({"_ida": pdf["_id"][:0], "keeper_id": pdf["_id"][:0]})
         return pd.DataFrame({"_ida": out_i, "keeper_id": out_k})
 
     keepers = tagged.groupBy("cluster", "sub_bucket").applyInPandas(

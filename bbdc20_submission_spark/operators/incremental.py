@@ -324,37 +324,57 @@ def _semantic_dedup_batch(
         if len(pdf) < 2 or not new_mask_all.any():
             empty = pdf["_id"][:0]
             return pd.DataFrame({"_ida": empty, "keeper_id": empty})
-        ids = pdf["_id"].to_numpy()
-        # historical rows first (lowest id first), then new rows by id:
-        # "first match" below is then exactly the keeper preference
-        order = sorted(range(len(pdf)), key=lambda i: (bool(new_mask_all[i]), ids[i]))
-        ids = ids[order]
-        is_new = new_mask_all[order]
-        X = np.asarray(
-            [np.asarray(v, dtype=np.float64) for v in pdf["_v"].to_numpy()]
-        )[order]
-        norms = np.sqrt((X * X).sum(axis=1))
-        n = len(ids)
+        ids_all = pdf["_id"].to_numpy()
+        vecs = pdf["_v"].to_numpy()
         out_i: list = []
         out_k: list = []
-        B = 1024
-        for s in range(1, n, B):
-            e = min(s + B, n)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                S = (X[s:e] @ X[:e].T) / np.outer(norms[s:e], norms[:e])
-            rows_abs = np.arange(s, e)
-            # a NEW row is pruned by anything EARLIER in the order
-            # (historical rows and lower-id new rows); historical rows
-            # are never pruned
-            mask = (
-                (S >= thr)
-                & (np.arange(e)[None, :] < rows_abs[:, None])
-                & is_new[s:e][:, None]
+        # same degenerate-vector contract as clustering._cell_keepers:
+        # group by vector length (ragged pairs are never similar —
+        # zip_with cosine is NULL) and drop non-finite vectors (their
+        # cosine is undefined; they are never pruned, never keepers)
+        lens = np.fromiter((len(v) for v in vecs), dtype=np.int64, count=len(vecs))
+        for L in np.unique(lens):
+            sub = np.flatnonzero(lens == L)
+            if len(sub) < 2:
+                continue
+            X = np.asarray([np.asarray(vecs[i], dtype=np.float64) for i in sub])
+            finite = np.isfinite(X).all(axis=1)
+            sub, X = sub[finite], X[finite]
+            if len(sub) < 2:
+                continue
+            ids = ids_all[sub]
+            is_new_g = new_mask_all[sub]
+            # historical rows first (lowest id first), then new rows
+            # by id: "first match" below is the keeper preference
+            order = sorted(
+                range(len(sub)), key=lambda i: (bool(is_new_g[i]), ids[i])
             )
-            hit = mask.any(axis=1)
-            first = mask.argmax(axis=1)
-            out_i.extend(ids[rows_abs[hit]])
-            out_k.extend(ids[first[hit]])
+            ids = ids[order]
+            is_new = is_new_g[order]
+            X = X[order]
+            norms = np.sqrt((X * X).sum(axis=1))
+            n = len(ids)
+            B = 1024
+            for s in range(1, n, B):
+                e = min(s + B, n)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    S = (X[s:e] @ X[:e].T) / np.outer(norms[s:e], norms[:e])
+                rows_abs = np.arange(s, e)
+                # a NEW row is pruned by anything EARLIER in the order
+                # (historical rows and lower-id new rows); historical
+                # rows are never pruned
+                mask = (
+                    (S >= thr)
+                    & (np.arange(e)[None, :] < rows_abs[:, None])
+                    & is_new[s:e][:, None]
+                )
+                hit = mask.any(axis=1)
+                first = mask.argmax(axis=1)
+                out_i.extend(ids[rows_abs[hit]])
+                out_k.extend(ids[first[hit]])
+        if not out_i:
+            empty = pdf["_id"][:0]
+            return pd.DataFrame({"_ida": empty, "keeper_id": empty})
         return pd.DataFrame({"_ida": out_i, "keeper_id": out_k})
 
     pruned = both.groupBy("cluster", "sub_bucket").applyInPandas(

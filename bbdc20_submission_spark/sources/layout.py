@@ -82,6 +82,43 @@ def _interleave_bits(buckets: Sequence[Column], bits: int) -> Column:
     return z
 
 
+def _reservoir_sample_rows(df: DataFrame, cap: int, seed: int = 0x5EED) -> list:
+    """Collect at most ~``cap`` rows drawn UNIFORMLY from each
+    partition via a seeded reservoir (Algorithm R with a
+    ``random.Random((seed << 16) ^ partition_index)`` RNG):
+
+    - unbiased within every partition, unlike a per-partition head —
+      an input sorted within partitions (the typical time-axis layout
+      this module writes) contributes rows from its WHOLE range;
+    - deterministic for a fixed input layout (pure function of the
+      partition contents + seed), unlike LIMIT/sample-free paths
+      whose result depends on task completion order;
+    - bounded: exactly ``cap // num_partitions`` rows of driver and
+      per-task memory, one narrow pass, no prior ``count()`` job.
+
+    The RDD hop deserializes only the projected columns (callers
+    project to the 2–4 z-columns first), so the pass stays cheap even
+    where the table itself is wide."""
+    n_parts = max(df.rdd.getNumPartitions(), 1)
+    per = max(1, cap // n_parts)
+
+    def _part(idx, it):
+        import random
+
+        rng = random.Random((seed << 16) ^ idx)
+        buf: list = []
+        for i, row in enumerate(it):
+            if i < per:
+                buf.append(row)
+            else:
+                j = rng.randint(0, i)
+                if j < per:
+                    buf[j] = row
+        return iter(buf)
+
+    return df.rdd.mapPartitionsWithIndex(_part).collect()
+
+
 def write_zorder(
     df: DataFrame,
     path: str,
@@ -106,11 +143,19 @@ def write_zorder(
 
     Scale shape: the per-column boundary arrays (2^bits - 1 doubles
     each, constant size regardless of row count) are fit DRIVER-side
-    as exact quantiles of a bounded seeded sample — the same fit-once
-    pattern as the KMeans quantizer. ``df.approxQuantile`` was the
-    earlier fit; its Greenwald-Khanna summaries merge in task-
-    completion order, so the boundaries (and therefore the whole file
-    layout) differed run to run under load — a layout writer must be
+    as exact quantiles of a bounded sample drawn by a SEEDED
+    PER-PARTITION RESERVOIR (``_reservoir_sample_rows``) — uniform
+    over each partition's rows, deterministic for a fixed input
+    layout, and exactly ``cap // num_partitions`` rows of driver
+    memory per partition with no prior ``count()`` job. A
+    per-partition HEAD here would be wrong in exactly the case this
+    writer targets: fact tables arriving sorted within partitions by
+    a z-column (time axes), where the head sees only the low end of
+    that column and collapses its boundaries so most rows interleave
+    into one extreme bucket. ``df.approxQuantile`` was the earliest
+    fit; its Greenwald-Khanna summaries merge in task-completion
+    order, so the boundaries (and therefore the whole file layout)
+    differed run to run under load — a layout writer must be
     reproducible. Bucketing + bit interleave are narrow codegen
     expressions; then exactly the same repartitionByRange +
     sortWithinPartitions write as the 1-D layout. No UDFs, no second
@@ -128,15 +173,11 @@ def write_zorder(
         )
     import numpy as np
 
-    from bbdc20_submission_spark.operators.clustering import (
-        _deterministic_head,
-    )
-
     probs = [i / (1 << bits) for i in range(1, 1 << bits)]
-    sample = _deterministic_head(
+    sample = _reservoir_sample_rows(
         df.select(*[F.col(c).cast("double").alias(c) for c in cols]).na.drop(),
         262_144,
-    ).collect()
+    )
     if not sample:
         raise ValueError("write_zorder: no non-null rows to fit boundaries on")
     X = np.asarray([[r[c] for c in cols] for r in sample], dtype=np.float64)

@@ -177,7 +177,13 @@ def main() -> None:
         )
 
         em = spark.read.parquet(os.path.join(d, "embeddings.parquet"))
-        mid = (table_column_max("embeddings", "vec_id", d) or 0) // 2
+        # footer stats can be unreadable (helper's documented None
+        # case) — fall back to a real max() job rather than mid=0,
+        # which would empty the history and crash the quantizer fit
+        mx = table_column_max("embeddings", "vec_id", d)
+        if mx is None:
+            mx = em.agg(F.max("vec_id")).first()[0] or 0
+        mid = mx // 2
         hist = em.filter(F.col("vec_id") < mid)
         batch = em.filter(F.col("vec_id") >= mid)
         n = table_row_count("embeddings", d) or 2048

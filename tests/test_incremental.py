@@ -397,3 +397,33 @@ def test_banded_rejects_indivisible_bands(spark):
     index = build_dedup_index(docs, num_hashes=16)
     with pytest.raises(ValueError, match="divisible"):
         incremental_dedup(docs, index, num_hashes=16, bands=5)
+
+
+def test_incremental_semantic_dedup_degenerate_vectors_inert(spark):
+    """Batch vectors with NaN/inf elements or ragged lengths are INERT
+    (kept, never pruned — same contract as clustering._cell_keepers);
+    a finite exact copy of a historical vector is still pruned."""
+    from bbdc20_submission_spark.operators.clustering import CentroidQuantizer
+    from bbdc20_submission_spark.operators.incremental import (
+        build_semantic_index,
+        incremental_semantic_dedup,
+    )
+
+    base = [float(i + 1) for i in range(8)]
+    hist = spark.createDataFrame(
+        [(0, base)], "vec_id long, embedding array<double>"
+    )
+    model = CentroidQuantizer([[0.0] * 8])
+    index = build_semantic_index(hist, model)
+    new = spark.createDataFrame(
+        [
+            (100, [x * 1.000001 for x in base]),  # dup of historical 0
+            (101, [float("nan")] * 8),
+            (102, [float("inf")] + [1.0] * 7),
+            (103, base + [1.0]),  # ragged vs historical dim 8
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    kept, updated = incremental_semantic_dedup(new, index, model, threshold=0.99)
+    assert {r["vec_id"] for r in kept.select("vec_id").collect()} == {101, 102, 103}
+    assert {r["_id"] for r in updated.select("_id").collect()} == {0, 101, 102, 103}

@@ -549,3 +549,35 @@ def test_ivfpq_planted_twin_recall_and_plan(spark, sf_dir):
         d2 = ((centers - q[None, :]) ** 2).sum(axis=1)
         probed = set(np.argsort(d2, kind="stable")[:2].tolist())
         assert cells[r["vec_id"]] in probed
+
+
+def test_semantic_dedup_degenerate_vectors_inert(spark):
+    """NaN/inf-element, ragged-length, and NULL vectors are INERT:
+    kept, never pruned, never keepers (their cosine is undefined —
+    the old expression path pruned NaN rows only via Spark's
+    NaN-orders-last comparison quirk; ragged rows would crash the
+    numpy Gram). Finite same-length twins still dedup around them."""
+    from bbdc20_submission_spark.operators.clustering import (
+        CentroidQuantizer,
+        semantic_dedup,
+    )
+
+    base = [float(i + 1) for i in range(8)]
+    rows = [
+        (0, base),
+        (1, [x * 1.000001 for x in base]),  # exact-direction twin of 0
+        (2, [float("nan")] * 8),
+        (3, [float("inf")] + [1.0] * 7),
+        (4, base + [1.0]),  # ragged: len 9 vs center dim 8
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    model = CentroidQuantizer([[0.0] * 8])  # k=1: one cell, no fit
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(df, threshold=0.99, model=model).collect()
+    }
+    assert len(out) == 6
+    assert out[1]["pruned"] == 1 and out[1]["keeper_id"] == 0
+    for i in (0, 2, 3, 4, 5):
+        assert out[i]["pruned"] == 0 and out[i]["keeper_id"] is None, out[i]

@@ -454,3 +454,68 @@ def test_table_column_max_footer_stats(spark, tmp_path):
     assert table_column_max("embeddings", "vec_id", sf) == 10_000_009
     assert table_column_max("embeddings", "nope", sf) is None
     assert table_column_max("embeddings", "vec_id", "/nonexistent") is None
+
+
+def test_reservoir_sample_unbiased_on_partition_sorted_input(spark):
+    """Regression for the z-order boundary fit: the sample must cover
+    each partition's WHOLE value range even when rows arrive sorted
+    within partitions (the typical time-axis layout) — a
+    per-partition head would see only the low end. Also pins
+    determinism: same input layout + seed -> same sample."""
+    import numpy as np
+
+    from bbdc20_submission_spark.sources.layout import _reservoir_sample_rows
+
+    df = (
+        spark.range(100_000)
+        .repartition(8)
+        .select(F.col("id").cast("double").alias("x"))
+        .sortWithinPartitions("x")
+    )
+    rows = _reservoir_sample_rows(df, 4096)
+    xs = [r["x"] for r in rows]
+    assert 2048 <= len(xs) <= 4096 + 8
+    qs = np.quantile(xs, [0.1, 0.5, 0.9])
+    assert qs[0] < 25_000 and 35_000 < qs[1] < 65_000 and qs[2] > 75_000, qs
+    assert [r["x"] for r in _reservoir_sample_rows(df, 4096)] == xs
+
+
+def test_zorder_partition_sorted_input_still_prunes(spark, tmp_path):
+    """write_zorder on input sorted WITHIN partitions by a z-column:
+    the boundary fit must still produce balanced buckets so a narrow
+    band at the HIGH end of that column prunes most files (the biased
+    head-sample fit collapsed every boundary to the low end)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from bbdc20_submission_spark.sources.layout import write_zorder
+
+    df = (
+        spark.range(40_000)
+        .repartition(8)
+        .select(
+            ((F.col("id") * 9973) % 10_000).cast("double").alias("x"),
+            ((F.col("id") * 7919) % 10_000).cast("double").alias("y"),
+        )
+        .sortWithinPartitions("x")
+    )
+    path = str(tmp_path / "zsorted")
+    write_zorder(df, path, ("x", "y"), n_files=16, bits=8)
+
+    ranges = []
+    for f in glob.glob(f"{path}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "x"
+            )
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) == 16
+    touched = sum(1 for a, b in ranges if b >= 9000.0 and a <= 9500.0)
+    assert touched <= 8, sorted(ranges)
