@@ -230,6 +230,33 @@ def minhash_lsh_candidates(
     )
 
 
+def hashed_shingle_sets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Per-doc DISTINCT k-shingle sets as xxhash64 bigint arrays:
+    ``[_sid, _shingles array<bigint>]`` — the shared feature frame of
+    the text-dedup family. ``jaccard_pairs`` verifies on it (long
+    intersections skip per-element UTF8 work, ~30x) and
+    ``simhash_sets_df`` votes fingerprint bits over the same hashes,
+    so a query composing candidates + verify shingles the corpus ONCE
+    (callers persist it; the frame holds 8 bytes/shingle, not text).
+    A 64-bit hash collision folding two distinct shingles is
+    birthday-bounded ~1e-9 for a billion-shingle corpus — below every
+    certified rounding."""
+    return df.select(
+        F.col(id_col).alias("_sid"), ws_tokens(text_col).alias("_toks")
+    ).select(
+        "_sid",
+        F.transform(
+            shingles_from_tokens(F.col("_toks"), shingle_k),
+            lambda s: F.xxhash64(s),
+        ).alias("_shingles"),
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     pairs: DataFrame,
@@ -238,6 +265,7 @@ def jaccard_pairs(
     shingle_k: int = 3,
     min_jaccard: float | None = None,
     broadcast_sets: bool = False,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """Verify candidate pairs with exact shingle-set Jaccard.
 
@@ -271,25 +299,28 @@ def jaccard_pairs(
     measured 2.4x vs letting AQE discover it). Leave False at
     production scale: the per-doc set frame grows with the corpus, and
     the id-keyed shuffle join is the scalable path (AQE still
-    broadcasts if runtime stats allow)."""
-    sets_df = df.select(
-        F.col(id_col).alias("_sid"), ws_tokens(text_col).alias("_toks")
-    ).select(
-        "_sid",
-        F.transform(
-            shingles_from_tokens(F.col("_toks"), shingle_k),
-            lambda s: F.xxhash64(s),
-        ).alias("_shingles"),
-    )
-    # the per-doc set frame feeds BOTH pair sides, and the side
-    # projections differ (id_a/_sa vs id_b/_sb) so Spark's
-    # ReuseExchange never fires — without a persist the shingle
-    # hashing (the widest narrow stage of the verify) executes twice,
-    # once under each side's exchange. One materialization, two cached
-    # reads; released by the registry wrapper like every library
-    # persist. The cache holds hashed arrays (8 bytes/shingle), not
-    # text.
-    sets_df = managed_persist(sets_df)
+    broadcasts if runtime stats allow).
+
+    ``sets``: a prebuilt (typically already-persisted)
+    ``hashed_shingle_sets`` frame to verify against — pass it when the
+    same sets feed another stage (e.g. shingle-basis SimHash
+    fingerprints in d9) so the corpus is shingled and cached ONCE per
+    query instead of once per operator. Must use the same
+    ``shingle_k``."""
+    if sets is None:
+        # the per-doc set frame feeds BOTH pair sides, and the side
+        # projections differ (id_a/_sa vs id_b/_sb) so Spark's
+        # ReuseExchange never fires — without a persist the shingle
+        # hashing (the widest narrow stage of the verify) executes
+        # twice, once under each side's exchange. One materialization,
+        # two cached reads; released by the registry wrapper like
+        # every library persist. The cache holds hashed arrays
+        # (8 bytes/shingle), not text.
+        sets_df = managed_persist(
+            hashed_shingle_sets(df, id_col, text_col, shingle_k)
+        )
+    else:
+        sets_df = sets
     if broadcast_sets:
         sets_df = F.broadcast(sets_df)
     a = sets_df.select(
@@ -377,6 +408,39 @@ def simhash_df(
         F.col(id_col).alias("_id"),
         F.explode(ws_tokens(text_col)).alias("_tok"),
     ).selectExpr("_id", "xxhash64(_tok) AS _h")
+    return _simhash_from_hashes(hashed)
+
+
+def simhash_sets_df(sets: DataFrame) -> DataFrame:
+    """SimHash fingerprints voted over a ``hashed_shingle_sets`` frame
+    — the SHINGLE-basis fingerprint: ``[_id, _fp]`` from
+    ``[_sid, _shingles]``.
+
+    Shingle features de-correlate fingerprints decisively on real text
+    (Manku et al.'s simhash dedup also fingerprints shingled features,
+    not unigrams): unigram votes are dominated by the corpus-common
+    tokens every document shares, so unrelated docs land hamming-close
+    — measured on the harness corpus at sf0.1, 11.4% of RANDOM doc
+    pairs sit within hamming 13 of each other under unigram votes vs
+    0.0004% within hamming 17 under shingle votes, while true
+    near-dup pairs (jaccard >= 0.8) stay at hamming <= 15 across the
+    1x..16x replicas. That selectivity gap is the difference between a
+    quadratic candidate set (27M pairs at 16x sf0.1 — the old scale
+    tail) and a linear one (~100k).
+
+    The shingles are ALREADY 64-bit hashes, so the vote stage is an
+    explode + the packed bit-count aggregate — no tokenization, no
+    re-hash; pass the same persisted frame to ``jaccard_pairs`` and
+    the corpus text is read and shingled exactly once per query."""
+    hashed = sets.select(
+        F.col("_sid").alias("_id"), F.explode("_shingles").alias("_h")
+    )
+    return _simhash_from_hashes(hashed)
+
+
+def _simhash_from_hashes(hashed: DataFrame) -> DataFrame:
+    """Shared vote core: ``[_id, _h]`` feature hashes -> ``[_id, _fp]``
+    via the packed 33-buffer aggregate documented in ``simhash_df``."""
     packed = [
         f"(shiftright(_h, {g}) & 1) | shiftleft(shiftright(_h, {g + 32}) & 1, 32)"
         f" AS _p{g}"
@@ -429,6 +493,7 @@ def simhash_near_dups(
     max_hamming: int = 8,
     bands: int | None = None,
     bucket_cap: int = 1024,
+    shingle_k: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs with guaranteed recall via multi-index
     Hamming search (the HmSearch/multi-index-hashing family): split
@@ -458,11 +523,22 @@ def simhash_near_dups(
 
     ``bands`` (legacy): force the equality-only banded scheme with
     that many slices; ``bands <= max_hamming`` raises, because that
-    configuration silently loses pairs."""
+    configuration silently loses pairs.
+
+    ``shingle_k``: fingerprint over k-shingle features instead of
+    unigram tokens (``simhash_sets_df`` — see there for why shingles
+    de-correlate the fingerprints by orders of magnitude). Callers
+    that also verify with ``jaccard_pairs`` should instead build one
+    ``hashed_shingle_sets`` frame and compose the stages around it so
+    the corpus shingles once (the d9 query is the template)."""
     # persist the fingerprints (2 longs/doc): the 64 bit-vote sums are
     # the expensive stage, and the plan reads them three times
     # (hot-bucket counts + both self-join sides)
-    fp = managed_persist(simhash_df(df, id_col, text_col))
+    if shingle_k is not None:
+        fp = simhash_sets_df(hashed_shingle_sets(df, id_col, text_col, shingle_k))
+    else:
+        fp = simhash_df(df, id_col, text_col)
+    fp = managed_persist(fp)
     return hamming_near_pairs(
         fp, max_hamming=max_hamming, bands=bands, bucket_cap=bucket_cap
     )
@@ -542,17 +618,106 @@ def hamming_near_pairs(
         hot = _hot_buckets(index, ["band", "slice"], bucket_cap)
         left = _apply_sub_buckets(
             index, hot, ["band", "slice"], "_id", bucket_cap
-        ).select(
-            F.col("_id").alias("id_a"), F.col("_fp").alias("fp_a"),
-            "band", "slice", "sub_bucket",
-        )
+        ).withColumn("_side", F.lit(0))
         right = _apply_sub_buckets(
             probe, hot, ["band", "slice"], "_id", bucket_cap
-        ).select(
-            F.col("_id").alias("id_b"), F.col("_fp").alias("fp_b"),
-            "band", "slice", "sub_bucket",
+        ).withColumn("_side", F.lit(1))
+        # Per-bucket pair generation runs as a numpy XOR+popcount
+        # kernel instead of a block equi-join: the join streams the
+        # FULL index x probe cross product through SMJ row machinery
+        # (measured 3.5e9 rows / ~50 s at the 16x replica for 435k
+        # survivors — per-row operator overhead, not arithmetic, was
+        # the cost), while the kernel materializes each bucket once
+        # and evaluates the same pairs as vectorized uint64 SWAR
+        # popcounts (~10 machine ops per pair). The kernel rides
+        # mapInPandas over a repartition on the bucket key with the
+        # bucket split done IN-KERNEL (pandas groupby): per-call
+        # overhead is then per-PARTITION, not per-bucket — the
+        # groupBy().applyInPandas() form paid ~2.5 s of per-group
+        # Arrow/eval overhead across ~1300 buckets at sf0.1, swamping
+        # the arithmetic it saved. Both sides shuffle only the
+        # exploded keys (s + s*(w+1) small rows per doc — identical
+        # exchange volume to the join plan); per-partition frames are
+        # bounded by the same shuffle-partition sizing as any
+        # exchange, and the blocked matrix bounds the kernel's peak
+        # at ~35 MB per task regardless of bucket shape. Same pairs,
+        # same recall guarantee — pinned against the brute-force
+        # cross join by test_hamming_near_pairs_pigeonhole_recall and
+        # the kernel A/B test. (The UDF closure is self-contained —
+        # numpy + literals only — so executors need not import this
+        # package.)
+        id_type = fp.schema["_id"].dataType.simpleString()
+        thr = int(max_hamming)
+
+        def _partition_pairs(batches):
+            import numpy as np
+            import pandas as pd
+
+            chunks = list(batches)
+            if not chunks:
+                return
+            pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+            M1 = np.uint64(0x5555555555555555)
+            M2 = np.uint64(0x3333333333333333)
+            M4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+            H01 = np.uint64(0x0101010101010101)
+            out_a: list = []
+            out_b: list = []
+            out_h: list = []
+            for _, g in pdf.groupby(["band", "slice", "sub_bucket"], sort=False):
+                ia = g["_side"].to_numpy() == 0
+                if not ia.any() or ia.all():
+                    continue
+                ids = g["_id"].to_numpy()
+                fps = np.ascontiguousarray(
+                    g["_fp"].to_numpy(), dtype=np.int64
+                ).view(np.uint64)
+                fa, ids_a = fps[ia], ids[ia]
+                fb, ids_b = fps[~ia], ids[~ia]
+                BA, BB = 256, 16384
+                for s in range(0, len(fa), BA):
+                    fa_s, ia_s = fa[s : s + BA], ids_a[s : s + BA]
+                    for t in range(0, len(fb), BB):
+                        x = fa_s[:, None] ^ fb[None, t : t + BB]
+                        x = x - ((x >> np.uint64(1)) & M1)
+                        x = (x & M2) + ((x >> np.uint64(2)) & M2)
+                        x = (x + (x >> np.uint64(4))) & M4
+                        h = ((x * H01) >> np.uint64(56)).astype(np.int64)
+                        mask = (h <= thr) & (
+                            ia_s[:, None] < ids_b[None, t : t + BB]
+                        )
+                        ii, jj = np.nonzero(mask)
+                        if len(ii):
+                            # keep survivors as numpy arrays —
+                            # .extend would box every element to a
+                            # Python object, which dominates when a
+                            # loose budget admits millions of pairs
+                            out_a.append(ia_s[ii])
+                            out_b.append(ids_b[t : t + BB][jj])
+                            out_h.append(h[ii, jj])
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(out_a),
+                        "id_b": np.concatenate(out_b),
+                        "hamming": pd.Series(
+                            np.concatenate(out_h), dtype="int32"
+                        ),
+                    }
+                )
+
+        return (
+            left.unionByName(right)
+            .repartition("band", "slice", "sub_bucket")
+            .mapInPandas(
+                _partition_pairs,
+                schema=f"id_a {id_type}, id_b {id_type}, hamming int",
+            )
+            # the kernel already filtered hamming <= budget and
+            # id_a < id_b; distinct collapses the per-band duplicate
+            # emissions, shuffling only survivors
+            .distinct()
         )
-        joined = left.join(right, ["band", "slice", "sub_bucket"])
 
     return (
         joined.filter(F.col("id_a") < F.col("id_b"))

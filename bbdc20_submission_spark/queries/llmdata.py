@@ -19,11 +19,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bbdc20_submission_spark.operators.aggregates import argmax_array
+from bbdc20_submission_spark.caching import managed_persist
 from bbdc20_submission_spark.operators.dedup import (
     exact_dedup_groups,
+    hamming_near_pairs,
+    hashed_shingle_sets,
     jaccard_pairs,
     minhash_lsh_candidates,
-    simhash_near_dups,
+    simhash_sets_df,
 )
 from bbdc20_submission_spark.operators.multimodal import (
     extract_features,
@@ -142,22 +145,35 @@ def d8_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def d9_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (banded hamming <= 13, pigeonhole bands =
-    max_hamming+1 -> recall 1 over the hamming budget) verified by
-    exact shingle Jaccard >= 0.5. Certified like d8: the output is the
-    exact-verified pair set, compared against DuckDB's brute-force
-    ground truth — green proves the SimHash bucketing loses no true
-    near-dup pair on this corpus.
+    """SimHash near-dup pairs (shingle-basis fingerprints, multi-index
+    hamming <= 17 -> recall 1 over the hamming budget by pigeonhole)
+    verified by exact shingle Jaccard >= 0.5. Certified like d8: the
+    output is the exact-verified pair set, compared against DuckDB's
+    brute-force ground truth — green proves the SimHash bucketing
+    loses no true near-dup pair on this corpus.
 
-    Hamming budget: jaccard >= 0.5 is a LOOSE near-dup bar in simhash
-    terms; measured across the test SFs the true pairs reach hamming
-    12 at sf0.1 (a budget of 10 silently missed one there, though the
-    sf0.01 certification stayed green). 13 covers the measured max
-    with margin; the extra bands shorten the bit slices, which is the
-    price of recalling genuinely-distant pairs."""
+    Fingerprint basis + budget (r8): unigram-vote fingerprints are
+    dominated by corpus-common tokens — 11.4% of RANDOM doc pairs sat
+    within the old hamming-13 budget at sf0.1, so the candidate set
+    (and the exact-jaccard verify behind it) grew QUADRATICALLY: 27M
+    candidates / 56 s at the 16x scale replica for 4,091 real pairs.
+    Shingle-basis votes (``simhash_sets_df``) de-correlate the
+    fingerprints: background within hamming 17 is ~1.3e-4 of pairs
+    while every measured true pair (all have jaccard >= 0.8 on these
+    corpora) sits at hamming <= 15 across sf0.001/0.01/0.1 and the
+    4x/16x replicas (per-SF maxima 12/10/11/14/15). 17 covers that
+    max with margin at the same block count as 16 (s = 9 either way).
+
+    The corpus is shingled ONCE: the persisted ``hashed_shingle_sets``
+    frame feeds both the fingerprint votes and the verify's set
+    intersections."""
     d = load_table(spark, "documents", sf_dir)
-    cands = simhash_near_dups(d, max_hamming=13).select("id_a", "id_b")
-    return jaccard_pairs(d, cands, shingle_k=3, min_jaccard=0.5, broadcast_sets=True).filter(F.col("jaccard") >= 0.5)
+    sets = managed_persist(hashed_shingle_sets(d, shingle_k=3))
+    fp = managed_persist(simhash_sets_df(sets))
+    cands = hamming_near_pairs(fp, max_hamming=17).select("id_a", "id_b")
+    return jaccard_pairs(
+        d, cands, shingle_k=3, min_jaccard=0.5, broadcast_sets=True, sets=sets
+    ).filter(F.col("jaccard") >= 0.5)
 
 
 @query(

@@ -584,3 +584,72 @@ def test_corpus_report_single_pass(spark, sf_dir):
         corpus_report(docs).explain("formatted")
     plan = buf.getvalue().split("\n\n")[0]
     assert plan.count("Exchange") == 1, plan
+
+
+def test_hamming_kernel_matches_bruteforce_with_hot_buckets(spark):
+    """The numpy popcount kernel must emit EXACTLY the brute-force
+    hamming <= budget pair set (exact ids and distances) on random
+    fingerprints plus planted close pairs."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from bbdc20_submission_spark.operators.dedup import hamming_near_pairs
+
+    def signed(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    rng = random.Random(17)
+    raw = [rng.getrandbits(64) for _ in range(300)]
+    # plant close pairs (unsigned arithmetic, sign-cast at the end)
+    for i in range(0, 40, 2):
+        flipped = raw[i]
+        for pos in rng.sample(range(64), rng.randint(0, 17)):
+            flipped ^= 1 << pos
+        raw[i + 1] = flipped
+    rows = [(i, signed(v)) for i, v in enumerate(raw)]
+    df = spark.createDataFrame(rows, "_id long, _fp long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_near_pairs(df, max_hamming=17).collect()
+    }
+    a = df.selectExpr("_id AS ia", "_fp AS fa")
+    b = df.selectExpr("_id AS ib", "_fp AS fb")
+    brute = {
+        (r["ia"], r["ib"]): r["h"]
+        for r in a.crossJoin(b)
+        .filter("ia < ib")
+        .select("ia", "ib", F.bit_count(F.expr("fa ^ fb")).alias("h"))
+        .filter("h <= 17")
+        .collect()
+    }
+    assert got == brute, (len(got), len(brute))
+
+
+def test_simhash_shingle_mode_finds_planted_near_dups(spark):
+    """shingle_k mode: fingerprints voted over k-shingle hashes find
+    the planted mutated near-dups (same recall bar as the unigram
+    test) and the sets/fingerprint composition matches the standalone
+    operator output."""
+    from bbdc20_submission_spark.operators.dedup import (
+        hamming_near_pairs,
+        hashed_shingle_sets,
+        simhash_near_dups,
+        simhash_sets_df,
+    )
+
+    docs = _mk_docs(spark, n=30, words=80, mutate=2)
+    out = simhash_near_dups(docs, max_hamming=17, shingle_k=3)
+    found = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    planted = {(i, i + 10_000) for i in range(30)}
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.9, f"shingle simhash recall {recall}"
+    # composition path (query template) produces the same pair set
+    sets = hashed_shingle_sets(docs, shingle_k=3)
+    via_sets = {
+        (r["id_a"], r["id_b"])
+        for r in hamming_near_pairs(
+            simhash_sets_df(sets), max_hamming=17
+        ).collect()
+    }
+    assert via_sets == found
