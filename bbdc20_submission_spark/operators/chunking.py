@@ -396,6 +396,7 @@ def dedup_clusters(
     score_col: str = "score",
     quality_keeper_col: str | None = None,
     quality_dup_col: str | None = None,
+    inline_score_cols: tuple[str, str] | None = None,
 ) -> DataFrame:
     """Assign every document its dedup cluster representative: docs in
     a near-dup component share its min id; singletons keep their own.
@@ -427,47 +428,86 @@ def dedup_clusters(
     ``quality_keeper_col``/``quality_dup_col`` set, BOTH policies are
     emitted side by side ([id, keep_id, is_duplicate, q_keeper,
     q_dup]); otherwise the quality keeper REPLACES keep_id (the
-    policy a curation pipeline actually wants)."""
+    policy a curation pipeline actually wants).
+
+    ``inline_score_cols=(score_a_col, score_b_col)``: the keeper
+    scores are ALREADY columns of ``pairs`` (a verify that carried
+    them via ``jaccard_pairs(carry=...)``) — the driver path then
+    reads them off the collected edge rows, zero extra jobs/scans, and
+    the all-Spark path derives its score frame from the edge columns.
+    Mutually exclusive with ``keeper_scores``; requires a complete
+    per-doc score (every edge row carries its endpoints' scores, so
+    "unscored member" cannot arise — NULL scores still sort last)."""
     if quality_dup_col and not quality_keeper_col:
         raise ValueError(
             "dedup_clusters: quality_dup_col requires quality_keeper_col"
             " (the replace-policy form names its outputs keep_id /"
             " is_duplicate)"
         )
+    if keeper_scores is not None and inline_score_cols is not None:
+        raise ValueError(
+            "dedup_clusters: keeper_scores and inline_score_cols are"
+            " mutually exclusive score sources"
+        )
+    want_quality = keeper_scores is not None or inline_score_cols is not None
     src, dst = (
         ("id_a", "id_b")
         if {"id_a", "id_b"} <= set(pairs.columns)
         else tuple(pairs.columns[:2])
     )
-    pairs_p = pairs.select(
-        F.col(src).alias("_ea"), F.col(dst).alias("_eb")
-    ).persist()
+    sel = [F.col(src).alias("_ea"), F.col(dst).alias("_eb")]
+    if inline_score_cols is not None:
+        sa_col, sb_col = inline_score_cols
+        sel += [F.col(sa_col).alias("_sa"), F.col(sb_col).alias("_sb")]
+    edge_sel = pairs.select(*sel)
     # the broadcast mapping schema derives its id type from _ea; a
     # mixed-type edge frame (int vs long) would mis-type _eb-originated
     # values far from here — fail fast instead
-    if pairs_p.schema["_ea"].dataType != pairs_p.schema["_eb"].dataType:
+    if edge_sel.schema["_ea"].dataType != edge_sel.schema["_eb"].dataType:
         raise ValueError(
             "dedup_clusters: edge columns must share one id type, got "
-            f"{pairs_p.schema['_ea'].dataType} vs {pairs_p.schema['_eb'].dataType}"
+            f"{edge_sel.schema['_ea'].dataType} vs {edge_sel.schema['_eb'].dataType}"
         )
-    n_edges = pairs_p.count()  # materializes the verify pipeline ONCE
-    if n_edges <= driver_edge_threshold:
+    # ONE job materializes the verify pipeline AND decides the path:
+    # collect at most threshold+1 edges. When the result fits the
+    # bound, LIMIT returned the COMPLETE edge set (a limit can only be
+    # nondeterministic about WHICH rows it keeps when it drops some),
+    # so the collected rows are exactly the edges — the earlier
+    # persist + count() + collect() pair of jobs over the same
+    # pipeline collapses into this collect. Past the bound only the
+    # fact "too many" is used and the all-Spark path re-derives edges
+    # itself (and on adversarial corpora the limit's early exit means
+    # the probe never paid for the full edge volume).
+    edge_rows = edge_sel.limit(driver_edge_threshold + 1).collect()
+    if len(edge_rows) <= driver_edge_threshold:
         mapping = _union_find_components(
-            [(r["_ea"], r["_eb"]) for r in pairs_p.collect()]
+            [(r["_ea"], r["_eb"]) for r in edge_rows]
         )
         spark = df.sparkSession
         # id/component carry the caller's id type (long doc ids, string
         # uuids, ...) — derive it from the edge frame, don't hardcode
-        id_type = pairs_p.schema["_ea"].dataType
+        id_type = edge_sel.schema["_ea"].dataType
         fields = [
             T.StructField("id", id_type),
             T.StructField("component", id_type),
         ]
         rows: list[tuple] = list(mapping.items())
-        if keeper_scores is not None:
-            q_map = _driver_quality_keepers(
-                mapping, keeper_scores, id_col, score_col, id_type
-            )
+        if want_quality:
+            if inline_score_cols is not None:
+                # scores came through the edge rows themselves (the
+                # verify join touched both sides anyway) — zero extra
+                # jobs, zero extra scans. Every member IS an edge
+                # endpoint, so coverage equals the member-fetch path
+                # given a complete per-doc score column.
+                member_scores: dict = {}
+                for r in edge_rows:
+                    member_scores[r["_ea"]] = r["_sa"]
+                    member_scores[r["_eb"]] = r["_sb"]
+                q_map = _argmax_keepers(mapping, member_scores.items())
+            else:
+                q_map = _driver_quality_keepers(
+                    mapping, keeper_scores, id_col, score_col, id_type
+                )
             fields.append(T.StructField("_qcomp", id_type))
             rows = [(n, c, q_map[n]) for n, c in mapping.items()]
         comp = spark.createDataFrame(rows, schema=T.StructType(fields))
@@ -481,7 +521,7 @@ def dedup_clusters(
             keep.alias("keep_id"),
             (keep != F.col(id_col)).alias("is_duplicate"),
         ]
-        if keeper_scores is not None:
+        if want_quality:
             qkeep = F.coalesce("_qcomp", F.col(id_col))
             # both-policies mode defaults the dup column to
             # is_duplicate_q (like the reselect_keepers fallback) so it
@@ -497,8 +537,8 @@ def dedup_clusters(
             # REPLACING the min-id label — one broadcast join either way
             cols = cols + qcols if quality_keeper_col else [F.col(id_col), *qcols]
         out = out.select(*cols)
-        pairs_p.unpersist()
         return out
+    pairs_p = edge_sel.select("_ea", "_eb").persist()
     comp = connected_components(pairs_p, src="_ea", dst="_eb")
     out = (
         df.select(id_col)
@@ -512,14 +552,30 @@ def dedup_clusters(
         )
     )
     pairs_p.unpersist()
-    if keeper_scores is not None:
+    if want_quality:
         # above the driver bound the membership never comes to the
         # driver — the all-Spark reselect pass provides the identical
-        # argmax/tie/fallback semantics
+        # argmax/tie/fallback semantics. Inline edge-carried scores
+        # become the score frame (members = edge endpoints).
+        if inline_score_cols is not None:
+            score_frame = (
+                edge_sel.select(
+                    F.col("_ea").alias(id_col), F.col("_sa").alias(score_col)
+                )
+                .unionByName(
+                    edge_sel.select(
+                        F.col("_eb").alias(id_col),
+                        F.col("_sb").alias(score_col),
+                    )
+                )
+                .distinct()
+            )
+        else:
+            score_frame = keeper_scores.select(id_col, score_col)
         if quality_keeper_col:
             out = reselect_keepers(
                 out,
-                keeper_scores.select(id_col, score_col),
+                score_frame,
                 id_col=id_col,
                 score_col=score_col,
                 passthrough=("keep_id", "is_duplicate"),
@@ -529,7 +585,7 @@ def dedup_clusters(
         else:
             out = reselect_keepers(
                 out,
-                keeper_scores.select(id_col, score_col),
+                score_frame,
                 id_col=id_col,
                 score_col=score_col,
             )
@@ -553,8 +609,6 @@ def _driver_quality_keepers(
     value (Spark's float ordering), NULL scores sort last (DESC NULLS
     LAST), unscored members never win, and a cluster with no scored
     member keeps its min-id label."""
-    import math
-
     spark = keeper_scores.sparkSession
     members = spark.createDataFrame(
         [(n,) for n in mapping],
@@ -565,6 +619,19 @@ def _driver_quality_keepers(
         .join(F.broadcast(members), id_col)
         .collect()
     )
+    return _argmax_keepers(mapping, ((r[0], r[1]) for r in scored))
+
+
+def _argmax_keepers(mapping: dict, scored_items) -> dict:
+    """Argmax keeper per component from (id, score) items, mirroring a
+    ``row_number() OVER (ORDER BY score DESC NULLS LAST, id ASC)``
+    window exactly (NaN sorts as the LARGEST score, like Spark float
+    ordering). ``scored_items`` need only cover ids present in
+    ``mapping``-as-keys; components with no scored member keep their
+    min-id label. Shared by the member-fetch path
+    (:func:`_driver_quality_keepers`) and the inline edge-carried
+    score path of :func:`dedup_clusters`."""
+    import math
 
     def cat(s) -> int:
         # DESC ordering class: NaN largest (0), values (1), NULL last (2)
@@ -586,10 +653,12 @@ def _driver_quality_keepers(
         return i1 < i2
 
     best: dict = {}
-    for r in scored:
-        comp = mapping[r[0]]
-        if comp not in best or beats(r[1], r[0], *best[comp]):
-            best[comp] = (r[1], r[0])
+    for i, s in scored_items:
+        if i not in mapping:
+            continue
+        comp = mapping[i]
+        if comp not in best or beats(s, i, *best[comp]):
+            best[comp] = (s, i)
     return {n: best[c][1] if c in best else c for n, c in mapping.items()}
 
 

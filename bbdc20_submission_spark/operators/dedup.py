@@ -173,6 +173,32 @@ def minhash_signatures_df(
     )
 
 
+def minhash_signatures_from_sets(
+    sets: DataFrame, num_hashes: int = 16
+) -> DataFrame:
+    """MinHash signatures over a ``hashed_shingle_sets`` frame: explode
+    the per-doc 64-bit shingle hashes and min-aggregate
+    ``xxhash64(shingle_hash, seed)`` per seed. Same codegen +
+    map-side-combine shape as ``minhash_signatures_df``, but the seeded
+    hashes take an 8-byte long instead of re-hashing the shingle STRING
+    per seed — and a caller that also verifies with ``jaccard_pairs``
+    feeds both stages from ONE persisted sets frame, so the corpus is
+    tokenized and shingled exactly once (the curation DAG and
+    d8/d12 are the templates). The signature VALUES differ from the
+    string-basis form (different hash composition) — candidates are an
+    internal superset either way; the verified pair set is what the
+    oracles certify. Output: [_id, h0..h{n-1}]."""
+    hashed = sets.select(
+        F.col("_sid").alias("_id"), F.explode("_shingles").alias("_h")
+    ).select(
+        "_id",
+        *[F.xxhash64("_h", F.lit(s)).alias(f"h{s}") for s in range(num_hashes)],
+    )
+    return hashed.groupBy("_id").agg(
+        *[F.min(f"h{s}").alias(f"h{s}") for s in range(num_hashes)]
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -181,12 +207,18 @@ def minhash_lsh_candidates(
     num_hashes: int = 16,
     bands: int = 4,
     bucket_cap: int = 1024,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: split the signature into ``bands`` rows of
     ``num_hashes/bands`` values; docs sharing any full band land in the
     same bucket; bucket equi-self-join emits pairs (id_a < id_b).
     Buckets above ``bucket_cap`` members are hash-split so a hot bucket
     (boilerplate-heavy corpora) cannot go quadratic — see _cap_buckets.
+
+    ``sets``: a prebuilt (typically persisted) ``hashed_shingle_sets``
+    frame — signatures then derive from the shared shingle hashes
+    (``minhash_signatures_from_sets``) instead of re-shingling the
+    text. Must use the same ``shingle_k`` as the caller's verify.
 
     Output: [id_a, id_b] distinct candidate pairs."""
     rows_per_band = num_hashes // bands
@@ -195,7 +227,9 @@ def minhash_lsh_candidates(
     # sides), and each read would otherwise re-run the full
     # shingle-explode aggregation
     sig = managed_persist(
-        minhash_signatures_df(df, id_col, text_col, shingle_k, num_hashes)
+        minhash_signatures_from_sets(sets, num_hashes)
+        if sets is not None
+        else minhash_signatures_df(df, id_col, text_col, shingle_k, num_hashes)
     )
     banded = sig.select(
         "_id",
@@ -235,6 +269,7 @@ def hashed_shingle_sets(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_k: int = 3,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-doc DISTINCT k-shingle sets as xxhash64 bigint arrays:
     ``[_sid, _shingles array<bigint>]`` — the shared feature frame of
@@ -245,15 +280,23 @@ def hashed_shingle_sets(
     (callers persist it; the frame holds 8 bytes/shingle, not text).
     A 64-bit hash collision folding two distinct shingles is
     birthday-bounded ~1e-9 for a billion-shingle corpus — below every
-    certified rounding."""
+    certified rounding.
+
+    ``carry``: extra ``df`` columns to ride the frame (e.g. a keeper
+    score) — they then reach pair verification for free through the
+    joins ``jaccard_pairs`` performs anyway (``carry`` there), instead
+    of costing a separate score-lookup scan later."""
     return df.select(
-        F.col(id_col).alias("_sid"), ws_tokens(text_col).alias("_toks")
+        F.col(id_col).alias("_sid"),
+        ws_tokens(text_col).alias("_toks"),
+        *carry,
     ).select(
         "_sid",
         F.transform(
             shingles_from_tokens(F.col("_toks"), shingle_k),
             lambda s: F.xxhash64(s),
         ).alias("_shingles"),
+        *carry,
     )
 
 
@@ -266,6 +309,7 @@ def jaccard_pairs(
     min_jaccard: float | None = None,
     broadcast_sets: bool = False,
     sets: DataFrame | None = None,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Verify candidate pairs with exact shingle-set Jaccard.
 
@@ -306,7 +350,15 @@ def jaccard_pairs(
     same sets feed another stage (e.g. shingle-basis SimHash
     fingerprints in d9) so the corpus is shingled and cached ONCE per
     query instead of once per operator. Must use the same
-    ``shingle_k``."""
+    ``shingle_k``.
+
+    ``carry``: per-doc columns already riding the ``sets`` frame
+    (``hashed_shingle_sets(carry=...)``) to emit per SIDE as
+    ``<col>_a`` / ``<col>_b`` — e.g. a keeper score, which
+    ``dedup_clusters`` can then consume inline from the verified edge
+    list instead of paying a separate member-score scan. Zero extra
+    joins: the columns ride the two set-side joins this verify
+    performs anyway."""
     if sets is None:
         # the per-doc set frame feeds BOTH pair sides, and the side
         # projections differ (id_a/_sa vs id_b/_sb) so Spark's
@@ -327,11 +379,13 @@ def jaccard_pairs(
         F.col("_sid").alias("id_a"),
         F.col("_shingles").alias("_sa"),
         F.size("_shingles").alias("_na"),
+        *[F.col(c).alias(f"{c}_a") for c in carry],
     )
     b = sets_df.select(
         F.col("_sid").alias("id_b"),
         F.col("_shingles").alias("_sb"),
         F.size("_shingles").alias("_nb"),
+        *[F.col(c).alias(f"{c}_b") for c in carry],
     )
     joined = pairs.join(a, "id_a").join(b, "id_b")
     if min_jaccard is not None:
@@ -339,17 +393,20 @@ def jaccard_pairs(
             F.least("_na", "_nb") >= min_jaccard * F.greatest("_na", "_nb")
         )
     inter = F.size(F.array_intersect("_sa", "_sb"))
+    carried = [f"{c}_{side}" for c in carry for side in ("a", "b")]
     return joined.select(
         "id_a",
         "id_b",
         (F.col("_na") + F.col("_nb")).alias("_sum"),
         inter.alias("_inter"),
+        *carried,
     ).select(
         "id_a",
         "id_b",
         F.round(F.col("_inter") / (F.col("_sum") - F.col("_inter")), 6).alias(
             "jaccard"
         ),
+        *carried,
     )
 
 

@@ -35,8 +35,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from bbdc20_submission_spark.caching import managed_persist
 from bbdc20_submission_spark.operators.chunking import dedup_clusters
 from bbdc20_submission_spark.operators.dedup import (
+    hashed_shingle_sets,
     jaccard_pairs,
     minhash_lsh_candidates,
     minhash_signatures_df,
@@ -196,14 +198,19 @@ def _dedup_batch(
     surv_docs = new_docs.join(
         fresh.select(F.col("_id").alias(id_col)), id_col, "left_semi"
     )
+    # candidates and verify share one persisted shingle-set frame
+    # (shingle once; see hashed_shingle_sets)
+    sets = managed_persist(
+        hashed_shingle_sets(surv_docs, id_col, text_col, shingle_k)
+    )
     cands = minhash_lsh_candidates(
-        surv_docs, id_col, text_col, shingle_k, num_hashes, bands
+        surv_docs, id_col, text_col, shingle_k, num_hashes, bands, sets=sets
     )
     # shingle_k MUST flow through: verifying at a different k than the
     # candidates/signatures silently shifts the effective threshold
     pairs = jaccard_pairs(
         surv_docs, cands, id_col, text_col, shingle_k=shingle_k,
-        min_jaccard=min_jaccard,
+        min_jaccard=min_jaccard, sets=sets,
     ).filter(F.col("jaccard") >= min_jaccard)
     reps = dedup_clusters(surv_docs, pairs, id_col).filter(
         ~F.col("is_duplicate")

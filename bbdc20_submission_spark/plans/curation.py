@@ -45,6 +45,7 @@ from bbdc20_submission_spark.operators.chunking import (
 )
 from bbdc20_submission_spark.operators.dedup import (
     exact_dedup_groups,
+    hashed_shingle_sets,
     jaccard_pairs,
     minhash_lsh_candidates,
 )
@@ -197,31 +198,39 @@ def curate(
 
     # 2. near-dup clustering over the exact-unique survivors (exact
     # dups are already gone, so LSH only pays for real near-dup work);
-    # keep one representative per cluster.
-    cands = minhash_lsh_candidates(exact_unique, id_col, text_col)
+    # keep one representative per cluster. Candidate signatures AND
+    # the jaccard verify both feed from ONE persisted
+    # hashed_shingle_sets frame — the survivors are tokenized and
+    # shingled exactly once for the whole near-dup stage.
+    score = config.keeper_score_col
+    sets = managed_persist(
+        hashed_shingle_sets(
+            exact_unique, id_col, text_col, carry=(score,) if score else ()
+        )
+    )
+    cands = minhash_lsh_candidates(exact_unique, id_col, text_col, sets=sets)
     pairs = jaccard_pairs(
         exact_unique,
         cands,
         id_col,
         text_col,
         min_jaccard=config.near_dup_jaccard,
+        sets=sets,
+        carry=(score,) if score else (),
     ).filter(F.col("jaccard") >= config.near_dup_jaccard)
     # the quality-keeper policy (keep each cluster's max-score member)
-    # rides INSIDE dedup_clusters: on the driver-union-find path the
-    # membership is already on the driver, so the argmax costs one
-    # bounded member-score fetch instead of a persist + distinct +
-    # window + re-join chain (reselect_keepers remains the all-Spark
-    # form above the edge bound, composed by dedup_clusters itself)
+    # rides INSIDE dedup_clusters: keeper scores were CARRIED onto the
+    # verified edge rows by jaccard_pairs (every cluster member is an
+    # edge endpoint), so the driver-union-find path reads them off the
+    # edges it already collected — zero extra jobs or scans — and the
+    # all-Spark path above the edge bound derives its score frame from
+    # the same edge columns (reselect_keepers semantics unchanged)
     clusters = dedup_clusters(
         exact_unique,
         pairs,
         id_col,
-        keeper_scores=(
-            exact_unique.select(id_col, config.keeper_score_col)
-            if config.keeper_score_col is not None
-            else None
-        ),
-        score_col=config.keeper_score_col or "score",
+        score_col=score or "score",
+        inline_score_cols=(f"{score}_a", f"{score}_b") if score else None,
     )
     reps = clusters.filter(~F.col("is_duplicate")).select(id_col)
     near_unique = exact_unique.join(reps, id_col, "left_semi")
@@ -292,7 +301,14 @@ def curate(
             strip_boilerplate,
         )
 
-        scrubbed = scrubbed.localCheckpoint()
+        # project to exactly what downstream reads (id, scrubbed text,
+        # the two metadata columns that ride the chunk explode) BEFORE
+        # materializing: the original text column is dead after scrub,
+        # and checkpointing it would double the write and every
+        # post-checkpoint scan
+        scrubbed = scrubbed.select(
+            id_col, "_scrubbed", "lang_pred", "quality"
+        ).localCheckpoint()
         bp_input = scrubbed.select(id_col, F.col("_scrubbed").alias(text_col))
         flagged = boilerplate_hashes(
             bp_input,

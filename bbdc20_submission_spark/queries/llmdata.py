@@ -133,8 +133,11 @@ def d8_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves LSH recall is exactly 1 on this corpus (false positives are
     impossible — every emitted pair passed the exact verify)."""
     d = load_table(spark, "documents", sf_dir)
-    cands = minhash_lsh_candidates(d, shingle_k=3, num_hashes=16, bands=4)
-    return jaccard_pairs(d, cands, shingle_k=3, min_jaccard=0.5, broadcast_sets=True).filter(F.col("jaccard") >= 0.5)
+    sets = managed_persist(hashed_shingle_sets(d, shingle_k=3))
+    cands = minhash_lsh_candidates(d, shingle_k=3, num_hashes=16, bands=4, sets=sets)
+    return jaccard_pairs(
+        d, cands, shingle_k=3, min_jaccard=0.5, broadcast_sets=True, sets=sets
+    ).filter(F.col("jaccard") >= 0.5)
 
 
 @query(
@@ -259,8 +262,11 @@ def d12_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bbdc20_submission_spark.operators.chunking import dedup_clusters
 
     d = load_table(spark, "documents", sf_dir)
-    cands = minhash_lsh_candidates(d, shingle_k=3, num_hashes=16, bands=4)
-    pairs = jaccard_pairs(d, cands, shingle_k=3, min_jaccard=0.5, broadcast_sets=True).filter(F.col("jaccard") >= 0.5)
+    sets = managed_persist(hashed_shingle_sets(d, shingle_k=3))
+    cands = minhash_lsh_candidates(d, shingle_k=3, num_hashes=16, bands=4, sets=sets)
+    pairs = jaccard_pairs(
+        d, cands, shingle_k=3, min_jaccard=0.5, broadcast_sets=True, sets=sets
+    ).filter(F.col("jaccard") >= 0.5)
     # both keeper policies ride the ONE broadcast label join inside
     # dedup_clusters (driver-side argmax over the already-collected
     # membership; reselect_keepers is its all-Spark fallback above the

@@ -78,6 +78,20 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    # ambient-load alarm: a query whose median runs >25% over its min
+    # within ONE bench invocation is riding machine noise — when many
+    # flag at once, cross-round comparisons of this artifact are
+    # load-confounded (the r6/r7 lesson). Bounded to a count + the
+    # worst offenders so the stdout line stays inside the harness
+    # window; the full per-query flag set derives from
+    # bench_detail.json (queries vs queries_median).
+    drift = sorted(
+        (n for n, m in medians.items() if timings[n] > 0 and m > 1.25 * timings[n]),
+        key=lambda n: -(medians[n] / timings[n]),
+    )
+    if drift:
+        out["drift_n"] = len(drift)
+        out["drift_top"] = drift[:5]
     if errors:
         out["errors"] = errors
     # the harness captures only the LAST ~2000 chars of stdout and

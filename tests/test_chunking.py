@@ -160,6 +160,89 @@ def test_dedup_clusters_empty_pairs(spark):
     assert out == {i: (i, False) for i in range(5)}
 
 
+def test_dedup_clusters_inline_scores_all_paths_agree(spark):
+    """inline_score_cols (scores riding the edge rows, as a
+    jaccard_pairs(carry=...) verify produces) must pick the same
+    keepers as the keeper_scores member-fetch form — on BOTH the
+    driver union-find path and the all-Spark fallback — including the
+    NULL-score and tie corners. keeper_scores+inline together is an
+    error."""
+    import random
+
+    import pytest
+
+    rng = random.Random(11)
+    docs = spark.createDataFrame([(i,) for i in range(120)], "doc_id long")
+    edges = sorted({
+        (min(a, b), max(a, b))
+        for a, b in ((rng.randrange(80), rng.randrange(80)) for _ in range(70))
+        if a != b
+    })
+
+    def s(i):
+        return None if i == 7 else float(i % 9)
+
+    pairs_scored = spark.createDataFrame(
+        [(a, b, s(a), s(b)) for a, b in edges],
+        "id_a long, id_b long, s_a double, s_b double",
+    )
+    pairs_bare = pairs_scored.select("id_a", "id_b")
+    scores = spark.createDataFrame(
+        [(i, s(i)) for i in range(120)], "doc_id long, s double"
+    )
+
+    def snap(df):
+        return {tuple(r) for r in df.collect()}
+
+    ref = snap(dedup_clusters(docs, pairs_bare, keeper_scores=scores,
+                              score_col="s"))
+    kw = dict(score_col="s", inline_score_cols=("s_a", "s_b"))
+    assert snap(dedup_clusters(docs, pairs_scored, **kw)) == ref
+    assert (
+        snap(dedup_clusters(docs, pairs_scored, driver_edge_threshold=-1, **kw))
+        == ref
+    )
+    # both-policies shape rides inline scores too
+    kw2 = dict(kw, quality_keeper_col="qk", quality_dup_col="qd")
+    assert snap(dedup_clusters(docs, pairs_scored, **kw2)) == snap(
+        dedup_clusters(docs, pairs_scored, driver_edge_threshold=-1, **kw2)
+    )
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        dedup_clusters(docs, pairs_scored, keeper_scores=scores,
+                       score_col="s", inline_score_cols=("s_a", "s_b"))
+
+
+def test_jaccard_pairs_carry_emits_per_side_scores(spark):
+    """jaccard_pairs(carry=...) emits <col>_a/<col>_b from the sets
+    frame built with the same carry — each side's value matches the
+    doc's own column, and the jaccard values are unchanged vs the
+    carry-free form."""
+    from bbdc20_submission_spark.operators.dedup import (
+        hashed_shingle_sets,
+        jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h", 8.0),
+            (2, "a b c d e f g x", 7.0),
+            (3, "zz yy xx ww vv uu", 6.0),
+        ],
+        "doc_id long, text string, q double",
+    )
+    cands = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    sets = hashed_shingle_sets(docs, shingle_k=3, carry=("q",))
+    out = jaccard_pairs(docs, cands, sets=sets, carry=("q",))
+    assert out.columns == ["id_a", "id_b", "jaccard", "q_a", "q_b"]
+    rows = {(r["id_a"], r["id_b"]): (r["q_a"], r["q_b"], r["jaccard"])
+            for r in out.collect()}
+    assert rows[(1, 2)][:2] == (8.0, 7.0)
+    assert rows[(1, 3)][:2] == (8.0, 6.0)
+    bare = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in jaccard_pairs(docs, cands, shingle_k=3).collect()}
+    assert {k: v[2] for k, v in rows.items()} == bare
+
+
 def test_connected_components_long_chain_converges(spark):
     """A 150-node path graph needs ~8 doubling rounds (vs 149 pure
     min-label hops, which would blow the iteration cap); the result
