@@ -162,23 +162,44 @@ def boilerplate_chunks(
     )
 
 
+def hashed_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 16,
+) -> DataFrame:
+    """The shared feature frame of the boilerplate pair: token chunks
+    with their md5 — ``[id_col, chunk_id, chunk_text, chunk_hash]``.
+    Detection (:func:`boilerplate_hashes`) and removal
+    (:func:`strip_boilerplate`) both consume it; a caller running both
+    over the same corpus builds it ONCE (typically persisted) so the
+    chunk explode + md5 runs one time instead of two — the curation
+    DAG is the template."""
+    return chunk_by_tokens(df, text_col, id_col, chunk_tokens).select(
+        id_col, "chunk_id", "chunk_text", F.md5("chunk_text").alias("chunk_hash")
+    )
+
+
 def boilerplate_hashes(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     chunk_tokens: int = 16,
     min_docs: int = 2,
+    chunks: DataFrame | None = None,
 ) -> DataFrame:
     """Detection-only variant of :func:`boilerplate_chunks` for
     pipelines that immediately strip: just the flagged ``chunk_hash``
     dim (no exemplar-text fetch — that second join exists for audit/
     reporting, and is wasted work when the only consumer is
-    ``strip_boilerplate``). Output: [chunk_hash]."""
-    chunks = chunk_by_tokens(df, text_col, id_col, chunk_tokens).select(
-        id_col, F.md5("chunk_text").alias("chunk_hash")
-    )
+    ``strip_boilerplate``). ``chunks``: a prebuilt
+    :func:`hashed_chunks` frame to share with the strip pass (must use
+    the same ``chunk_tokens``). Output: [chunk_hash]."""
+    if chunks is None:
+        chunks = hashed_chunks(df, text_col, id_col, chunk_tokens)
     return (
-        chunks.groupBy("chunk_hash")
+        chunks.select(id_col, "chunk_hash")
+        .groupBy("chunk_hash")
         .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)
         .select("chunk_hash")
@@ -191,16 +212,18 @@ def strip_boilerplate(
     text_col: str = "text",
     id_col: str = "doc_id",
     chunk_tokens: int = 16,
+    chunks: DataFrame | None = None,
 ) -> DataFrame:
     """Remove flagged boilerplate chunks from every document and
     reassemble the survivors in order. ``flagged`` is the
     ``boilerplate_chunks`` output (only ``chunk_hash`` is used —
-    broadcast, it is tiny by construction). Documents reduced to
-    nothing keep an empty string. Output: [id_col, {text_col}_clean,
+    broadcast, it is tiny by construction). ``chunks``: a prebuilt
+    :func:`hashed_chunks` frame to share with the detection pass (must
+    use the same ``chunk_tokens``). Documents reduced to nothing keep
+    an empty string. Output: [id_col, {text_col}_clean,
     n_chunks_removed]."""
-    chunks = chunk_by_tokens(df, text_col, id_col, chunk_tokens).select(
-        id_col, "chunk_id", "chunk_text", F.md5("chunk_text").alias("chunk_hash")
-    )
+    if chunks is None:
+        chunks = hashed_chunks(df, text_col, id_col, chunk_tokens)
     marked = chunks.join(
         F.broadcast(flagged.select("chunk_hash").withColumn("_bp", F.lit(1))),
         "chunk_hash",

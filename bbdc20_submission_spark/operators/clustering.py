@@ -479,6 +479,67 @@ def ivf_topk(
     )
 
 
+def _refine_hot_cells(
+    assigned: DataFrame,
+    refine_cap: int,
+    target_cell_size: int,
+    seed: int,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Two-level quantization for the clamped-k regime: cells of
+    ``assigned`` ([.., _v, cluster]) above ``refine_cap`` members are
+    split GEOMETRICALLY by a second KMeans level instead of (only) the
+    hash sub-buckets ``_cap_buckets`` falls back to — hash splitting
+    bounds cost but sacrifices cross-sub-bucket recall, while real
+    sub-centroids keep near neighbors co-celled, so expected cell size
+    stays ~``target_cell_size`` at ANY corpus size even after the
+    coarse auto-k clamp (past ~20M vectors at the 65,536 clamp the
+    expected coarse cell grows linearly; this layer restores constant
+    cells, and the hash cap remains as the final bound for true
+    point-mass cells KMeans cannot separate).
+
+    One bounded driver fit (same ``fit_quantizer`` machinery, sample
+    capped) over the union of all hot-cell members — the second-level
+    centroid budget allocates by density, so each hot region gets
+    sub-centroids proportional to its mass — then one narrow
+    assignment pass over hot members only. The cell key becomes
+    ``cluster * k2 + sub`` (coarse ids are disjoint, so keys never
+    collide across coarse cells; cold cells keep sub=0). Cost when no
+    cell is hot: ONE partial-aggregated count job, nothing else.
+
+    Returns ``assigned`` with the ``cluster`` column rewritten to the
+    composite key."""
+    from bbdc20_submission_spark.operators.dedup import _hot_buckets
+
+    hot = _hot_buckets(assigned, ["cluster"], refine_cap)
+    hot_rows = hot.collect()  # bounded: <= n / refine_cap rows
+    if not hot_rows:
+        return assigned
+    n_hot = sum(r["_bn"] for r in hot_rows)
+    k2 = int(min(max(n_hot // target_cell_size, 2), 65536))
+    hot_ids = hot.select("cluster")
+    hot_members = assigned.join(F.broadcast(hot_ids), "cluster", "left_semi")
+    model2 = fit_quantizer(
+        hot_members,
+        k=k2,
+        vec_col="_v",
+        seed=seed + 101,
+        max_iter=max_iter,
+        approx_n=n_hot,
+    )
+    refined = _with_cluster(hot_members, model2.centers, "_v", out_col="_c2")
+    cold = assigned.join(
+        F.broadcast(hot_ids), "cluster", "left_anti"
+    ).withColumn("_c2", F.lit(0).cast("long"))
+    return (
+        cold.unionByName(refined)
+        .withColumn(
+            "cluster", F.col("cluster") * F.lit(int(k2)) + F.col("_c2")
+        )
+        .drop("_c2")
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     threshold: float = 0.95,
@@ -492,6 +553,8 @@ def semantic_dedup(
     target_cell_size: int = 300,
     model: CentroidQuantizer | None = None,
     approx_n: int | None = None,
+    refine: bool | None = None,
+    refine_cap: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): KMeans
     the embedding space, then within each cell prune any vector that has
@@ -520,33 +583,64 @@ def semantic_dedup(
     ``approx_n`` (a row-count hint — parquet footer counts or a count
     the caller already materialized) so auto-k costs no extra
     full-scan ``count()`` job; auto-k only needs the ORDER of n, so
-    any approximation within a small factor is fine."""
+    any approximation within a small factor is fine.
+
+    ``refine``: second-level quantization of over-full cells
+    (:func:`_refine_hot_cells`) — the scale path past the auto-k
+    clamp, where expected cell size otherwise grows linearly with n
+    and the hash cap starts trading recall. ``None`` (default) =
+    auto: on exactly when n is known and the expected cell size
+    ``n / k`` exceeds ``2 * target_cell_size`` (the clamped regime, or
+    a caller-fixed too-small k); off when nothing about n is known
+    (pre-fit ``model`` with no ``approx_n``). ``refine_cap`` is the
+    membership bar for the second level (default
+    ``4 * target_cell_size``) — the hash ``cap`` stays as the final
+    bound for point-mass cells KMeans cannot separate. At certified
+    SFs no cell is hot, so refinement never changes oracle outputs;
+    when auto-off it costs zero jobs."""
+    from bbdc20_submission_spark.caching import managed_persist
     from bbdc20_submission_spark.operators.dedup import _cap_buckets
 
+    n_known: int | None = approx_n
     if model is None:
         if n_clusters is None:
             n = approx_n if approx_n is not None else df.count()
+            n_known = n
             n_clusters = int(min(max(n // target_cell_size, 8), 65536))
         model = fit_quantizer(
             df, k=n_clusters, vec_col=vec_col, seed=seed,
             max_iter=max_iter, fit_fraction=fit_fraction, approx_n=approx_n,
         )
+    if refine is None:
+        k_eff = int(model.centers.shape[0])
+        refine = (
+            n_known is not None and n_known / k_eff > 2 * target_cell_size
+        )
     arr = F.col(vec_col).cast("array<double>")
-    tagged = _cap_buckets(
-        _with_cluster(
-            # NULL vectors can never be pruned nor serve as keepers
-            # (their cosine is NULL in the expression form) — drop
-            # them before the cell grouping so the numpy batch below
-            # never sees one; they re-enter as kept rows through the
-            # final left join
-            df.select(F.col(id_col).alias("_id"), arr.alias("_v")).filter(
-                F.col("_v").isNotNull()
-            ),
-            model.centers,
-            "_v",
+    assigned = _with_cluster(
+        # NULL vectors can never be pruned nor serve as keepers
+        # (their cosine is NULL in the expression form) — drop
+        # them before the cell grouping so the numpy batch below
+        # never sees one; they re-enter as kept rows through the
+        # final left join
+        df.select(F.col(id_col).alias("_id"), arr.alias("_v")).filter(
+            F.col("_v").isNotNull()
         ),
-        ["cluster"], "_id", cap,
+        model.centers,
+        "_v",
     )
+    if refine:
+        # the refinement reads `assigned` three times (hot count, fit
+        # sample, re-assignment) — persist the narrow [id, vec,
+        # cluster] frame instead of re-running the centroid matmul
+        assigned = managed_persist(assigned)
+        assigned = _refine_hot_cells(
+            assigned,
+            refine_cap or 4 * target_cell_size,
+            target_cell_size,
+            seed,
+        )
+    tagged = _cap_buckets(assigned, ["cluster"], "_id", cap)
     # per-cell duplicate detection as a blocked numpy GRAM MATRIX
     # inside applyInPandas — the canonical SemDeDup shape (Abbas et
     # al. compute per-cluster pairwise cosines as matrix products).

@@ -126,6 +126,7 @@ def curate(
     text_col: str = "text",
     audit: bool = False,
     observe: bool = False,
+    precomputed_pairs: DataFrame | None = None,
 ) -> tuple[DataFrame, dict]:
     """Run the full curation DAG. Returns (curated chunk frame, audit
     counts per stage — empty unless ``audit=True`` or ``observe=True``).
@@ -203,35 +204,65 @@ def curate(
     # hashed_shingle_sets frame — the survivors are tokenized and
     # shingled exactly once for the whole near-dup stage.
     score = config.keeper_score_col
-    sets = managed_persist(
-        hashed_shingle_sets(
-            exact_unique, id_col, text_col, carry=(score,) if score else ()
+    if precomputed_pairs is not None:
+        # a pipeline that already materialized the verified edge set
+        # (a prior curate() audit, a d12-style clustering run, a daily
+        # dedup job) passes it here and the whole LSH prefix —
+        # shingling, signatures, banding, verify — is skipped.
+        # CONTRACT: edges were computed over THIS corpus after the
+        # same blocklist + exact dedup (foreign endpoint ids would
+        # become phantom min-id cluster labels). Keeper scores fall
+        # back to the member-fetch path unless the frame already
+        # carries <score>_a/_b columns from jaccard_pairs(carry=...).
+        pairs = precomputed_pairs
+        inline = (
+            (f"{score}_a", f"{score}_b")
+            if score and {f"{score}_a", f"{score}_b"} <= set(pairs.columns)
+            else None
         )
-    )
-    cands = minhash_lsh_candidates(exact_unique, id_col, text_col, sets=sets)
-    pairs = jaccard_pairs(
-        exact_unique,
-        cands,
-        id_col,
-        text_col,
-        min_jaccard=config.near_dup_jaccard,
-        sets=sets,
-        carry=(score,) if score else (),
-    ).filter(F.col("jaccard") >= config.near_dup_jaccard)
-    # the quality-keeper policy (keep each cluster's max-score member)
-    # rides INSIDE dedup_clusters: keeper scores were CARRIED onto the
-    # verified edge rows by jaccard_pairs (every cluster member is an
-    # edge endpoint), so the driver-union-find path reads them off the
-    # edges it already collected — zero extra jobs or scans — and the
-    # all-Spark path above the edge bound derives its score frame from
-    # the same edge columns (reselect_keepers semantics unchanged)
-    clusters = dedup_clusters(
-        exact_unique,
-        pairs,
-        id_col,
-        score_col=score or "score",
-        inline_score_cols=(f"{score}_a", f"{score}_b") if score else None,
-    )
+        clusters = dedup_clusters(
+            exact_unique,
+            pairs,
+            id_col,
+            score_col=score or "score",
+            inline_score_cols=inline,
+            keeper_scores=(
+                docs.select(id_col, score) if score and inline is None else None
+            ),
+        )
+    else:
+        sets = managed_persist(
+            hashed_shingle_sets(
+                exact_unique, id_col, text_col, carry=(score,) if score else ()
+            )
+        )
+        cands = minhash_lsh_candidates(
+            exact_unique, id_col, text_col, sets=sets
+        )
+        pairs = jaccard_pairs(
+            exact_unique,
+            cands,
+            id_col,
+            text_col,
+            min_jaccard=config.near_dup_jaccard,
+            sets=sets,
+            carry=(score,) if score else (),
+        ).filter(F.col("jaccard") >= config.near_dup_jaccard)
+        # the quality-keeper policy (keep each cluster's max-score
+        # member) rides INSIDE dedup_clusters: keeper scores were
+        # CARRIED onto the verified edge rows by jaccard_pairs (every
+        # cluster member is an edge endpoint), so the driver-union-find
+        # path reads them off the edges it already collected — zero
+        # extra jobs or scans — and the all-Spark path above the edge
+        # bound derives its score frame from the same edge columns
+        # (reselect_keepers semantics unchanged)
+        clusters = dedup_clusters(
+            exact_unique,
+            pairs,
+            id_col,
+            score_col=score or "score",
+            inline_score_cols=(f"{score}_a", f"{score}_b") if score else None,
+        )
     reps = clusters.filter(~F.col("is_duplicate")).select(id_col)
     near_unique = exact_unique.join(reps, id_col, "left_semi")
     near_unique = _tap("near_unique", near_unique)
@@ -298,6 +329,7 @@ def curate(
     if config.strip_boilerplate_min_docs is not None:
         from bbdc20_submission_spark.operators.chunking import (
             boilerplate_hashes,
+            hashed_chunks,
             strip_boilerplate,
         )
 
@@ -310,15 +342,29 @@ def curate(
             id_col, "_scrubbed", "lang_pred", "quality"
         ).localCheckpoint()
         bp_input = scrubbed.select(id_col, F.col("_scrubbed").alias(text_col))
+        # detection and removal share ONE persisted hashed-chunk frame:
+        # the chunk explode + md5 over the corpus runs once, not twice
+        # (the persist trades a write for a full second explode pass —
+        # at any scale the detection agg and the strip join both read
+        # the same bytes back instead of recomputing them)
+        bp_chunks = managed_persist(
+            hashed_chunks(bp_input, text_col, id_col, config.chunk_tokens)
+        )
         flagged = boilerplate_hashes(
             bp_input,
             text_col,
             id_col,
             chunk_tokens=config.chunk_tokens,
             min_docs=config.strip_boilerplate_min_docs,
+            chunks=bp_chunks,
         )
         stripped = strip_boilerplate(
-            bp_input, flagged, text_col, id_col, chunk_tokens=config.chunk_tokens
+            bp_input,
+            flagged,
+            text_col,
+            id_col,
+            chunk_tokens=config.chunk_tokens,
+            chunks=bp_chunks,
         )
         scrubbed = (
             scrubbed.drop("_scrubbed")

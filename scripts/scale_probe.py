@@ -30,6 +30,17 @@ RUN_FACTORS = [
     ).split(",")
 ]
 RESULTS_JSON = f"{WORK}/results.json"
+# Sections can be restricted (e.g. SCALE_PROBE_SECTIONS=refine) so a
+# follow-up invocation measures only a newly added probe family
+# without re-running the whole matrix.
+SECTIONS = set(
+    os.environ.get(
+        "SCALE_PROBE_SECTIONS", "queries,ext,stream,refine"
+    ).split(",")
+)
+# the two-level-quantization probe replicates EMBEDDINGS ONLY at its
+# own (wider) factor ladder — the table is tiny, so 64x is cheap
+REFINE_FACTORS = [1, 16, 64]
 QUERIES = [
     "w6_sessionize_rle",
     "w9_j3_context_stats",
@@ -205,11 +216,166 @@ def main() -> None:
         "incremental_semantic_dedup": _incremental_semantic,
     }
 
-    store = {"queries": {}, "ext": {}, "rows": {}}
+    # ---- streaming forms: each callable RUNS an availableNow stream
+    # to completion (foreachBatch / noop sink), so they are timed as a
+    # unit rather than via the lazy-noop-write path. Fresh checkpoint/
+    # output dirs per rep (a checkpoint replays nothing on a reused
+    # dir, which would time a no-op).
+    import shutil
+    import uuid
+
+    def _fresh(tag: str) -> str:
+        p = os.path.join(WORK, "stream", f"{tag}-{uuid.uuid4().hex[:8]}")
+        os.makedirs(p, exist_ok=True)
+        return p
+
+    def _stream_curate_run(spark, d):
+        from bbdc20_submission_spark.streaming.curation import stream_curate
+
+        docs_path = os.path.join(d, "documents.parquet")
+        schema = spark.read.parquet(docs_path).schema
+        rd = _fresh("curate")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "8")
+            .parquet(docs_path)
+        )
+        q = (
+            stream_curate(stream)
+            .writeStream.format("noop")
+            .option("checkpointLocation", os.path.join(rd, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        shutil.rmtree(rd, ignore_errors=True)
+
+    def _stream_semantic_run(spark, d):
+        # streaming twin of _incremental_semantic: lower-id half is
+        # the history (quantizer fit + index build timed, same as the
+        # batch row), upper half arrives as a file-source stream in
+        # multiple micro-batches; each batch dedups against the index
+        # + earlier admissions via the foreachBatch form.
+        from bbdc20_submission_spark.operators.clustering import (
+            fit_quantizer,
+        )
+        from bbdc20_submission_spark.operators.incremental import (
+            build_semantic_index,
+            stream_incremental_semantic_dedup,
+        )
+        from bbdc20_submission_spark.sources.harness import (
+            table_column_max,
+            table_row_count,
+        )
+
+        em = spark.read.parquet(os.path.join(d, "embeddings.parquet"))
+        mx = table_column_max("embeddings", "vec_id", d)
+        if mx is None:
+            mx = em.agg(F.max("vec_id")).first()[0] or 0
+        mid = mx // 2
+        hist = em.filter(F.col("vec_id") < mid)
+        # stage the arriving half ONCE per factor as 8 files -> 8
+        # micro-batches (staging is plumbing, not ingest work: untimed)
+        # NOT underscore-prefixed: Spark's file index treats _-prefixed
+        # dirs as hidden metadata and warns/ignores on listing
+        staged = os.path.join(d, "sem-staged")
+        if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+            em.filter(F.col("vec_id") >= mid).repartition(8).write.mode(
+                "overwrite"
+            ).parquet(staged)
+        rd = _fresh("semantic")
+        n = table_row_count("embeddings", d) or 2048
+        model = fit_quantizer(
+            hist, k=max(8, n // 128), max_iter=5, fit_fraction=0.5,
+            approx_n=n // 2,
+        )
+        index_path = os.path.join(rd, "index")
+        build_semantic_index(hist, model).write.parquet(index_path)
+        schema = spark.read.parquet(staged).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staged)
+        )
+        q = (
+            stream_incremental_semantic_dedup(
+                stream,
+                index_path,
+                os.path.join(rd, "kept"),
+                os.path.join(rd, "ckpt"),
+                model,
+                threshold=0.95,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        shutil.rmtree(rd, ignore_errors=True)
+
+    STREAM = {
+        "stream_curate": _stream_curate_run,
+        "stream_incremental_semantic_dedup": _stream_semantic_run,
+    }
+
+    # ---- two-level quantization probe (embeddings only, 1x/16x/64x).
+    # n_clusters is FIXED at 16 — the regime the auto-k clamp creates
+    # past ~20M vectors (expected cell size grows linearly with n).
+    # refine=True splits the over-full cells with real sub-centroids,
+    # so the pair volume — and the wall clock — must stay linear in n
+    # where a fixed k without refinement measured 9x wall on 4x data
+    # (r6). Replicas duplicate vectors verbatim (shifted ids), so the
+    # corpus also carries genuine exact-dup sets whose pruned output
+    # grows linearly.
+    def replicate_embeddings(spark, factor: int) -> str:
+        out = f"{WORK}/emb-x{factor}"
+        if os.path.exists(os.path.join(out, "_DONE")):
+            return out
+        os.makedirs(out, exist_ok=True)
+        df = load_table(spark, "embeddings", BASE)
+        if factor > 1:
+            copies = F.explode(F.array(*[F.lit(i) for i in range(factor)]))
+            df = (
+                df.withColumn("_c", copies)
+                .withColumn(
+                    "vec_id", F.col("vec_id") + F.col("_c") * 10_000_000
+                )
+                .drop("_c")
+            )
+        df.write.mode("overwrite").parquet(
+            os.path.join(out, "embeddings.parquet")
+        )
+        open(os.path.join(out, "_DONE"), "w").close()
+        return out
+
+    def _sem_refine(spark, d):
+        from bbdc20_submission_spark.operators.clustering import (
+            semantic_dedup,
+        )
+
+        em = spark.read.parquet(os.path.join(d, "embeddings.parquet"))
+        n = em.count()
+        return semantic_dedup(
+            em, threshold=0.95, n_clusters=16, approx_n=n, refine=True
+        )
+
+    store = {"queries": {}, "ext": {}, "stream": {}, "refine": {}, "rows": {}}
     if os.path.exists(RESULTS_JSON):
         store = json.load(open(RESULTS_JSON))
+        store.setdefault("stream", {})
+        store.setdefault("refine", {})
 
-    for f in RUN_FACTORS:
+    def _measure(build):
+        best = None
+        for _ in range(REPS):  # min-of-REPS: singles ride load noise
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            build().write.mode("overwrite").format("noop").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 2)
+
+    main_sections = SECTIONS & {"queries", "ext", "stream"}
+    for f in RUN_FACTORS if main_sections else []:
         d = replicate(spark, f)
         # warm the page cache: the replicas may have just been written,
         # and a cold first read would be charged to the first query
@@ -219,39 +385,72 @@ def main() -> None:
             os.path.join(d, "events.parquet")
         ).count()
 
-        def _measure(build):
+        if "queries" in SECTIONS:
+            for q in QUERIES:
+                t = _measure(lambda: registry.QUERIES[q](spark, d))
+                store["queries"].setdefault(q, {})[str(f)] = t
+                print(f, q, t, flush=True)
+        if "ext" in SECTIONS:
+            for q, fn in EXT.items():
+                t = _measure(lambda: fn(spark, d))
+                store["ext"].setdefault(q, {})[str(f)] = t
+                print(f, q, t, flush=True)
+
+        def _measure_run(run):
             best = None
-            for _ in range(REPS):  # min-of-REPS: singles ride load noise
+            for _ in range(REPS):
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
-                build().write.mode("overwrite").format("noop").save()
+                run(spark, d)
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
             return round(best, 2)
 
-        for q in QUERIES:
-            t = _measure(lambda: registry.QUERIES[q](spark, d))
-            store["queries"].setdefault(q, {})[str(f)] = t
-            print(f, q, t, flush=True)
-        for q, fn in EXT.items():
-            t = _measure(lambda: fn(spark, d))
-            store["ext"].setdefault(q, {})[str(f)] = t
-            print(f, q, t, flush=True)
+        if "stream" in SECTIONS:
+            for q, fn in STREAM.items():
+                t = _measure_run(fn)
+                store["stream"].setdefault(q, {})[str(f)] = t
+                print(f, q, t, flush=True)
         json.dump(store, open(RESULTS_JSON, "w"))
 
-    done = all(
-        str(f) in store["queries"].get(q, {}) for f in FACTORS for q in QUERIES
-    ) and all(str(f) in store["ext"].get(q, {}) for f in FACTORS for q in EXT)
+    if "refine" in SECTIONS:
+        for f in REFINE_FACTORS:
+            d = replicate_embeddings(spark, f)
+            spark.read.parquet(os.path.join(d, "embeddings.parquet")).count()
+            t = _measure(lambda: _sem_refine(spark, d))
+            store["refine"].setdefault("semantic_dedup_refine_k16", {})[
+                str(f)
+            ] = t
+            print(f, "semantic_dedup_refine_k16", t, flush=True)
+        json.dump(store, open(RESULTS_JSON, "w"))
+
+    done = (
+        all(
+            str(f) in store["queries"].get(q, {})
+            for f in FACTORS
+            for q in QUERIES
+        )
+        and all(str(f) in store["ext"].get(q, {}) for f in FACTORS for q in EXT)
+        and all(
+            str(f) in store["stream"].get(q, {}) for f in FACTORS for q in STREAM
+        )
+        and all(
+            str(f) in store["refine"].get("semantic_dedup_refine_k16", {})
+            for f in REFINE_FACTORS
+        )
+    )
     if not done:
         print("partial run recorded; SCALING.md not rewritten yet")
         return
 
-    def _table(names, source):
+    def _table(names, source, factors=FACTORS):
         out = []
         for q in names:
             r = {int(k): v for k, v in source[q].items()}
-            ratio = round(r[16] / r[1], 1) if r[1] > 0 else float("inf")
-            out.append(f"| {q} | {r[1]} | {r[4]} | {r[16]} | {ratio}x |")
+            hi, lo = factors[-1], factors[0]
+            ratio = round(r[hi] / r[lo], 1) if r[lo] > 0 else float("inf")
+            cells = " | ".join(str(r[f]) for f in factors)
+            out.append(f"| {q} | {cells} | {ratio}x |")
         return out
 
     rows = {int(k): v for k, v in store["rows"].items()}
@@ -267,6 +466,28 @@ def main() -> None:
         "| operator | 1x (s) | 4x (s) | 16x (s) | 16x/1x |",
         "|---|---|---|---|---|",
         *_table(list(EXT), store["ext"]),
+        "\nStreaming forms (availableNow micro-batch runs, fresh"
+        " checkpoints per rep; stream_curate = stateless noop-sink"
+        " chain over the documents dir, 8 files/trigger;"
+        " stream_incremental_semantic_dedup = the foreachBatch"
+        " embedding-ingest form, history fit + index build + an"
+        " 8-micro-batch stream all timed):\n",
+        "| streaming form | 1x (s) | 4x (s) | 16x (s) | 16x/1x |",
+        "|---|---|---|---|---|",
+        *_table(list(STREAM), store["stream"]),
+        "\nTwo-level quantization (embeddings replicated alone at"
+        " 1x/16x/64x, vec_ids shifted; semantic_dedup with n_clusters"
+        " FIXED at 16 — the regime the 65,536 auto-k clamp creates past"
+        " ~20M vectors — and refine=True, so over-full cells split"
+        " geometrically via _refine_hot_cells; a fixed k without"
+        " refinement measured ~9x wall on 4x data in r6):\n",
+        "| operator | 1x (s) | 16x (s) | 64x (s) | 64x/1x |",
+        "|---|---|---|---|---|",
+        *_table(
+            ["semantic_dedup_refine_k16"],
+            store["refine"],
+            factors=REFINE_FACTORS,
+        ),
         f"\nevents rows: 1x={rows[1]:,} / 4x={rows[4]:,} / 16x={rows[16]:,}.",
         "\nA ratio near (or below) 16x on 16x data means the operator is"
         " at-worst linear in input on fixed hardware — shuffles stay"
@@ -288,6 +509,17 @@ def main() -> None:
         " semantic form — quantizer fit included): hash/signature and"
         " touched-cell joins only, so both hold strongly sub-linear"
         " ratios.",
+        "\nj1 / a2 anomaly notes (r8, from executed-plan diffs at each"
+        " factor): j1's step at 16x is a PLAN FLIP — at 1x/4x all three"
+        " joins are BroadcastHashJoin (1 exchange total); at 16x the"
+        " customer-orders join exceeds the 10MB broadcast threshold and"
+        " becomes a SortMergeJoin (3 exchanges), the correct strategy"
+        " at that size — the wall step is the two added shuffles, and"
+        " the overall ratio stays inside the linear budget. a2's plan"
+        " is IDENTICAL at every factor (single partial+final"
+        " HashAggregate, 1 exchange); its sub-linear ratio is"
+        " input-proportional map-side work emerging past fixed job"
+        " overhead — nothing to fix.",
     ]
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md"), "w") as fh:
         fh.write("\n".join(lines) + "\n")

@@ -268,6 +268,49 @@ def test_curate_quality_keeper_policy(spark, sf_dir):
     assert expected_keep != default_keep
 
 
+def test_curate_precomputed_pairs_matches_inline(spark, sf_dir):
+    """Passing an externally materialized verified edge set skips the
+    LSH prefix but must yield the exact same curated output — both
+    with the default min-id keeper and with a quality keeper (scores
+    fetched per member when the edge frame carries no score columns,
+    read inline when it does)."""
+    from bbdc20_submission_spark.operators.dedup import (
+        exact_dedup_groups,
+        hashed_shingle_sets,
+        jaccard_pairs,
+        minhash_lsh_candidates,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    # the contract input: edges over the post-blocklist exact-unique
+    # corpus (same prefix curate() itself applies)
+    keep = exact_dedup_groups(docs).select(F.col("keep_id").alias("doc_id"))
+    exact_unique = docs.join(keep, "doc_id", "left_semi")
+    cands = minhash_lsh_candidates(exact_unique)
+    pairs = jaccard_pairs(exact_unique, cands, min_jaccard=0.5).filter(
+        F.col("jaccard") >= 0.5
+    )
+
+    def snap(df):
+        return {tuple(r) for r in df.collect()}
+
+    assert snap(curate(docs, precomputed_pairs=pairs)[0]) == snap(
+        curate(docs)[0]
+    )
+    cfg = CurationConfig(keeper_score_col="n_chars")
+    assert snap(curate(docs, cfg, precomputed_pairs=pairs)[0]) == snap(
+        curate(docs, cfg)[0]
+    )
+    # score-carrying edge frame -> the inline path engages and agrees
+    sets = hashed_shingle_sets(exact_unique, carry=("n_chars",))
+    scored_pairs = jaccard_pairs(
+        exact_unique, cands, sets=sets, carry=("n_chars",)
+    ).filter(F.col("jaccard") >= 0.5)
+    assert snap(curate(docs, cfg, precomputed_pairs=scored_pairs)[0]) == snap(
+        curate(docs, cfg)[0]
+    )
+
+
 def test_curate_token_budget_sampling_stage(spark, sf_dir):
     """token_budgets mode: the sampled chunk set is a subset of the
     unsampled run, per-lang token sums respect budget + one-chunk

@@ -279,6 +279,83 @@ def test_semantic_dedup_planted(spark):
     assert all(out[i]["keeper_id"] is None or out[i]["keeper_id"] < i for i in out)
 
 
+def test_refine_hot_cells_splits_geometrically(spark):
+    """_refine_hot_cells: a cell above refine_cap is split by REAL
+    sub-centroids — separable sub-blobs land in different composite
+    cells, identical vectors stay co-celled, cold cells and row count
+    are untouched, and composite keys never collide across coarse
+    cells."""
+    from bbdc20_submission_spark.operators.clustering import (
+        _refine_hot_cells,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    # hot coarse cell 0: three well-separated sub-blobs of 100
+    for b, center in enumerate(([50.0, 0.0], [0.0, 50.0], [-50.0, -50.0])):
+        for i in range(100):
+            rows.append(
+                (b * 100 + i,
+                 [center[0] + rng.gauss(0, 1), center[1] + rng.gauss(0, 1)],
+                 0)
+            )
+    # cold coarse cell 1: 20 rows, under the cap
+    for i in range(20):
+        rows.append((900 + i, [rng.gauss(0, 1), rng.gauss(0, 1)], 1))
+    assigned = spark.createDataFrame(
+        rows, "_id long, _v array<double>, cluster long"
+    )
+    out = _refine_hot_cells(
+        assigned, refine_cap=150, target_cell_size=100, seed=5
+    )
+    got = {r["_id"]: r["cluster"] for r in out.collect()}
+    assert len(got) == 320  # row count preserved
+    # cold rows share one composite key, disjoint from every hot key
+    cold_keys = {got[900 + i] for i in range(20)}
+    assert len(cold_keys) == 1
+    hot_keys = {got[i] for i in range(300)}
+    assert cold_keys.isdisjoint(hot_keys)
+    # the hot cell actually split, and sub-blobs separate cleanly:
+    # every blob maps into exactly one composite cell of its own
+    blob_keys = [
+        {got[b * 100 + i] for i in range(100)} for b in range(3)
+    ]
+    assert all(len(ks) == 1 for ks in blob_keys)
+    assert len(set().union(*blob_keys)) == 3
+
+
+def test_semantic_dedup_refine_preserves_planted_dups(spark):
+    """refine=True (forced split of over-full cells) must find the
+    same planted duplicates as refine=False on a corpus where the hash
+    cap never engages — geometric splitting keeps near-identical pairs
+    co-celled, so the pruned output is identical."""
+    from bbdc20_submission_spark.operators.clustering import semantic_dedup
+
+    rng = random.Random(13)
+    rows = []
+    for i in range(150):
+        v = [rng.gauss(0, 1) for _ in range(DIM)]
+        rows.append((i, [float(x) for x in v]))
+        rows.append((i + 1000, [float(x) for x in v]))  # exact twin
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kw = dict(threshold=0.999, n_clusters=2, seed=3, approx_n=300)
+
+    def snap(refine, **extra):
+        return {
+            tuple(r)
+            for r in semantic_dedup(df, refine=refine, **kw, **extra).collect()
+        }
+
+    base = snap(False)
+    # with k=2 every cell is over a 75-member refine_cap -> both split
+    refined = snap(True, refine_cap=75, target_cell_size=50)
+    assert refined == base
+    # exact twins are co-celled by argmin determinism, so recall on
+    # planted pairs is total under refinement
+    pruned = {i for (i, k, p) in refined if p == 1}
+    assert {i + 1000 for i in range(150)} <= pruned
+
+
 def test_quantizer_udf_assignment_matches_expr_path(spark):
     """Above _EXPR_MAX_K assignment switches from codegen expressions
     to the Arrow-batched pandas-UDF matmul; both paths must produce
