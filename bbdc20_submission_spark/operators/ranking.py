@@ -103,10 +103,14 @@ def bm25_score(
     k1: float = 1.2,
     b: float = 0.75,
     corpus_stats: tuple[int, float] | None = None,
+    ordered: bool = True,
 ) -> DataFrame:
     """Okapi BM25 of every document against ``query_tokens``:
     [id_col, score], descending relevance. Documents sharing no query
     term score 0 and are omitted (standard sparse behavior).
+    ``ordered=False`` skips the final global sort (a range-partitioned
+    exchange plus its bounds-sampling job) — pass it whenever the
+    consumer destroys order anyway (a union, a join, an aggregation).
 
     Scale shape: tokens are filtered to the query set BEFORE any
     aggregation, the per-term df dim has |query| rows and is
@@ -138,14 +142,16 @@ def bm25_score(
     tf_part = (F.col("_tf") * (k1 + 1)) / (
         F.col("_tf") + k1 * (1 - b + b * F.col("_dl") / F.lit(float(avg_dl)))
     )
-    return (
+    out = (
         terms.join(F.broadcast(df_dim), "_tok")
         .select("_id", (idf * tf_part).alias("_s"))
         .groupBy("_id")
         .agg(F.round(F.sum("_s"), 6).alias("score"))
         .select(F.col("_id").alias(id_col), "score")
-        .orderBy(F.col("score").desc(), F.col(id_col).asc())
     )
+    if ordered:
+        out = out.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return out
 
 
 def bm25_score_multi(

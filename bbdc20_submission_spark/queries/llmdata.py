@@ -262,10 +262,16 @@ def d12_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bbdc20_submission_spark.operators.chunking import dedup_clusters
 
     d = load_table(spark, "documents", sf_dir)
-    sets = managed_persist(hashed_shingle_sets(d, shingle_k=3))
+    # n_chars rides the shingle-set frame so the verify emits it per
+    # edge side — the keeper argmax then reads scores off the edges
+    # dedup_clusters already collects (no member-score fetch job)
+    sets = managed_persist(
+        hashed_shingle_sets(d, shingle_k=3, carry=("n_chars",))
+    )
     cands = minhash_lsh_candidates(d, shingle_k=3, num_hashes=16, bands=4, sets=sets)
     pairs = jaccard_pairs(
-        d, cands, shingle_k=3, min_jaccard=0.5, broadcast_sets=True, sets=sets
+        d, cands, shingle_k=3, min_jaccard=0.5, broadcast_sets=True,
+        sets=sets, carry=("n_chars",),
     ).filter(F.col("jaccard") >= 0.5)
     # both keeper policies ride the ONE broadcast label join inside
     # dedup_clusters (driver-side argmax over the already-collected
@@ -276,8 +282,8 @@ def d12_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = dedup_clusters(
         d,
         pairs,
-        keeper_scores=d.select("doc_id", "n_chars"),
         score_col="n_chars",
+        inline_score_cols=("n_chars_a", "n_chars_b"),
         quality_keeper_col="quality_keep_id",
         quality_dup_col="is_duplicate_q",
     )
@@ -1576,7 +1582,9 @@ def r_ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the suite — the corpus-stat cache any retrieval deployment keeps
     stats = bm25_corpus_stats(d, "text")
     bm25 = bm25_score(
-        d, ["data", "fast", "query", "spark"], corpus_stats=stats
+        d, ["data", "fast", "query", "spark"], corpus_stats=stats,
+        ordered=False,  # the union below destroys order; skip the
+        # range sort + its bounds-sampling job
     ).select(
         F.lit("bm25").alias("family"),
         "doc_id",
