@@ -139,29 +139,44 @@ def _lloyd(X: np.ndarray, k: int, seed: int, max_iter: int) -> np.ndarray:
     return centers
 
 
-def fit_quantizer(
+def fit_quantizers(
     df: DataFrame,
-    k: int = 8,
+    ks: list[int],
     vec_col: str = "embedding",
     seed: int = 7,
     max_iter: int = 20,
     fit_fraction: float = 1.0,
     sample_cap: int = _DEFAULT_SAMPLE_CAP,
     approx_n: int | None = None,
-) -> CentroidQuantizer:
-    """Train the coarse quantizer on a bounded seeded sample and return
-    it as a :class:`CentroidQuantizer`.
+) -> list[CentroidQuantizer]:
+    """Multi-resolution quantizers from ONE sample scan: fit a
+    quantizer per k in ``ks`` on the SAME bounded seeded sample (one
+    collect instead of len(ks) — the common suite/IVF shape where a
+    corpus needs both a coarse certification quantizer and a finer
+    dedup/IVF one). Each k's centroids are bit-identical to the
+    single-k :func:`fit_quantizer` with the same arguments (the shared
+    sample underfills — and refits on the corpus head — based on
+    max(ks), so on corpora tiny enough to trigger that refit a small-k
+    model may train on the widened sample a lone small-k fit wouldn't
+    have needed; same cap-bounded contract either way)."""
+    rows = _fit_sample(
+        df, max(ks), vec_col, seed, fit_fraction, sample_cap, approx_n
+    )
+    X = np.asarray([r["_v"] for r in rows], dtype=np.float64)
+    return [CentroidQuantizer(_lloyd(X, k, seed, max_iter)) for k in ks]
 
-    Separated from assignment so callers at scale fit ONCE and reuse
-    the quantizer across corpora/queries/batches. ``fit_fraction``
-    thins the scan (seeded Bernoulli sample — at 100 TB this is what
-    keeps the collect a scan of a fraction, with predicate-independent
-    row skipping); ``sample_cap`` hard-bounds driver memory via a
-    deterministic per-partition head (a plain LIMIT races partition
-    completion order, so the same seed would collect different rows
-    run to run). If the thinned sample has fewer than k rows, refit on
-    the unthinned head of the corpus so tiny inputs still yield
-    k ≤ n centroids."""
+
+def _fit_sample(
+    df: DataFrame,
+    k: int,
+    vec_col: str,
+    seed: int,
+    fit_fraction: float,
+    sample_cap: int,
+    approx_n: int | None,
+) -> list:
+    """The bounded seeded fit sample of :func:`fit_quantizer` (see
+    there for the thinning/cap/refit-on-underfill contract)."""
     # NOTE the explicit 3-positional form: PySpark 4.1's overloaded
     # sample() drops a keyword `seed` when fraction is passed
     # positionally (measured: different rows per invocation) — the
@@ -189,6 +204,35 @@ def fit_quantizer(
         rows = _deterministic_head(
             df.select(sel).filter(F.col("_v").isNotNull()), sample_cap
         ).collect()
+    return rows
+
+
+def fit_quantizer(
+    df: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    seed: int = 7,
+    max_iter: int = 20,
+    fit_fraction: float = 1.0,
+    sample_cap: int = _DEFAULT_SAMPLE_CAP,
+    approx_n: int | None = None,
+) -> CentroidQuantizer:
+    """Train the coarse quantizer on a bounded seeded sample and return
+    it as a :class:`CentroidQuantizer`.
+
+    Separated from assignment so callers at scale fit ONCE and reuse
+    the quantizer across corpora/queries/batches. ``fit_fraction``
+    thins the scan (seeded Bernoulli sample — at 100 TB this is what
+    keeps the collect a scan of a fraction, with predicate-independent
+    row skipping); ``sample_cap`` hard-bounds driver memory via a
+    deterministic per-partition head (a plain LIMIT races partition
+    completion order, so the same seed would collect different rows
+    run to run). If the thinned sample has fewer than k rows, refit on
+    the unthinned head of the corpus so tiny inputs still yield
+    k ≤ n centroids."""
+    rows = _fit_sample(
+        df, k, vec_col, seed, fit_fraction, sample_cap, approx_n
+    )
     X = np.asarray([r["_v"] for r in rows], dtype=np.float64)
     return CentroidQuantizer(_lloyd(X, k, seed, max_iter))
 
@@ -479,6 +523,14 @@ def ivf_topk(
     )
 
 
+def semdedup_auto_k(n: int, target_cell_size: int = 300) -> int:
+    """The SemDeDup auto-k formula — ``n / target_cell_size`` clamped
+    to [8, 65536] — exposed so a caller pre-fitting the quantizer
+    (e.g. a one-scan :func:`fit_quantizers` multi-k suite) derives the
+    SAME k :func:`semantic_dedup` would have chosen."""
+    return int(min(max(n // target_cell_size, 8), 65536))
+
+
 def _refine_hot_cells(
     assigned: DataFrame,
     refine_cap: int,
@@ -606,7 +658,7 @@ def semantic_dedup(
         if n_clusters is None:
             n = approx_n if approx_n is not None else df.count()
             n_known = n
-            n_clusters = int(min(max(n // target_cell_size, 8), 65536))
+            n_clusters = semdedup_auto_k(n, target_cell_size)
         model = fit_quantizer(
             df, k=n_clusters, vec_col=vec_col, seed=seed,
             max_iter=max_iter, fit_fraction=fit_fraction, approx_n=approx_n,

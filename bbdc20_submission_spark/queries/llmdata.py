@@ -1164,9 +1164,10 @@ def s4_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet FOOTER metadata (table_row_count) into approx_n, so
     SemDeDup's auto-k costs no extra count() scan."""
     from bbdc20_submission_spark.operators.clustering import (
-        fit_quantizer,
+        fit_quantizers,
         kmeans_assign_checked,
         semantic_dedup,
+        semdedup_auto_k,
     )
     THRESH = 0.95
     off = _plant_offset(spark, sf_dir)
@@ -1182,10 +1183,16 @@ def s4_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     aug = base.unionByName(planted)
     n_hint = table_row_count("embeddings", sf_dir)
     approx_n = (n_hint + 8) if n_hint is not None else None
-    # fit ONCE, reuse across the suite (the scale pattern: a corpus
-    # gets one quantizer; every consumer assigns with it)
-    quant = fit_quantizer(aug, k=8, max_iter=5, fit_fraction=0.5,
-                          approx_n=approx_n)
+    # BOTH quantizers (k=8 certification + the finer SemDeDup one) fit
+    # from ONE sample scan — fit_quantizers collects the shared seeded
+    # sample once; semdedup_auto_k reproduces the k semantic_dedup's
+    # auto path would have chosen, so passing the pre-fit model skips
+    # its internal fit entirely
+    n_for_k = approx_n if approx_n is not None else aug.count()
+    k_sd = semdedup_auto_k(n_for_k, target_cell_size=64)
+    quant, quant_sd = fit_quantizers(
+        aug, ks=[8, k_sd], max_iter=5, fit_fraction=0.5, approx_n=approx_n
+    )
     # argmax + nearest_ok + the vector ride ONE narrow scan (keep_cols)
     # — no self-join of aug to re-attach columns that never left it
     checked = kmeans_assign_checked(
@@ -1197,9 +1204,8 @@ def s4_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # volume LINEAR in n — a fixed k measured 22.9x wall on 16x data
     # in the scale probe. The planted-twin predictions are
     # k-independent (near-identical twins co-locate at any k).
-    sd = semantic_dedup(aug, threshold=THRESH, max_iter=5,
-                        fit_fraction=0.5, target_cell_size=64,
-                        approx_n=approx_n)
+    sd = semantic_dedup(aug, threshold=THRESH, model=quant_sd,
+                        target_cell_size=64, approx_n=approx_n)
     return checked.join(sd, "vec_id").select(
         "vec_id", "argmax_idx", "nearest_ok", "pruned", "keeper_id"
     )

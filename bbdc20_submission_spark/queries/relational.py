@@ -515,16 +515,34 @@ def a_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     and |approx_median - exact|/exact <= 0.01 at accuracy=10000. The
     flags certify the sketches without hashing their raw estimates.
 
-    Plan note: distinct counts and percentiles run as two grouped aggs
-    joined on the 3-row group key — a single agg would drag the
-    percentile buffers through the count-distinct Expand (x3 rows),
-    measured ~2.5x slower at sf0.1."""
+    Plan note: the three aggregate families run as SEPARATE grouped
+    aggs joined on the 3-row group key. A single agg would drag the
+    percentile buffers through a count-distinct Expand (x3 rows,
+    measured ~2.5x slower at sf0.1), and even the two exact distinct
+    counts together force that Expand — each runs instead as a
+    TWO-LEVEL aggregation (partial-distinct groupBy(flag, key), then a
+    flag-level count), the textbook scalable count-distinct: the
+    exchange carries pre-deduplicated (flag, key) pairs, not 3x the
+    fact rows (measured 1.87 s -> ~1.0 s at sf0.1). The HLL estimate
+    rides the parts frame — HLL is duplicate-insensitive, so feeding
+    exact-distinct rows yields the identical estimate."""
     li = load_table(spark, "lineitem", sf_dir)
-    counts = li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_partkey").alias("n_parts"),
-        F.countDistinct("l_suppkey").alias("n_supps"),
-        F.approx_count_distinct("l_partkey", 0.02).alias("_acd"),
+    parts = (
+        li.groupBy("l_returnflag", "l_partkey")
+        .agg(F.count(F.lit(1)).alias("_"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.approx_count_distinct("l_partkey", 0.02).alias("_acd"),
+        )
     )
+    supps = (
+        li.groupBy("l_returnflag", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("_"))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_supps"))
+    )
+    counts = parts.join(supps, "l_returnflag")
     quants = li.groupBy("l_returnflag").agg(
         F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("median_exact"),
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("_aq"),
