@@ -162,6 +162,36 @@ def boilerplate_chunks(
     )
 
 
+def epoch_order(
+    packed: DataFrame,
+    epoch: int,
+    seed: int = 7,
+    bucket_col: str = "pack_bucket",
+    seq_col: str = "seq_id",
+) -> DataFrame:
+    """Per-epoch training order for packed sequences: append
+    ``epoch_key`` = xxhash64(seed, epoch, bucket, seq) — sorting by it
+    yields a deterministic pseudorandom permutation of the SEQUENCES
+    that differs per epoch (the standard every-epoch reshuffle), while
+    rows inside a sequence stay contiguous (order by
+    ``(epoch_key, seq_pos)``).
+
+    Pure projection — no shuffle until the consumer orders/writes, and
+    a sharded trainer usually never pays the global sort: write with
+    ``repartition(n, epoch_key)`` + ``sortWithinPartitions`` and each
+    reader streams its shard in local epoch order (the same layout
+    mechanics as ``write_training_shards``). Re-running any epoch
+    reproduces its exact order — the property that makes a training
+    run resumable mid-epoch."""
+    return packed.withColumn(
+        "epoch_key",
+        F.xxhash64(
+            F.lit(int(seed)), F.lit(int(epoch)),
+            F.col(bucket_col), F.col(seq_col),
+        ),
+    )
+
+
 def hashed_chunks(
     df: DataFrame,
     text_col: str = "text",

@@ -209,6 +209,51 @@ def minhash_signatures_from_sets(
     )
 
 
+def lsh_band_plan(
+    threshold: float, num_hashes: int = 16
+) -> tuple[int, int]:
+    """Choose (bands, rows_per_band) for a target Jaccard threshold.
+
+    The LSH S-curve's inflection sits at t ≈ (1/b)^(1/r); pick the
+    divisor pair of ``num_hashes`` whose inflection lands closest to
+    ``threshold`` (log-space distance), so pairs above the threshold
+    are likely candidates and pairs below mostly are not — the
+    standard banding calculus (Leskovec/Rajaraman/Ullman, Mining of
+    Massive Datasets §3.4; datasketch's optimal-param search is the
+    same idea with error weights). Exact-verify stages downstream make
+    false positives harmless, so this only tunes the candidate
+    volume/recall trade; recall on pairs at similarity s is
+    1 - (1 - s^r)^b.
+
+    Ties (a threshold exactly between two inflections — e.g. 0.5 with
+    16 hashes sits between (4,4)'s 0.707 and (8,2)'s 0.354) break
+    RECALL-FIRST: the lower inflection (more bands) wins, trading
+    extra candidates for fewer misses — the right default when an
+    exact verify follows.
+
+    Returns (bands, rows_per_band) with bands * rows_per_band ==
+    num_hashes — feed ``bands`` to :func:`minhash_lsh_candidates`."""
+    import math
+
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold={threshold} outside (0, 1)")
+    if num_hashes < 2:
+        raise ValueError("num_hashes must be >= 2")
+    best: tuple[float, int, int, int] | None = None
+    for b in range(1, num_hashes + 1):
+        if num_hashes % b:
+            continue
+        r = num_hashes // b
+        t = (1.0 / b) ** (1.0 / r)
+        # round distances so float noise can't hide a genuine tie,
+        # then prefer more bands (lower inflection -> higher recall)
+        d = round(abs(math.log(t) - math.log(threshold)), 12)
+        if best is None or (d, -b) < (best[0], -best[1]):
+            best = (d, b, r, 0)
+    assert best is not None
+    return best[1], best[2]
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",

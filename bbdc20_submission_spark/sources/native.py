@@ -68,3 +68,49 @@ def write_submission_csv(df: DataFrame, path: str, single_file: bool = True) -> 
     if single_file:
         out = out.coalesce(1)
     out.write.mode("overwrite").option("header", False).csv(path)
+
+
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        # everything nullable: JSON sources force nullability (a
+        # PERMISSIVE-mode corrupt line yields a NULL row), so a
+        # non-null field here would make the declared schema disagree
+        # with every frame the reader actually returns
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("n_chars", T.LongType(), True),
+    ]
+)
+
+
+def load_documents_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """Document corpus from JSONL (one JSON object per line — the
+    lingua franca of LLM corpus interchange: The Pile, C4 dumps,
+    Dolma, RedPajama all ship this way). The schema is EXPLICIT by
+    default (``DOCUMENTS_SCHEMA``, the harness documents layout):
+    schema inference over JSONL is a full extra pass at corpus scale
+    AND silently widens/narrows types per sample — never infer in
+    production. Corrupt lines land in no row rather than poisoning
+    the scan (Spark's default PERMISSIVE mode yields NULL columns; the
+    curation quality gate drops them). JSONL is splittable
+    line-by-line, so a 100 TB dump scans fully parallel, unlike a
+    single JSON array document."""
+    return spark.read.schema(schema or DOCUMENTS_SCHEMA).json(path)
+
+
+def write_documents_jsonl(
+    df: DataFrame, path: str, n_files: int | None = None
+) -> None:
+    """Document corpus JSONL sink (round-trips through
+    :func:`load_documents_jsonl`). ``n_files`` repartitions for a
+    target shard count; default keeps the upstream partitioning (the
+    scale-correct choice — a coalesce(1) style single file serializes
+    the write)."""
+    out = df if n_files is None else df.repartition(n_files)
+    out.write.mode("overwrite").json(path)

@@ -140,6 +140,9 @@ def stream_rle_islands(
     idle_ms = _interval_ms(idle_flush) if use_timeout else 0
 
     def _same(a, b) -> bool:
+        # pd.isna raises TypeError/ValueError on non-scalar inputs
+        # (list/array-valued run columns) by its documented contract —
+        # those can't be NaN, so fall through to plain equality
         try:
             if pd.isna(a) and pd.isna(b):
                 return True

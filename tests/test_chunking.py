@@ -381,6 +381,76 @@ def test_boilerplate_hashes_equals_full_detection(spark):
     assert fast == full and len(full) > 0
 
 
+def test_epoch_order_deterministic_permutation(spark):
+    """epoch_order: same (seed, epoch) -> identical keys; different
+    epochs -> a different sequence permutation; chunks of one sequence
+    share one key (stay contiguous under (epoch_key, seq_pos))."""
+    from bbdc20_submission_spark.operators.chunking import (
+        chunk_by_tokens,
+        epoch_order,
+        pack_sequences,
+    )
+
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(40))) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    packed = pack_sequences(chunk_by_tokens(df, chunk_tokens=8),
+                            budget_tokens=32, n_buckets=4)
+
+    def order(epoch, seed=7):
+        out = epoch_order(packed, epoch, seed=seed).collect()
+        # one key per (bucket, seq)
+        keys = {}
+        for r in out:
+            k = (r["pack_bucket"], r["seq_id"])
+            assert keys.setdefault(k, r["epoch_key"]) == r["epoch_key"]
+        return tuple(k for k, _ in sorted(keys.items(), key=lambda kv: kv[1]))
+
+    e0, e0b, e1 = order(0), order(0), order(1)
+    assert e0 == e0b                      # resumable: epoch order reproduces
+    assert e0 != e1                       # reshuffled across epochs
+    assert sorted(e0) == sorted(e1)       # same sequence population
+    assert order(0, seed=8) != e0         # seed changes the permutation
+
+
+def test_lsh_band_plan_scurve(spark):
+    """lsh_band_plan: valid divisor pairs, monotone in threshold, and
+    the S-curve inflection of the chosen plan is the closest among all
+    divisor pairs of num_hashes (brute-force cross-check)."""
+    import math
+
+    import pytest
+
+    from bbdc20_submission_spark.operators.dedup import lsh_band_plan
+
+    for num_hashes in (16, 24, 64):
+        prev_b = None
+        for thr in (0.1, 0.3, 0.5, 0.7, 0.9):
+            b, r = lsh_band_plan(thr, num_hashes)
+            assert b * r == num_hashes
+            best = min(
+                (
+                    round(abs(math.log((1.0 / bb) ** (1.0 / (num_hashes // bb)))
+                              - math.log(thr)), 12), -bb)
+                for bb in range(1, num_hashes + 1)
+                if num_hashes % bb == 0
+            )
+            assert b == -best[1]
+            # lower thresholds need MORE bands (more permissive)
+            if prev_b is not None:
+                assert b <= prev_b
+            prev_b = b
+    # 0.5 at 16 hashes is an EXACT inflection tie between (4,4) at
+    # 0.707 and (8,2) at 0.354 — recall-first tie-break picks more
+    # bands; just above the tie point the verify-friendly (4,4) (the
+    # d8 configuration) wins outright
+    assert lsh_band_plan(0.5, 16) == (8, 2)
+    assert lsh_band_plan(0.55, 16) == (4, 4)
+    with pytest.raises(ValueError):
+        lsh_band_plan(0.0)
+    with pytest.raises(ValueError):
+        lsh_band_plan(1.0)
+
+
 def test_pack_sequences_budget_and_determinism(spark):
     """Packing invariants: within (bucket, seq), seq_pos starts < budget
     and token spans are contiguous in (doc, chunk) order; a sequence

@@ -71,6 +71,42 @@ def test_json_orc_parquet_roundtrip(spark, tmp_path):
         assert sorted(map(tuple, back.collect())) == want
 
 
+def test_documents_jsonl_roundtrip(spark, sf_dir, tmp_path):
+    """JSONL document corpus IO: harness documents survive a
+    write->read round trip with the EXPLICIT schema (no inference
+    pass), and a corrupt line degrades to NULL columns instead of
+    failing the scan (PERMISSIVE default)."""
+    from bbdc20_submission_spark.sources.harness import load_table
+    from bbdc20_submission_spark.sources.native import (
+        DOCUMENTS_SCHEMA,
+        load_documents_jsonl,
+        write_documents_jsonl,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        *[f.name for f in DOCUMENTS_SCHEMA.fields]
+    )
+    path = str(tmp_path / "docs_jsonl")
+    write_documents_jsonl(docs, path, n_files=3)
+    back = load_documents_jsonl(spark, path)
+    assert back.schema == DOCUMENTS_SCHEMA
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, docs.collect())
+    )
+    # corrupt line: scan survives, row degrades to NULLs
+    import os
+
+    bad = str(tmp_path / "bad")
+    os.makedirs(bad)
+    with open(os.path.join(bad, "part-0.json"), "w") as fh:
+        fh.write('{"doc_id": 1, "text": "ok", "source": "s", '
+                 '"lang": "en", "n_chars": 2}\n')
+        fh.write("{not json at all\n")
+    rows = load_documents_jsonl(spark, bad).collect()
+    assert len(rows) == 2
+    assert {r["doc_id"] for r in rows} == {1, None}
+
+
 def test_range_sorted_layout_clusters_and_prunes(spark, sf_dir, tmp_path):
     """write_range_sorted must produce files with DISJOINT sort-key
     ranges (tight min/max stats — the property row-group pruning needs)
