@@ -159,6 +159,8 @@ def fit_quantizers(
     max(ks), so on corpora tiny enough to trigger that refit a small-k
     model may train on the widened sample a lone small-k fit wouldn't
     have needed; same cap-bounded contract either way)."""
+    if not ks:
+        raise ValueError("fit_quantizers: ks must name at least one k")
     rows = _fit_sample(
         df, max(ks), vec_col, seed, fit_fraction, sample_cap, approx_n
     )
@@ -569,7 +571,18 @@ def _refine_hot_cells(
         return assigned
     n_hot = sum(r["_bn"] for r in hot_rows)
     k2 = int(min(max(n_hot // target_cell_size, 2), 65536))
-    hot_ids = hot.select("cluster")
+    # rebuild the hot dim from the ALREADY-collected rows — joining
+    # against `hot` itself would re-execute its aggregate once per
+    # consumer (semi-join + anti-join)
+    from pyspark.sql import types as T
+
+    spark = assigned.sparkSession
+    hot_ids = spark.createDataFrame(
+        [(r["cluster"],) for r in hot_rows],
+        schema=T.StructType(
+            [T.StructField("cluster", assigned.schema["cluster"].dataType)]
+        ),
+    )
     hot_members = assigned.join(F.broadcast(hot_ids), "cluster", "left_semi")
     model2 = fit_quantizer(
         hot_members,
