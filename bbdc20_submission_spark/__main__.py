@@ -94,8 +94,12 @@ def _cmd_curate(args: argparse.Namespace) -> int:
         chunk_tokens=args.chunk_tokens,
         strip_boilerplate_min_docs=args.strip_boilerplate_min_docs,
     )
+    pairs = (
+        spark.read.parquet(args.pairs_in) if args.pairs_in else None
+    )
     out, audit = curate(
-        docs, cfg, audit=args.audit, observe=args.observe
+        docs, cfg, audit=args.audit, observe=args.observe,
+        precomputed_pairs=pairs,
     )
     if args.out:
         out.write.mode("overwrite").parquet(args.out)
@@ -255,6 +259,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     c.add_argument("--shard-budget-tokens", type=int, default=1024)
     c.add_argument("--shard-buckets", type=int, default=64)
+    c.add_argument(
+        "--pairs-in",
+        help="parquet of a previously materialized verified near-dup"
+        " edge set (id_a, id_b, ...) over THIS corpus' post-blocklist"
+        " exact-unique ids — skips the whole LSH prefix"
+        " (curate(precomputed_pairs=...))",
+    )
     c.set_defaults(fn=_cmd_curate)
 
     s = sub.add_parser(

@@ -209,6 +209,8 @@ def write_training_shards(
     id_col: str = "doc_id",
     chunk_col: str = "chunk_id",
     tokens_col: str = "n_tokens",
+    epoch: int | None = None,
+    seed: int = 7,
 ) -> None:
     """The trainer-ready SINK: pack curated chunks into fixed-budget
     training sequences (``operators.chunking.pack_sequences``) and lay
@@ -226,8 +228,21 @@ def write_training_shards(
     at cluster scale set it to a multiple of the reader count.
     Everything upstream of the write is the deterministic
     pack_sequences assignment, so re-running produces byte-identical
-    shard membership (reproducible training order)."""
-    from bbdc20_submission_spark.operators.chunking import pack_sequences
+    shard membership (reproducible training order).
+
+    ``epoch``: write the EPOCH-SHUFFLED layout instead — sequences are
+    redistributed across ``epoch_shard=<s>/`` directories and ordered
+    inside each file by their seeded per-epoch key
+    (:func:`operators.chunking.epoch_order`), so every epoch's full
+    pseudorandom training order is a fresh directory a loader streams
+    front to back, sequences kept whole (the shard and the in-file
+    position both derive from the sequence-level key). Deterministic
+    per (seed, epoch) — re-materializing any epoch reproduces its
+    exact order, which is what makes a run resumable mid-epoch."""
+    from bbdc20_submission_spark.operators.chunking import (
+        epoch_order,
+        pack_sequences,
+    )
 
     packed = pack_sequences(
         chunks,
@@ -237,10 +252,31 @@ def write_training_shards(
         chunk_col=chunk_col,
         tokens_col=tokens_col,
     )
+    if epoch is None:
+        (
+            packed.repartition(n_buckets, "pack_bucket")
+            # leading partition column: see the epoch branch — the
+            # writer would otherwise insert its own (not-promised-
+            # stable) pack_bucket sort above this one
+            .sortWithinPartitions("pack_bucket", "seq_id", "seq_pos")
+            .write.mode("overwrite")
+            .partitionBy("pack_bucket")
+            .parquet(path)
+        )
+        return
+    keyed = epoch_order(packed, epoch, seed=seed).withColumn(
+        "epoch_shard", F.pmod(F.col("epoch_key"), F.lit(n_buckets))
+    )
     (
-        packed.repartition(n_buckets, "pack_bucket")
-        .sortWithinPartitions("seq_id", "seq_pos")
+        keyed.repartition(n_buckets, "epoch_shard")
+        # the sort LEADS with the partition column: FileFormatWriter
+        # requires rows sorted by partitionBy columns and would insert
+        # its own epoch_shard-only sort otherwise — which does not
+        # promise stability, so the within-shard (epoch_key, seq_pos)
+        # order could scramble (observed). With the prefix in place
+        # the incoming order satisfies the writer and is preserved.
+        .sortWithinPartitions("epoch_shard", "epoch_key", "seq_pos")
         .write.mode("overwrite")
-        .partitionBy("pack_bucket")
+        .partitionBy("epoch_shard")
         .parquet(path)
     )

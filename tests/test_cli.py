@@ -37,6 +37,34 @@ def test_cli_curate_audit_json(sf_dir, tmp_path, capsys):
     assert audit["sampled"] == audit["chunks"] > 0  # chunks-per-doc >= 1
 
 
+def test_cli_curate_pairs_in_matches_inline(spark, sf_dir, tmp_path, capsys):
+    """--pairs-in: feeding a previously materialized verified edge set
+    yields the same curated output as the inline LSH prefix."""
+    from pyspark.sql import functions as F
+
+    from bbdc20_submission_spark.operators.dedup import (
+        exact_dedup_groups,
+        jaccard_pairs,
+        minhash_lsh_candidates,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    keep = exact_dedup_groups(docs).select(F.col("keep_id").alias("doc_id"))
+    eu = docs.join(keep, "doc_id", "left_semi")
+    pairs = jaccard_pairs(eu, minhash_lsh_candidates(eu), min_jaccard=0.5).filter(
+        F.col("jaccard") >= 0.5
+    )
+    pairs_path = str(tmp_path / "pairs")
+    pairs.write.parquet(pairs_path)
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    base = ["curate", "--documents", f"{sf_dir}/documents.parquet", "--out"]
+    assert main(base + [a]) == 0
+    assert main(base + [b, "--pairs-in", pairs_path]) == 0
+    want = sorted(map(tuple, spark.read.parquet(a).collect()))
+    assert sorted(map(tuple, spark.read.parquet(b).collect())) == want
+
+
 def test_cli_curate_stage_flags(sf_dir, tmp_path, capsys):
     """--block-source and --dedup-spans-min-count switch on their
     stages (audit keys present, counts consistent)."""
