@@ -78,15 +78,18 @@ def test_encode_suite_broadcasts_code_dim(spark, sf_dir):
 
 
 def test_sketch_suite_splits_distinct_and_percentile_aggs(spark, sf_dir):
-    """The count-distinct Expand must not cross the percentile agg:
-    two grouped aggregates joined on the group key (see query doc)."""
+    """The exact count-distincts must run as TWO-LEVEL partial
+    aggregations (r8: groupBy(flag, key) then a flag-level count), so
+    the plan has NO count-distinct Expand at all — an Expand would
+    triple the exchanged fact rows and drag the percentile buffers
+    with it (the pre-r8 split-agg form merely kept the Expand away
+    from the percentile; see query doc for the measured history)."""
     df = registry.QUERIES["a_sketch_suite"](spark, sf_dir)
     plan = formatted_plan(df)
-    sections = plan.split("\n\n")
-    expand_nodes = [s for s in sections if ") Expand" in s]
-    assert expand_nodes, "count-distinct Expand missing"
-    for node in expand_nodes:
-        assert "percentile" not in node.lower(), node
+    assert ") Expand" not in plan, "count-distinct Expand reappeared"
+    # the percentile agg is still its own grouped aggregate joined on
+    # the group key, not fused under either distinct's aggregation
+    assert "percentile" in plan.lower()
 
 
 def test_sessionize_single_partitioning(spark, sf_dir):
