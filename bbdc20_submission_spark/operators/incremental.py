@@ -530,3 +530,135 @@ def stream_incremental_semantic_dedup(
     return stream_vecs.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    match_renames: bool = False,
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Snapshot diff between two corpus versions — the dataset-release
+    audit every training-data pipeline runs before shipping a refresh:
+    which documents were ADDED, REMOVED, MODIFIED (same id, different
+    content), or UNCHANGED.
+
+    Output: ``[id_col, status, matched_old_id, match_jaccard]`` — one
+    row per id present in either version; ``status`` in
+    {'added', 'removed', 'modified', 'unchanged'}.
+
+    ``match_renames=True`` additionally cross-matches the ADDED set
+    against the REMOVED set by near-duplicate content (LSH candidates
+    + exact Jaccard >= ``min_jaccard``): an added doc that near-matches
+    a removed doc is a rename / re-ingest / light edit, not new data —
+    its ``matched_old_id``/``match_jaccard`` columns carry the best
+    (max-Jaccard, tie -> lowest old id) removed match, NULL for true
+    additions. Diff sets are usually small relative to the corpus, so
+    the near-dup pass pays only for the churn, never the snapshot.
+
+    Scale shape: the status join exchanges ONLY (id, md5) pairs — text
+    never shuffles for the diff itself; the rename pass runs the same
+    banded-LSH + verify machinery as the dedup family over the tagged
+    union of the two (small) diff sets, keeping cross-version pairs.
+    The rename pass encodes version-disjoint ids as 2*id / 2*id+1, so
+    it requires non-negative integer ids below 2^62 (any production
+    doc-id scheme)."""
+    from pyspark.sql.window import Window
+
+    o = old.select(F.col(id_col).alias("_id"), F.md5(text_col).alias("_oh"))
+    n = new.select(F.col(id_col).alias("_id"), F.md5(text_col).alias("_nh"))
+    st = (
+        o.join(n, "_id", "full_outer")
+        .select(
+            "_id",
+            F.when(F.col("_oh").isNull(), F.lit("added"))
+            .when(F.col("_nh").isNull(), F.lit("removed"))
+            .when(F.col("_oh") == F.col("_nh"), F.lit("unchanged"))
+            .otherwise(F.lit("modified"))
+            .alias("status"),
+        )
+    )
+    base = st.select(
+        F.col("_id").alias(id_col),
+        "status",
+        F.lit(None).cast(old.schema[id_col].dataType).alias("matched_old_id"),
+        F.lit(None).cast("double").alias("match_jaccard"),
+    )
+    if not match_renames:
+        return base
+    st_p = managed_persist(st)
+    added = new.join(
+        st_p.filter(F.col("status") == "added").select(
+            F.col("_id").alias(id_col)
+        ),
+        id_col,
+        "left_semi",
+    )
+    removed = old.join(
+        st_p.filter(F.col("status") == "removed").select(
+            F.col("_id").alias(id_col)
+        ),
+        id_col,
+        "left_semi",
+    )
+    # tagged union: ids are made side-disjoint for the LSH machinery
+    # by an odd/even encoding (2*id for removed, 2*id+1 for added), so
+    # a cross-version id collision cannot alias; decoded after verify
+    tagged = removed.select(
+        (F.col(id_col) * 2).alias("_did"), F.col(text_col).alias("_t")
+    ).unionByName(
+        added.select(
+            (F.col(id_col) * 2 + 1).alias("_did"),
+            F.col(text_col).alias("_t"),
+        )
+    )
+    sets = managed_persist(
+        hashed_shingle_sets(tagged, "_did", "_t", shingle_k)
+    )
+    cands = minhash_lsh_candidates(
+        tagged, "_did", "_t", shingle_k, num_hashes, bands, sets=sets
+    )
+    pairs = jaccard_pairs(
+        tagged, cands, "_did", "_t", shingle_k=shingle_k,
+        min_jaccard=min_jaccard, sets=sets,
+    ).filter(F.col("jaccard") >= min_jaccard)
+    # keep cross-side pairs only, oriented (removed old, added new)
+    cross = pairs.select(
+        F.when(F.col("id_a") % 2 == 1, F.col("id_a"))
+        .otherwise(F.col("id_b"))
+        .alias("_aid"),
+        F.when(F.col("id_a") % 2 == 0, F.col("id_a"))
+        .otherwise(F.col("id_b"))
+        .alias("_rid"),
+        "jaccard",
+    ).filter((F.col("_aid") % 2 == 1) & (F.col("_rid") % 2 == 0))
+    best = (
+        # decode with a shift, not floor(x / 2.0): double division
+        # loses exactness past 2^53 while the precondition allows 2^62
+        cross.select(
+            F.shiftright(F.col("_aid"), 1).alias(id_col),
+            F.shiftright(F.col("_rid"), 1).alias("matched_old_id"),
+            F.col("jaccard").alias("match_jaccard"),
+        )
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(
+                    F.col("match_jaccard").desc(),
+                    F.col("matched_old_id").asc(),
+                )
+            ),
+        )
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+    return (
+        base.drop("matched_old_id", "match_jaccard")
+        .join(best, id_col, "left")
+        .select(id_col, "status", "matched_old_id", "match_jaccard")
+    )

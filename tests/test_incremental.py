@@ -427,3 +427,56 @@ def test_incremental_semantic_dedup_degenerate_vectors_inert(spark):
     kept, updated = incremental_semantic_dedup(new, index, model, threshold=0.99)
     assert {r["vec_id"] for r in kept.select("vec_id").collect()} == {101, 102, 103}
     assert {r["_id"] for r in updated.select("_id").collect()} == {0, 101, 102, 103}
+
+
+def test_corpus_diff_statuses_and_renames(spark):
+    """corpus_diff: full status matrix (added/removed/modified/
+    unchanged) from content hashes, and match_renames cross-matches
+    added docs to near-duplicate removed docs (best match by jaccard,
+    NULL for true additions; removed/modified/unchanged rows never
+    carry a match)."""
+    from bbdc20_submission_spark.operators.incremental import corpus_diff
+
+    body = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    old = spark.createDataFrame(
+        [
+            (1, f"{body} one"),        # unchanged
+            (2, f"{body} two"),        # modified in new
+            (3, f"{body} three"),      # removed, near-dup of added 30
+            (4, "totally different words entirely distinct content"),
+        ],                             # removed, no match
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, f"{body} one"),                       # unchanged
+            (2, f"{body} two EDITED"),                # modified
+            (30, f"{body} three"),                    # renamed from 3
+            (31, "fresh unrelated document body with new tokens"),
+        ],                                            # true addition
+        "doc_id long, text string",
+    )
+    plain = {
+        r["doc_id"]: (r["status"], r["matched_old_id"])
+        for r in corpus_diff(old, new).collect()
+    }
+    assert plain == {
+        1: ("unchanged", None),
+        2: ("modified", None),
+        3: ("removed", None),
+        4: ("removed", None),
+        30: ("added", None),
+        31: ("added", None),
+    }
+    rich = {
+        r["doc_id"]: (r["status"], r["matched_old_id"], r["match_jaccard"])
+        for r in corpus_diff(old, new, match_renames=True).collect()
+    }
+    assert {k: v[0] for k, v in rich.items()} == {
+        k: v[0] for k, v in plain.items()
+    }
+    assert rich[30][1] == 3 and rich[30][2] == 1.0   # exact rename
+    assert rich[31][1] is None                        # true addition
+    assert all(
+        rich[k][1] is None for k in (1, 2, 3, 4)
+    )  # only added rows carry matches
