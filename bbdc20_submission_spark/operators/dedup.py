@@ -939,32 +939,59 @@ def duplicate_span_stats(
     formula (bit-equal hash values are not needed — only the flagged
     position sets, identical in the collision-free regime), and the
     d5 suite checks clean_text byte-for-byte via md5(clean_text)."""
-    from pyspark.sql import Window
-
     L = int(span_tokens)
     if L < 2:
         raise ValueError(f"span_tokens must be >= 2, got {span_tokens}")
     base = df.select(F.col(id_col), ws_tokens(F.col(text_col)).alias("_t"))
-    gram_expr = (
-        "filter(transform(sequence(1, size(_t)), i -> "
-        f"struct(i AS s, CASE WHEN i + {L} - 1 <= size(_t) "
-        f"THEN xxhash64(slice(_t, i, {L})) "
-        "ELSE CAST(NULL AS BIGINT) END AS h)), x -> x.h IS NOT NULL)"
-    )
-    occ = base.select(
-        F.col(id_col), F.explode(F.expr(gram_expr)).alias("_g")
-    ).select(
-        F.col(id_col),
-        F.col("_g.s").alias("_s"),
-        F.col("_g.h").alias("_h"),
-    )
+    occ = _window_occurrences(base, id_col, L)
     dup = (
         occ.groupBy("_h")
         .agg(F.count("*").alias("_c"))
         .filter(F.col("_c") >= min_count)
         .select("_h")
     )
-    flagged = occ.join(dup, "_h").withColumn("_e", F.col("_s") + F.lit(L - 1))
+    flagged = occ.join(dup, "_h")
+    return _excise_flagged(
+        base, flagged, id_col, L, "n_dup_spans", "span_tokens_removed"
+    )
+
+
+def _window_occurrences(base: DataFrame, id_col: str, L: int) -> DataFrame:
+    """Every stride-1 ``L``-token window of ``base`` ([id, _t token
+    array]) as ``[id, _s start, _h xxhash64(slice)]`` — one narrow
+    explode, the shared front of the span-excision family."""
+    gram_expr = (
+        "filter(transform(sequence(1, size(_t)), i -> "
+        f"struct(i AS s, CASE WHEN i + {L} - 1 <= size(_t) "
+        f"THEN xxhash64(slice(_t, i, {L})) "
+        "ELSE CAST(NULL AS BIGINT) END AS h)), x -> x.h IS NOT NULL)"
+    )
+    return base.select(
+        F.col(id_col), F.explode(F.expr(gram_expr)).alias("_g")
+    ).select(
+        F.col(id_col),
+        F.col("_g.s").alias("_s"),
+        F.col("_g.h").alias("_h"),
+    )
+
+
+def _excise_flagged(
+    base: DataFrame,
+    flagged: DataFrame,
+    id_col: str,
+    L: int,
+    n_col: str,
+    removed_col: str,
+) -> DataFrame:
+    """Merge flagged window positions (``[id, _s, ...]``) into maximal
+    intervals per doc (gaps-and-islands over ONLY the flagged
+    positions) and reconstruct each doc's text with the covered tokens
+    removed. Shared tail of :func:`duplicate_span_stats` and
+    :func:`decontaminate_spans`. Output: [id, n_col, removed_col,
+    clean_text]; unflagged docs pass through with 0/0/original."""
+    from pyspark.sql import Window
+
+    flagged = flagged.withColumn("_e", F.col("_s") + F.lit(L - 1))
     w = Window.partitionBy(id_col).orderBy("_s")
     prev_end = F.max("_e").over(w.rowsBetween(Window.unboundedPreceding, -1))
     new_island = F.when(
@@ -981,8 +1008,8 @@ def duplicate_span_stats(
         .agg(F.min("_s").alias("s"), F.max("_e").alias("e"))
     )
     per_doc = islands.groupBy(id_col).agg(
-        F.count("*").alias("n_dup_spans"),
-        F.sum(F.col("e") - F.col("s") + 1).alias("span_tokens_removed"),
+        F.count("*").alias(n_col),
+        F.sum(F.col("e") - F.col("s") + 1).alias(removed_col),
         F.collect_list(F.struct("s", "e")).alias("_spans"),
     )
     kept_expr = (
@@ -995,12 +1022,52 @@ def duplicate_span_stats(
         base.join(per_doc, id_col, "left")
         .select(
             F.col(id_col),
-            F.coalesce("n_dup_spans", F.lit(0))
-            .cast("long")
-            .alias("n_dup_spans"),
-            F.coalesce("span_tokens_removed", F.lit(0))
-            .cast("long")
-            .alias("span_tokens_removed"),
+            F.coalesce(n_col, F.lit(0)).cast("long").alias(n_col),
+            F.coalesce(removed_col, F.lit(0)).cast("long").alias(removed_col),
             F.expr(kept_expr).alias("clean_text"),
         )
+    )
+
+
+def decontaminate_spans(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Benchmark-decontamination by REMOVAL: excise every corpus token
+    span that matches a k-token window of the evaluation/benchmark set
+    (the shipping form of the check :func:`contamination_flags` only
+    reports — flagging tells you the corpus is dirty, this returns the
+    clean corpus). Matched windows merge into maximal intervals per
+    doc and the covered tokens are removed; documents with no overlap
+    pass through byte-identical.
+
+    Output: [id_col, n_contam_spans, contam_tokens_removed,
+    clean_text].
+
+    Scale shape: benchmarks are tiny next to a 100 TB corpus, so the
+    DISTINCT eval window-hash set is built once and BROADCAST; the
+    corpus side is the same narrow stride-1 window explode as
+    :func:`duplicate_span_stats` (text never shuffles — only flagged
+    (id, position) pairs reach the interval-merge window), and both
+    sides hash windows identically (xxhash64 over the token slice), so
+    matching is exact on token sequences."""
+    L = int(k)
+    if L < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    base = corpus.select(
+        F.col(id_col), ws_tokens(F.col(text_col)).alias("_t")
+    )
+    eval_base = eval_set.select(ws_tokens(F.col(text_col)).alias("_t"))
+    eval_hashes = (
+        _window_occurrences(eval_base.withColumn("_eid", F.lit(0)), "_eid", L)
+        .select("_h")
+        .distinct()
+    )
+    occ = _window_occurrences(base, id_col, L)
+    flagged = occ.join(F.broadcast(eval_hashes), "_h")
+    return _excise_flagged(
+        base, flagged, id_col, L, "n_contam_spans", "contam_tokens_removed"
     )

@@ -653,3 +653,53 @@ def test_simhash_shingle_mode_finds_planted_near_dups(spark):
         ).collect()
     }
     assert via_sets == found
+
+
+def test_decontaminate_spans_removes_eval_overlap(spark):
+    """decontaminate_spans: corpus spans matching eval k-grams are
+    excised (merged intervals, exact token-sequence matching); clean
+    docs pass through byte-identical; counts match a serial replay."""
+    from bbdc20_submission_spark.operators.dedup import (
+        contamination_flags,
+        decontaminate_spans,
+    )
+
+    leak = "the quick brown fox jumps over the lazy dog"
+    evalset = spark.createDataFrame(
+        [(f"Q: {leak} A: yes",)], "text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, f"intro words {leak} trailing words here"),  # mid-doc leak
+            (2, "completely unrelated training document text body"),
+            (3, f"{leak}"),                                   # whole doc
+            (4, f"{leak} {leak} bridge tokens"),              # repeated leak
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (
+            r["n_contam_spans"],
+            r["contam_tokens_removed"],
+            r["clean_text"],
+        )
+        for r in decontaminate_spans(corpus, evalset, k=5).collect()
+    }
+    assert out[2] == (0, 0, "completely unrelated training document text body")
+    # doc 1: one merged span covering the 9 leak tokens
+    assert out[1] == (1, 9, "intro words trailing words here")
+    # doc 3: everything removed
+    assert out[3] == (1, 9, "")
+    # doc 4: the two leaks plus the bridge windows spanning them merge
+    # into intervals whose removal leaves only tokens never inside a
+    # matched window
+    assert out[4][2] == "bridge tokens"
+    # consistency with the flag-only check: every doc the remover
+    # touched is flagged contaminated, and only those
+    flags = {
+        r["doc_id"]: r["contaminated"]
+        for r in contamination_flags(corpus, evalset, k=5).collect()
+    }
+    assert {d for d, v in out.items() if v[0] > 0} == {
+        d for d, v in flags.items() if v == 1
+    }
