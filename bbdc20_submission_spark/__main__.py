@@ -97,9 +97,14 @@ def _cmd_curate(args: argparse.Namespace) -> int:
     pairs = (
         spark.read.parquet(args.pairs_in) if args.pairs_in else None
     )
+    evalset = (
+        spark.read.parquet(args.decontaminate_against)
+        if args.decontaminate_against
+        else None
+    )
     out, audit = curate(
         docs, cfg, audit=args.audit, observe=args.observe,
-        precomputed_pairs=pairs,
+        precomputed_pairs=pairs, eval_set=evalset,
     )
     if args.out:
         out.write.mode("overwrite").parquet(args.out)
@@ -259,6 +264,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     c.add_argument("--shard-budget-tokens", type=int, default=1024)
     c.add_argument("--shard-buckets", type=int, default=64)
+    c.add_argument(
+        "--decontaminate-against",
+        help="parquet of an eval/benchmark set (text column) — corpus"
+        " spans matching its k-grams are EXCISED"
+        " (curate(eval_set=...), k = CurationConfig.decontaminate_k)",
+    )
     c.add_argument(
         "--pairs-in",
         help="parquet of a previously materialized verified near-dup"

@@ -117,6 +117,10 @@ class CurationConfig:
     # cross-document boilerplate removal (off by default: an extra
     # chunk+hash aggregation pass over the filtered corpus)
     strip_boilerplate_min_docs: int | None = None
+    # window width for the optional eval-set decontamination stage
+    # (the stage itself engages via curate(eval_set=...) — the eval
+    # frame can't live in a config dataclass)
+    decontaminate_k: int = 5
 
 
 def curate(
@@ -127,6 +131,7 @@ def curate(
     audit: bool = False,
     observe: bool = False,
     precomputed_pairs: DataFrame | None = None,
+    eval_set: DataFrame | None = None,
 ) -> tuple[DataFrame, dict]:
     """Run the full curation DAG. Returns (curated chunk frame, audit
     counts per stage — empty unless ``audit=True`` or ``observe=True``).
@@ -293,6 +298,31 @@ def curate(
             .filter(F.length(text_col) > 0)
         )
         near_unique = _tap("span_deduped", near_unique)
+
+    # 2c. optional benchmark decontamination by REMOVAL: corpus spans
+    # matching eval-set k-grams are excised (broadcast eval hash set,
+    # narrow corpus window explode — the shipping form of the
+    # train/test-overlap pass); docs reduced to nothing drop.
+    if eval_set is not None:
+        from bbdc20_submission_spark.operators.dedup import (
+            decontaminate_spans,
+        )
+
+        decon = decontaminate_spans(
+            near_unique, eval_set, id_col, text_col,
+            k=config.decontaminate_k,
+        )
+        near_unique = (
+            near_unique.drop(text_col)
+            .join(
+                decon.select(
+                    id_col, F.col("clean_text").alias(text_col)
+                ),
+                id_col,
+            )
+            .filter(F.length(text_col) > 0)
+        )
+        near_unique = _tap("decontaminated", near_unique)
 
     # 3+4. quality, language, (optional) classifier, scrub: all narrow
     # maps — one projection pipeline, no shuffles between them.

@@ -268,6 +268,43 @@ def test_curate_quality_keeper_policy(spark, sf_dir):
     assert expected_keep != default_keep
 
 
+def test_curate_eval_set_decontaminates(spark, sf_dir):
+    """curate(eval_set=...): chunks emitted by the decontaminated DAG
+    contain no eval k-gram; without the stage the planted leak
+    survives (non-vacuity); untouched docs produce identical chunks."""
+    from bbdc20_submission_spark.operators.text import ws_tokens
+
+    leak = "zeta yotta quibble flarn doozle wumpus grackle nimbus"
+    docs = load_table(spark, "documents", sf_dir)
+    # plant the leak mid-text in a handful of docs
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat_ws(" ", F.lit("prefix"), F.lit(leak), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    evalset = spark.createDataFrame([(f"Q {leak} A",)], "text string")
+
+    def leaky_chunks(out):
+        return out.filter(F.col("chunk_text").contains(leak)).count()
+
+    dirty, _ = curate(planted)
+    assert leaky_chunks(dirty) > 0  # the stage has something to do
+    clean, audit = curate(planted, eval_set=evalset, audit=True)
+    assert leaky_chunks(clean) == 0
+    assert audit["decontaminated"] <= audit["near_unique"]
+    # docs without the leak are untouched by the stage
+    unaffected = {
+        tuple(r)
+        for r in dirty.filter(F.col("doc_id") % 11 != 0).collect()
+    }
+    assert {
+        tuple(r)
+        for r in clean.filter(F.col("doc_id") % 11 != 0).collect()
+    } == unaffected
+
+
 def test_curate_precomputed_pairs_matches_inline(spark, sf_dir):
     """Passing an externally materialized verified edge set skips the
     LSH prefix but must yield the exact same curated output — both
