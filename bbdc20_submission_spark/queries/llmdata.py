@@ -742,7 +742,7 @@ _BANNER = (
                    '')) AS clean_hash
         FROM marked GROUP BY doc_id
     ),
-    st AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+    st AS MATERIALIZED (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
     socc AS (
         SELECT doc_id, i AS s, md5(array_to_string(t[i:i+7], ' ')) AS h
         FROM (SELECT doc_id, t,
@@ -787,13 +787,64 @@ _BANNER = (
                                    sp -> i >= sp.s AND i <= sp.e)) = 0),
                    i -> st.t[i]), ' '), '')) AS span_clean_hash
         FROM st LEFT JOIN ssp p ON p.doc_id = st.doc_id
+    ),
+    cev AS (
+        SELECT DISTINCT array_to_string(t[i:i+4], ' ') AS w
+        FROM (SELECT t, unnest(generate_series(1, len(t) - 4)) AS i
+              FROM st WHERE doc_id % 11 = 3)
+    ),
+    cocc AS (
+        SELECT doc_id, i AS s, i + 4 AS e,
+               array_to_string(t[i:i+4], ' ') AS w
+        FROM (SELECT doc_id, t,
+                     unnest(generate_series(1, len(t) - 4)) AS i
+              FROM st)
+    ),
+    cfl AS (SELECT doc_id, s, e FROM cocc WHERE w IN (SELECT w FROM cev)),
+    cisl0 AS (
+        SELECT doc_id, s, e,
+               max(e) OVER (PARTITION BY doc_id ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS pme
+        FROM cfl
+    ),
+    cisl1 AS (
+        SELECT doc_id, s, e,
+               sum(CASE WHEN pme IS NULL OR s > pme + 1 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY s
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS isl
+        FROM cisl0
+    ),
+    cisl AS (SELECT doc_id, isl, min(s) AS s, max(e) AS e
+             FROM cisl1 GROUP BY doc_id, isl),
+    csp AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contam_spans,
+               CAST(sum(e - s + 1) AS BIGINT) AS contam_tokens_removed,
+               list(struct_pack(s := s, e := e)) AS spans
+        FROM cisl GROUP BY doc_id
+    ),
+    cclean AS (
+        SELECT st.doc_id,
+               CAST(coalesce(p.n_contam_spans, 0) AS BIGINT) AS n_contam_spans,
+               CAST(coalesce(p.contam_tokens_removed, 0) AS BIGINT)
+                   AS contam_tokens_removed,
+               md5(coalesce(array_to_string(list_transform(
+                   list_filter(generate_series(1, len(st.t)),
+                       i -> p.spans IS NULL
+                            OR len(list_filter(p.spans,
+                                   sp -> i >= sp.s AND i <= sp.e)) = 0),
+                   i -> st.t[i]), ' '), '')) AS contam_clean_hash
+        FROM st LEFT JOIN csp p ON p.doc_id = st.doc_id
     )
     SELECT f.doc_id, f.ws_tokens, f.bpe_tokens, f.fingerprint,
            b.n_chunks_removed, b.clean_hash,
-           s.n_dup_spans, s.span_tokens_removed, s.span_clean_hash
+           s.n_dup_spans, s.span_tokens_removed, s.span_clean_hash,
+           c.n_contam_spans, c.contam_tokens_removed, c.contam_clean_hash
     FROM fp f
     JOIN bpout b ON b.doc_id = f.doc_id
     JOIN sclean s ON s.doc_id = f.doc_id
+    JOIN cclean c ON c.doc_id = f.doc_id
     """,
 )
 def d5_token_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -819,12 +870,31 @@ def d5_token_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     intervals merge per doc, covered tokens are removed).
     span_clean_hash certifies detection + merging + removal
     byte-for-byte; the corpus's exact-duplicate docs make the result
-    non-vacuous (every window of a duplicated doc repeats)."""
+    non-vacuous (every window of a duplicated doc repeats).
+
+    r8: also certifies benchmark DECONTAMINATION by span removal
+    (``dedup.decontaminate_spans`` — the shipping form of the
+    d2-certified contamination CHECK): every corpus token span
+    matching a 5-token window of an eval set derived in-query (docs
+    with doc_id % 11 == 3, same arithmetic both engines) is excised
+    through the same interval-merge tail. Non-vacuous at every SF —
+    eval docs self-flag end to end, their exact duplicates are fully
+    excised, partial 5-gram overlaps excise sub-spans.
+    contam_clean_hash certifies detection + merge + removal
+    byte-for-byte. Scale shape: the DISTINCT eval window-hash set is
+    BROADCAST (benchmarks are tiny next to a 100 TB corpus); the
+    corpus side is one narrow stride-1 window explode — text never
+    shuffles. Spark matches windows by xxhash64 over the token slice,
+    the oracle by the window string — membership-equal barring 64-bit
+    collisions (the certification's standing risk class)."""
     from bbdc20_submission_spark.operators.chunking import (
         boilerplate_chunks,
         strip_boilerplate,
     )
-    from bbdc20_submission_spark.operators.dedup import duplicate_span_stats
+    from bbdc20_submission_spark.operators.dedup import (
+        decontaminate_spans,
+        duplicate_span_stats,
+    )
 
     d = load_table(spark, "documents", sf_dir)
     fp = d.select(
@@ -847,6 +917,9 @@ def d5_token_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = boilerplate_chunks(docs, chunk_tokens=16, min_docs=2)
     stripped = strip_boilerplate(docs, flagged, chunk_tokens=16)
     spans = duplicate_span_stats(d, span_tokens=8, min_count=2)
+    decon = decontaminate_spans(
+        d, d.filter(F.col("doc_id") % 11 == 3).select("text"), k=5
+    )
     return (
         fp.join(
             stripped.select(
@@ -862,6 +935,15 @@ def d5_token_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_dup_spans",
                 "span_tokens_removed",
                 F.md5("clean_text").alias("span_clean_hash"),
+            ),
+            "doc_id",
+        )
+        .join(
+            decon.select(
+                "doc_id",
+                "n_contam_spans",
+                "contam_tokens_removed",
+                F.md5("clean_text").alias("contam_clean_hash"),
             ),
             "doc_id",
         )
@@ -1851,4 +1933,111 @@ def c1_curation_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "doc_id", "chunk_id", "chunk_text", "n_tokens", "lang_pred", "quality"
+    )
+
+
+@query(
+    "c2_corpus_diff",
+    oracle="""
+    WITH params AS (SELECT max(doc_id) + 1 AS off FROM documents),
+    old AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 5
+    ),
+    new AS (
+        SELECT CASE WHEN doc_id % 13 = 9
+                    THEN doc_id + (SELECT off FROM params)
+                    ELSE doc_id END AS doc_id,
+               CASE WHEN doc_id % 13 = 3
+                    THEN text || ' zz-v2-marker'
+                    ELSE text END AS text
+        FROM documents WHERE doc_id % 13 <> 7
+    ),
+    st AS MATERIALIZED (
+        SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN md5(o.text) = md5(n.text) THEN 'unchanged'
+                    ELSE 'modified' END AS status
+        FROM old o FULL OUTER JOIN new n ON n.doc_id = o.doc_id
+    ),
+    ash AS (
+        SELECT n.doc_id,
+               list_distinct([array_to_string(t[i:i+2], ' ')
+                              for i in generate_series(1, greatest(len(t)-2, 1))]) AS s
+        FROM (SELECT doc_id, str_split(text, ' ') AS t FROM new) n
+        JOIN st ON st.doc_id = n.doc_id AND st.status = 'added'
+    ),
+    rsh AS (
+        SELECT o.doc_id,
+               list_distinct([array_to_string(t[i:i+2], ' ')
+                              for i in generate_series(1, greatest(len(t)-2, 1))]) AS s
+        FROM (SELECT doc_id, str_split(text, ' ') AS t FROM old) o
+        JOIN st ON st.doc_id = o.doc_id AND st.status = 'removed'
+    ),
+    pr AS (
+        SELECT a.doc_id AS aid, r.doc_id AS rid,
+               round(len(list_filter(a.s, x -> list_contains(r.s, x)))
+                     / len(list_distinct(list_concat(a.s, r.s))), 6) AS j
+        FROM ash a CROSS JOIN rsh r
+    ),
+    best AS (
+        SELECT aid, rid, j FROM (
+            SELECT aid, rid, j,
+                   row_number() OVER (PARTITION BY aid
+                                      ORDER BY j DESC, rid ASC) AS rn
+            FROM pr WHERE j >= 0.5
+        ) WHERE rn = 1
+    )
+    SELECT st.doc_id, st.status,
+           b.rid AS matched_old_id,
+           b.j AS match_jaccard
+    FROM st LEFT JOIN best b ON b.aid = st.doc_id
+    """,
+)
+def c2_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff + near-dup RENAME matching
+    (``incremental.corpus_diff``) — the dataset-release audit: which
+    docs were added / removed / modified / unchanged between two
+    corpus versions, with added docs near-matching removed docs
+    reported as renames (best match = max Jaccard, tie -> lowest old
+    id). Both snapshots are derived in-query from ``documents`` with
+    the same arithmetic in both engines: ids with doc_id % 13 == 5
+    are absent from OLD (added), % 13 == 7 absent from NEW (removed),
+    % 13 == 3 get a marker token appended in NEW (modified), and
+    % 13 == 9 are re-ingested in NEW under id + max(doc_id)+1 (the
+    collision-proof offset) with identical text — a rename the LSH
+    pass must recover at jaccard 1.0.
+
+    Certification: the exact-diff half is a pure (id, md5) full outer
+    join; the rename half runs the d8 MinHash-LSH machinery (same
+    shingle_k=3 / 16 hashes / 4 bands) over the added x removed sets,
+    and the oracle recomputes the SAME >= 0.5 Jaccard best-match by
+    brute force — green inherits d8's proven recall-1 on this corpus
+    (signatures depend only on text, so every full-corpus pair d8
+    recalls is also recalled on the diff subset). Scale shape: the
+    status join exchanges only (id, md5) pairs — text never shuffles
+    for the diff — and the rename pass pays only for the churn, never
+    the snapshot."""
+    from bbdc20_submission_spark.operators.incremental import corpus_diff
+
+    d = load_table(spark, "documents", sf_dir)
+    off = _plant_offset(spark, sf_dir, table="documents", id_col="doc_id")
+    r = F.col("doc_id") % 13
+    old = d.filter(r != 5).select("doc_id", "text")
+    new = d.filter(r != 7).select(
+        F.when(r == 9, F.col("doc_id") + off)
+        .otherwise(F.col("doc_id"))
+        .alias("doc_id"),
+        F.when(r == 3, F.concat(F.col("text"), F.lit(" zz-v2-marker")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return corpus_diff(
+        old,
+        new,
+        match_renames=True,
+        shingle_k=3,
+        num_hashes=16,
+        bands=4,
+        min_jaccard=0.5,
     )

@@ -578,11 +578,27 @@ def a_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_rows
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
+    UNION ALL
+    SELECT 'pivot' AS gset, l_returnflag, 'O' AS l_linestatus,
+           round(coalesce(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 0.0), 6) AS sum_qty,
+           CAST(NULL AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT 'pivot' AS gset, l_returnflag, 'F' AS l_linestatus,
+           round(coalesce(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 0.0), 6) AS sum_qty,
+           CAST(NULL AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
     """,
 )
 def a_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.4 note: rollup + cube grouping-set certifications, tagged and
-    unioned over the same fact columns."""
+    """§2.4 note: the grouping-SHAPE suite — rollup, cube, and pivot
+    (wide one-hot aggregation, A11's agg cousin) certifications,
+    tagged and unioned over the same fact columns. The pivot family
+    runs Spark's real ``.pivot()`` (wide output), then unpivots via
+    ``stack`` purely for the union schema — the certified values are
+    the pivot operator's cells. (r8: absorbed the former standalone
+    ``a_pivot`` to free a registry slot for c2_corpus_diff; the
+    driver's correctness window is exactly 50 queries.)"""
     li = load_table(spark, "lineitem", sf_dir)
     aggs = [
         F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
@@ -598,31 +614,19 @@ def a_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(*aggs)
         .select(F.lit("cube").alias("gset"), "*")
     )
-    return rollup.unionByName(cube)
-
-
-@query(
-    "a_pivot",
-    oracle="""
-    SELECT l_returnflag,
-           round(coalesce(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 0.0), 6) AS qty_O,
-           round(coalesce(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 0.0), 6) AS qty_F
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
-def a_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.4 note: pivot (wide one-hot aggregation, A11's agg cousin)."""
-    li = load_table(spark, "lineitem", sf_dir)
-    out = (
+    pivot = (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
         .agg(F.sum("l_quantity"))
+        .selectExpr(
+            "'pivot' AS gset",
+            "l_returnflag",
+            "stack(2, 'O', round(coalesce(O, 0.0), 6),"
+            " 'F', round(coalesce(F, 0.0), 6)) AS (l_linestatus, sum_qty)",
+        )
+        .withColumn("n_rows", F.lit(None).cast("long"))
     )
-    return out.select(
-        "l_returnflag",
-        F.round(F.coalesce(F.col("O"), F.lit(0.0)), 6).alias("qty_O"),
-        F.round(F.coalesce(F.col("F"), F.lit(0.0)), 6).alias("qty_F"),
-    )
+    return rollup.unionByName(cube).unionByName(pivot)
 
 
 # ------------------------------------------------------ §2.6 sort/limit/sets
