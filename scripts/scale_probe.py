@@ -56,6 +56,10 @@ QUERIES = [
     "d4_language_id",
     "r_ranking_suite",
     "s4_kmeans_clusters",
+    # r8: snapshot diff + LSH rename matching — the rename pass pays
+    # only for the churn (~3/13 of the corpus by the %13 derivation),
+    # so the ratio must stay at-worst linear in corpus size
+    "c2_corpus_diff",
 ]
 
 

@@ -315,3 +315,65 @@ def test_text_stats_empty_document_no_ansi_crash(spark):
     assert empty["stat_digit_ratio"] == 0.0
     assert empty["quality"] is not None and 0.0 <= empty["quality"] <= 1.0
     assert rows[2]["quality"] > empty["quality"]
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c"]),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    k=st.sampled_from([2, 3, 4]),
+)
+def test_decontaminate_spans_matches_python_reference(spark, docs, k):
+    """decontaminate_spans must equal an INDEPENDENT pure-python
+    formulation: mark every token position covered by any corpus
+    window matching an eval window, then n_contam_spans = number of
+    maximal covered runs (the operator's touching-intervals-merge
+    rule expressed as position coverage), removed = |covered|,
+    clean_text = uncovered tokens rejoined. A 3-token vocabulary
+    forces heavy window overlap — the interval-merge edge cases (runs
+    touching, runs at doc start/end, whole-doc coverage, eval docs
+    shorter than k) all occur naturally."""
+    from bbdc20_submission_spark.operators.dedup import decontaminate_spans
+
+    corpus = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    # eval set: every third doc (possibly none long enough for windows)
+    eval_rows = [(t,) for i, (_, t) in enumerate(corpus) if i % 3 == 0]
+
+    evw: set = set()
+    for (t,) in eval_rows:
+        toks = t.split(" ")
+        for s in range(len(toks) - k + 1):
+            evw.add(tuple(toks[s : s + k]))
+    want = {}
+    for i, (_, t) in enumerate(corpus):
+        toks = t.split(" ")
+        covered = set()
+        for s in range(len(toks) - k + 1):
+            if tuple(toks[s : s + k]) in evw:
+                covered.update(range(s, s + k))
+        runs = sum(
+            1 for p in covered if p - 1 not in covered
+        )
+        clean = " ".join(
+            tok for p, tok in enumerate(toks) if p not in covered
+        )
+        want[i] = (runs, len(covered), clean)
+
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    ev = spark.createDataFrame(eval_rows, "text string")
+    got = {
+        r["doc_id"]: (
+            r["n_contam_spans"],
+            r["contam_tokens_removed"],
+            r["clean_text"],
+        )
+        for r in decontaminate_spans(df, ev, k=k).collect()
+    }
+    assert got == want
