@@ -421,6 +421,134 @@ def stream_incremental_exact_filter(
     )
 
 
+# partition column for the EXACTLY-ONCE ingest layout. Not
+# underscore-prefixed: Spark's file index treats _-prefixed paths as
+# hidden metadata (like _SUCCESS) and would skip the partition dirs.
+INGEST_BATCH_COL = "ingest_batch_id"
+
+
+def seed_ingest_index(index: DataFrame, index_path: str) -> None:
+    """Seed an exactly-once ingest index directory with the HISTORICAL
+    index as partition ``ingest_batch_id=-1``, so the seed and every
+    later micro-batch partition share one uniform partitioned layout
+    (mixing unpartitioned root files with partition dirs breaks
+    Spark's partition discovery). Use instead of a plain
+    ``index.write.parquet(index_path)`` when the streaming form will
+    run with ``exactly_once=True``."""
+    (
+        index.withColumn(INGEST_BATCH_COL, F.lit(-1).cast("long"))
+        .write.mode("overwrite")
+        .partitionBy(INGEST_BATCH_COL)
+        .parquet(index_path)
+    )
+
+
+def _write_ingest_partition(df: DataFrame, batch_id: int, path: str) -> None:
+    """Idempotent keyed write: the batch lands in its own
+    ``ingest_batch_id=<n>`` partition under DYNAMIC partition
+    overwrite, so a replayed batch REWRITES its partition instead of
+    appending a duplicate copy — plain-parquet exactly-once with no
+    transactional table format."""
+    (
+        df.withColumn(INGEST_BATCH_COL, F.lit(batch_id).cast("long"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(INGEST_BATCH_COL)
+        .parquet(path)
+    )
+
+
+def _read_ingest_index(spark, index_path: str, batch_id: int):
+    """Read the exactly-once index AS OF this batch: partitions
+    ``ingest_batch_id < batch_id`` only. Excluding the in-flight
+    batch's own partition makes replays deterministic — a batch that
+    failed AFTER writing its index partition recomputes against
+    exactly the index state its first attempt saw, then overwrites
+    the same partitions. Returns None when no index dir exists yet
+    (day-0 bootstrap)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return (
+            spark.read.parquet(index_path)
+            .filter(F.col(INGEST_BATCH_COL) < batch_id)
+            .drop(INGEST_BATCH_COL)
+        )
+    except AnalysisException:
+        return None
+
+
+def ingest_dedup_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_path: str,
+    kept_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    exactly_once: bool = False,
+    **dedup_kwargs,
+) -> None:
+    """One micro-batch of the streaming incremental dedup (the
+    ``foreachBatch`` body of :func:`stream_incremental_dedup`,
+    module-level so replay semantics are directly testable): read the
+    index as of this batch, run :func:`incremental_dedup`, persist the
+    survivors and their index rows.
+
+    ``exactly_once=False`` (default): plain appends — Structured
+    Streaming's at-least-once contract for side-effecting sinks, where
+    a failed-then-replayed batch can append twice (and, worse, re-read
+    an index already containing its own first attempt's rows, so the
+    replay dedups the batch against itself and admits nothing).
+
+    ``exactly_once=True``: both outputs land in per-batch
+    ``ingest_batch_id=<n>`` partitions via dynamic partition
+    overwrite, and the index read excludes partitions >= this batch —
+    replays rewrite the same partitions from the same inputs, so the
+    final state is exactly-once no matter how many times a batch
+    retries. Seed a pre-existing historical index with
+    :func:`seed_ingest_index`; readers of ``kept_path`` see one extra
+    ``ingest_batch_id`` partition column."""
+    from pyspark.errors import AnalysisException
+
+    spark = batch_df.sparkSession
+    index = None
+    if exactly_once:
+        index = _read_ingest_index(spark, index_path, batch_id)
+    else:
+        try:
+            index = spark.read.parquet(index_path)
+        except AnalysisException:
+            index = None
+    if index is None:
+        # day-0 bootstrap: no index persisted yet — an empty frame
+        # with the index schema (limit(0) never touches the data)
+        index = build_dedup_index(
+            batch_df.limit(0),
+            id_col=id_col,
+            text_col=text_col,
+            shingle_k=dedup_kwargs.get("shingle_k", 3),
+            num_hashes=dedup_kwargs.get("num_hashes", 16),
+        )
+    kept, appended = _dedup_batch(
+        batch_df,
+        index,
+        id_col,
+        text_col,
+        dedup_kwargs.get("shingle_k", 3),
+        dedup_kwargs.get("num_hashes", 16),
+        dedup_kwargs.get("bands", 4),
+        dedup_kwargs.get("min_jaccard", 0.5),
+    )
+    if exactly_once:
+        _write_ingest_partition(kept, batch_id, kept_path)
+        # the survivors' index rows are a slice of the checkpointed
+        # batch index — no second md5 + MinHash pass per micro-batch
+        _write_ingest_partition(appended, batch_id, index_path)
+    else:
+        kept.write.mode("append").parquet(kept_path)
+        appended.write.mode("append").parquet(index_path)
+
+
 def stream_incremental_dedup(
     stream_docs: DataFrame,
     index_path: str,
@@ -428,54 +556,38 @@ def stream_incremental_dedup(
     checkpoint_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    exactly_once: bool = False,
     **dedup_kwargs,
 ):
     """FULL incremental dedup on a stream — exact + near, vs the
     persisted index AND within each micro-batch — via ``foreachBatch``:
     each micro-batch reads the CURRENT index, runs the batch
-    :func:`incremental_dedup`, appends the survivors to ``kept_path``
+    :func:`incremental_dedup`, persists the survivors to ``kept_path``
     and their index rows to ``index_path`` (append-only is equivalent
     to the updated-index union). Later micro-batches therefore dedup
     against everything earlier ones admitted — the sequential-ingest
     semantics of a production feed.
 
     Returns the unstarted ``DataStreamWriter`` (caller picks the
-    trigger and calls ``start()``). Delivery is Structured Streaming's
-    at-least-once for side-effecting sinks: a failed-then-replayed
-    batch can append twice; exactly-once deployments key the output
-    path by ``batch_id`` or write through a transactional table
-    format."""
+    trigger and calls ``start()``). Delivery: at-least-once by default
+    (a failed-then-replayed batch can append twice);
+    ``exactly_once=True`` switches both outputs to per-batch-keyed
+    partitions with replay-deterministic index reads — see
+    :func:`ingest_dedup_batch` — at the cost of an ``ingest_batch_id``
+    partition column in the output layout (seed pre-existing history
+    with :func:`seed_ingest_index`)."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.errors import AnalysisException
-
-        spark = batch_df.sparkSession
-        try:
-            index = spark.read.parquet(index_path)
-        except AnalysisException:
-            # day-0 bootstrap: no index persisted yet — an empty frame
-            # with the index schema (limit(0) never touches the data)
-            index = build_dedup_index(
-                batch_df.limit(0),
-                id_col=id_col,
-                text_col=text_col,
-                shingle_k=dedup_kwargs.get("shingle_k", 3),
-                num_hashes=dedup_kwargs.get("num_hashes", 16),
-            )
-        kept, appended = _dedup_batch(
+        ingest_dedup_batch(
             batch_df,
-            index,
-            id_col,
-            text_col,
-            dedup_kwargs.get("shingle_k", 3),
-            dedup_kwargs.get("num_hashes", 16),
-            dedup_kwargs.get("bands", 4),
-            dedup_kwargs.get("min_jaccard", 0.5),
+            batch_id,
+            index_path,
+            kept_path,
+            id_col=id_col,
+            text_col=text_col,
+            exactly_once=exactly_once,
+            **dedup_kwargs,
         )
-        kept.write.mode("append").parquet(kept_path)
-        # the survivors' index rows are a slice of the checkpointed
-        # batch index — no second md5 + MinHash pass per micro-batch
-        appended.write.mode("append").parquet(index_path)
 
     return stream_docs.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir
@@ -492,6 +604,7 @@ def stream_incremental_semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cap: int = 4096,
+    exactly_once: bool = False,
 ):
     """Embedding-side ingest dedup on a STREAM via ``foreachBatch``:
     each micro-batch reads the CURRENT vector index (cell-assigned
@@ -503,33 +616,76 @@ def stream_incremental_semantic_dedup(
     Day-0 bootstrap: an empty index frame with the index schema.
 
     Returns the unstarted ``DataStreamWriter`` (caller picks the
-    trigger and calls ``start()``). Same at-least-once caveat as
-    :func:`stream_incremental_dedup`: a replayed batch can append
-    twice; exactly-once deployments key outputs by ``batch_id`` or
-    write through a transactional table format."""
+    trigger and calls ``start()``). Delivery: at-least-once by
+    default; ``exactly_once=True`` keys both outputs by batch into
+    ``ingest_batch_id=<n>`` partitions with replay-deterministic index
+    reads, same mechanics as :func:`ingest_dedup_batch` (seed
+    pre-existing history with :func:`seed_ingest_index`)."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.errors import AnalysisException
+        ingest_semantic_batch(
+            batch_df,
+            batch_id,
+            index_path,
+            kept_path,
+            model,
+            threshold=threshold,
+            id_col=id_col,
+            vec_col=vec_col,
+            cap=cap,
+            exactly_once=exactly_once,
+        )
 
-        spark = batch_df.sparkSession
+    return stream_vecs.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+
+
+def ingest_semantic_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_path: str,
+    kept_path: str,
+    model,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cap: int = 4096,
+    exactly_once: bool = False,
+) -> None:
+    """One micro-batch of the streaming semantic ingest dedup (the
+    ``foreachBatch`` body of :func:`stream_incremental_semantic_dedup`,
+    module-level so replay semantics are directly testable). Delivery
+    modes are identical to :func:`ingest_dedup_batch`: plain appends
+    (at-least-once) or per-batch ``ingest_batch_id`` partitions with
+    as-of index reads (exactly-once under replay)."""
+    from pyspark.errors import AnalysisException
+
+    spark = batch_df.sparkSession
+    index = None
+    if exactly_once:
+        index = _read_ingest_index(spark, index_path, batch_id)
+    else:
         try:
             index = spark.read.parquet(index_path)
         except AnalysisException:
-            index = build_semantic_index(
-                batch_df.limit(0), model, id_col=id_col, vec_col=vec_col
-            )
-        kept, appended = _semantic_dedup_batch(
-            batch_df, index, model, threshold, id_col, vec_col, cap
+            index = None
+    if index is None:
+        index = build_semantic_index(
+            batch_df.limit(0), model, id_col=id_col, vec_col=vec_col
         )
+    kept, appended = _semantic_dedup_batch(
+        batch_df, index, model, threshold, id_col, vec_col, cap
+    )
+    if exactly_once:
+        _write_ingest_partition(kept, batch_id, kept_path)
+        _write_ingest_partition(appended, batch_id, index_path)
+    else:
         kept.write.mode("append").parquet(kept_path)
         # append-only is equivalent to rewriting the updated union —
         # the survivors' rows are a slice of the checkpointed batch
         # assignment, so no second assignment pass per micro-batch
         appended.write.mode("append").parquet(index_path)
-
-    return stream_vecs.writeStream.foreachBatch(_process).option(
-        "checkpointLocation", checkpoint_dir
-    )
 
 
 def corpus_diff(

@@ -136,6 +136,15 @@ HEADLINERS = {
         "hamming budget folded into the join condition BEFORE the "
         "pair-distinct; exact Jaccard verify touches candidates only."
     ),
+    "c2_corpus_diff": (
+        "Snapshot diff: the status full-outer join exchanges ONLY "
+        "(id, md5) pairs — text never shuffles for the diff. The "
+        "rename pass (LSH + exact-Jaccard best match) runs over the "
+        "tagged added/removed union only, so the near-dup machinery "
+        "pays for the CHURN, never the snapshot: at a stable corpus "
+        "with 1% daily churn the pass touches 2% of docs regardless "
+        "of corpus size."
+    ),
 }
 
 

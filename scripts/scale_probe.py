@@ -38,6 +38,18 @@ SECTIONS = set(
         "SCALE_PROBE_SECTIONS", "queries,ext,stream,refine"
     ).split(",")
 )
+# Individual operators can be re-measured (e.g. after a run that
+# overlapped other load) without re-running a whole section:
+# SCALE_PROBE_OPS=d12_dedup_clusters,d9_simhash_near_dups
+OPS = {
+    x for x in os.environ.get("SCALE_PROBE_OPS", "").split(",") if x
+}
+
+
+def _want(name: str) -> bool:
+    return not OPS or name in OPS
+
+
 # the two-level-quantization probe replicates EMBEDDINGS ONLY at its
 # own (wider) factor ladder — the table is tiny, so 64x is cheap
 REFINE_FACTORS = [1, 16, 64]
@@ -391,11 +403,15 @@ def main() -> None:
 
         if "queries" in SECTIONS:
             for q in QUERIES:
+                if not _want(q):
+                    continue
                 t = _measure(lambda: registry.QUERIES[q](spark, d))
                 store["queries"].setdefault(q, {})[str(f)] = t
                 print(f, q, t, flush=True)
         if "ext" in SECTIONS:
             for q, fn in EXT.items():
+                if not _want(q):
+                    continue
                 t = _measure(lambda: fn(spark, d))
                 store["ext"].setdefault(q, {})[str(f)] = t
                 print(f, q, t, flush=True)
@@ -412,6 +428,8 @@ def main() -> None:
 
         if "stream" in SECTIONS:
             for q, fn in STREAM.items():
+                if not _want(q):
+                    continue
                 t = _measure_run(fn)
                 store["stream"].setdefault(q, {})[str(f)] = t
                 print(f, q, t, flush=True)

@@ -480,3 +480,136 @@ def test_corpus_diff_statuses_and_renames(spark):
     assert all(
         rich[k][1] is None for k in (1, 2, 3, 4)
     )  # only added rows carry matches
+
+
+def test_exactly_once_ingest_replay_is_idempotent(spark, tmp_path):
+    """exactly_once=True: a REPLAYED micro-batch (Structured
+    Streaming's at-least-once contract for side-effecting sinks) must
+    leave kept/index state byte-identical — the keyed partition is
+    rewritten, not appended, and the as-of index read excludes the
+    batch's own first-attempt rows (in append mode a replay re-reads
+    those rows and dedups the batch against itself). Sequencing across
+    batches must still hold: batch 1 dedups against batch 0's
+    admissions through the partitioned index."""
+    from bbdc20_submission_spark.operators.incremental import (
+        build_dedup_index,
+        ingest_dedup_batch,
+        seed_ingest_index,
+    )
+
+    def _doc(i: int) -> str:
+        return " ".join(f"x{i}w{j}" for j in range(30))
+
+    hist = spark.createDataFrame(
+        [(i, _doc(i)) for i in range(20)], "doc_id long, text string"
+    )
+    index_path = str(tmp_path / "idx")
+    kept_path = str(tmp_path / "kept")
+    seed_ingest_index(build_dedup_index(hist), index_path)
+
+    # batch 0: one dup of history (doc 0) + fresh 20..29
+    b0 = spark.createDataFrame(
+        [(900, _doc(0))] + [(i, _doc(i)) for i in range(20, 30)],
+        "doc_id long, text string",
+    )
+    ingest_dedup_batch(b0, 0, index_path, kept_path, exactly_once=True)
+
+    def _state():
+        kept = sorted(
+            (r["doc_id"], r["ingest_batch_id"])
+            for r in spark.read.parquet(kept_path).collect()
+        )
+        idx = sorted(
+            (r["_id"], r["ingest_batch_id"])
+            for r in spark.read.parquet(index_path).collect()
+        )
+        return kept, idx
+
+    first = _state()
+    kept0 = {i for i, _ in first[0]}
+    assert kept0 == set(range(20, 30))  # 900 dropped vs history
+
+    # REPLAY batch 0 (same content, same batch_id) — state unchanged.
+    # The critical property: the replay's index read must NOT see the
+    # first attempt's ingest_batch_id=0 rows, else 20..29 would dedup
+    # against themselves and the partition would rewrite to empty.
+    ingest_dedup_batch(b0, 0, index_path, kept_path, exactly_once=True)
+    assert _state() == first
+
+    # batch 1: dups of batch-0 admissions (20..24) + fresh 30..34 —
+    # cross-batch sequencing rides the partitioned index
+    b1 = spark.createDataFrame(
+        [(8000 + i, _doc(20 + i)) for i in range(5)]
+        + [(i, _doc(i)) for i in range(30, 35)],
+        "doc_id long, text string",
+    )
+    ingest_dedup_batch(b1, 1, index_path, kept_path, exactly_once=True)
+    kept, idx = _state()
+    assert {i for i, b in kept if b == 1} == set(range(30, 35))
+    # replaying batch 1 is also a no-op
+    ingest_dedup_batch(b1, 1, index_path, kept_path, exactly_once=True)
+    assert _state() == (kept, idx)
+    # index = seed (-1) + batch survivors, exactly once each
+    assert sorted(b for _, b in idx) == [-1] * 20 + [0] * 10 + [1] * 5
+
+
+def test_exactly_once_semantic_ingest_replay(spark, tmp_path):
+    """Semantic (embedding-side) exactly-once ingest: replayed batch
+    leaves state identical; the streaming wrapper with
+    exactly_once=True produces the same survivor set as the plain
+    at-least-once run of the same feed."""
+    import numpy as np
+
+    from bbdc20_submission_spark.operators.clustering import fit_quantizer
+    from bbdc20_submission_spark.operators.incremental import (
+        build_semantic_index,
+        ingest_semantic_batch,
+        seed_ingest_index,
+        stream_incremental_semantic_dedup,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(24, 8)).astype("float64")
+    hist_rows = [(i, [float(x) for x in base[i]]) for i in range(16)]
+    hist = spark.createDataFrame(
+        hist_rows, "vec_id long, embedding array<double>"
+    )
+    model = fit_quantizer(hist, k=4, max_iter=5, seed=3)
+    index_path = str(tmp_path / "semidx")
+    kept_path = str(tmp_path / "semkept")
+    seed_ingest_index(build_semantic_index(hist, model), index_path)
+
+    # batch 0: exact copies of history vecs 0,1 (pruned) + fresh 16..19
+    b0_rows = [(1000, [float(x) for x in base[0]]),
+               (1001, [float(x) for x in base[1]])] + [
+        (i, [float(x) for x in base[i]]) for i in range(16, 20)
+    ]
+    b0 = spark.createDataFrame(b0_rows, "vec_id long, embedding array<double>")
+    ingest_semantic_batch(
+        b0, 0, index_path, kept_path, model, threshold=0.999,
+        exactly_once=True,
+    )
+
+    def _kept():
+        return sorted(
+            (r["vec_id"], r["ingest_batch_id"])
+            for r in spark.read.parquet(kept_path).collect()
+        )
+
+    first = _kept()
+    assert {i for i, _ in first} == set(range(16, 20))
+    ingest_semantic_batch(  # replay
+        b0, 0, index_path, kept_path, model, threshold=0.999,
+        exactly_once=True,
+    )
+    assert _kept() == first
+    # batch 1: a copy of a batch-0 admission (16) + fresh 20..23
+    b1_rows = [(2000, [float(x) for x in base[16]])] + [
+        (i, [float(x) for x in base[i]]) for i in range(20, 24)
+    ]
+    b1 = spark.createDataFrame(b1_rows, "vec_id long, embedding array<double>")
+    ingest_semantic_batch(
+        b1, 1, index_path, kept_path, model, threshold=0.999,
+        exactly_once=True,
+    )
+    assert {i for i, b in _kept() if b == 1} == set(range(20, 24))

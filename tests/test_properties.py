@@ -377,3 +377,44 @@ def test_decontaminate_spans_matches_python_reference(spark, docs, k):
         for r in decontaminate_spans(df, ev, k=k).collect()
     }
     assert got == want
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    old_ids=st.sets(st.integers(min_value=0, max_value=15), max_size=10),
+    new_ids=st.sets(st.integers(min_value=0, max_value=15), max_size=10),
+    edited=st.sets(st.integers(min_value=0, max_value=15), max_size=6),
+)
+def test_corpus_diff_statuses_match_python_reference(
+    spark, old_ids, new_ids, edited
+):
+    """corpus_diff's exact-diff half (match_renames=False) must equal
+    a trivial python dict diff for ANY id overlap pattern — including
+    empty sides, disjoint versions, and ids edited in new. Exercises
+    the full-outer-join status derivation independent of content."""
+    from bbdc20_submission_spark.operators.incremental import corpus_diff
+
+    def _text(i: int, side: str) -> str:
+        return f"doc {i} body " + ("EDITED" if side == "new" and i in edited else "base")
+
+    schema = "doc_id long, text string"
+    old = spark.createDataFrame(
+        [(i, _text(i, "old")) for i in sorted(old_ids)], schema
+    )
+    new = spark.createDataFrame(
+        [(i, _text(i, "new")) for i in sorted(new_ids)], schema
+    )
+    want = {}
+    for i in old_ids | new_ids:
+        if i not in old_ids:
+            want[i] = "added"
+        elif i not in new_ids:
+            want[i] = "removed"
+        elif i in edited:
+            want[i] = "modified"
+        else:
+            want[i] = "unchanged"
+    got = {
+        r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()
+    }
+    assert got == want
