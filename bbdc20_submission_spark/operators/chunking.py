@@ -168,13 +168,23 @@ def epoch_order(
     seed: int = 7,
     bucket_col: str = "pack_bucket",
     seq_col: str = "seq_id",
+    portable: bool = False,
 ) -> DataFrame:
     """Per-epoch training order for packed sequences: append
-    ``epoch_key`` = xxhash64(seed, epoch, bucket, seq) — sorting by it
+    ``epoch_key`` = hash(seed, epoch, bucket, seq) — sorting by it
     yields a deterministic pseudorandom permutation of the SEQUENCES
     that differs per epoch (the standard every-epoch reshuffle), while
     rows inside a sequence stay contiguous (order by
     ``(epoch_key, seq_pos)``).
+
+    ``portable=False`` (default): xxhash64 — the max-throughput form.
+    ``portable=True``: the md5-prefix hash over ``"seed:epoch:bucket:
+    seq"`` (``text.portable_md5_prefix64``, the same cross-engine
+    contract the samplers use), so any engine with md5 reproduces the
+    permutation bit-for-bit — certified by d10_scrub_chunk's
+    ``epoch_key`` column. Ties: md5 collisions within 32 bits are
+    possible at billion-sequence scale — consumers ordering by
+    ``(epoch_key, bucket, seq)`` get a total order either way.
 
     Pure projection — no shuffle until the consumer orders/writes, and
     a sharded trainer usually never pays the global sort: write with
@@ -183,13 +193,26 @@ def epoch_order(
     mechanics as ``write_training_shards``). Re-running any epoch
     reproduces its exact order — the property that makes a training
     run resumable mid-epoch."""
-    return packed.withColumn(
-        "epoch_key",
-        F.xxhash64(
+    if portable:
+        from bbdc20_submission_spark.operators.text import (
+            portable_md5_prefix64,
+        )
+
+        key = portable_md5_prefix64(
+            F.concat_ws(
+                ":",
+                F.lit(int(seed)),
+                F.lit(int(epoch)),
+                F.col(bucket_col),
+                F.col(seq_col),
+            )
+        )
+    else:
+        key = F.xxhash64(
             F.lit(int(seed)), F.lit(int(epoch)),
             F.col(bucket_col), F.col(seq_col),
-        ),
-    )
+        )
+    return packed.withColumn("epoch_key", key)
 
 
 def hashed_chunks(

@@ -748,16 +748,29 @@ def corpus_diff(
     if not match_renames:
         return base
     st_p = managed_persist(st)
+    # churn-id sets are BROADCAST (8 bytes/id, small by this pass's
+    # contract — "the near-dup pass pays only for the churn"), so the
+    # text-carrying snapshots are filtered map-side: without the hint
+    # these left-semi joins plan as SortMergeJoins that shuffle the
+    # WHOLE corpus with its text by id — the one text exchange in the
+    # operator, and the first thing to blow up at 100 TB. Pathological
+    # full-churn diffs (every doc added/removed) should drop the
+    # rename pass instead — matching everything against everything is
+    # a dedup job, not a release audit.
     added = new.join(
-        st_p.filter(F.col("status") == "added").select(
-            F.col("_id").alias(id_col)
+        F.broadcast(
+            st_p.filter(F.col("status") == "added").select(
+                F.col("_id").alias(id_col)
+            )
         ),
         id_col,
         "left_semi",
     )
     removed = old.join(
-        st_p.filter(F.col("status") == "removed").select(
-            F.col("_id").alias(id_col)
+        F.broadcast(
+            st_p.filter(F.col("status") == "removed").select(
+                F.col("_id").alias(id_col)
+            )
         ),
         id_col,
         "left_semi",

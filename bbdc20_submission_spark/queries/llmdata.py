@@ -1472,10 +1472,17 @@ def m_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    ROWS UNBOUNDED PRECEDING) - n_tokens AS _start
         FROM rows_out
     )
-    SELECT doc_id, chunk_id, chunk_text, n_tokens, pack_bucket,
-           CAST(floor(_start / 64.0) AS BIGINT) AS seq_id,
-           CAST(_start - CAST(floor(_start / 64.0) AS BIGINT) * 64 AS BIGINT) AS seq_pos
-    FROM packed
+    , seqs AS (
+        SELECT doc_id, chunk_id, chunk_text, n_tokens, pack_bucket,
+               CAST(floor(_start / 64.0) AS BIGINT) AS seq_id,
+               CAST(_start - CAST(floor(_start / 64.0) AS BIGINT) * 64 AS BIGINT) AS seq_pos
+        FROM packed
+    )
+    SELECT *,
+           CAST(('0x' || substr(md5('7:1:' || CAST(pack_bucket AS VARCHAR)
+                                 || ':' || CAST(seq_id AS VARCHAR)), 1, 8))
+                AS BIGINT) AS epoch_key
+    FROM seqs
     """,
 )
 def d10_scrub_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1491,9 +1498,17 @@ def d10_scrub_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bucket, seq_id, seq_pos) is integer window arithmetic over an
     engine-portable order, so DuckDB reproduces it exactly; one hash
     shuffle, per-bucket linear scans, n_buckets = the parallelism
-    knob."""
+    knob.
+
+    r8: also certifies the per-epoch TRAINING-ORDER reshuffle
+    (``chunking.epoch_order(portable=True)``): epoch_key = the
+    md5-prefix hash of "seed:epoch:bucket:seq" — certifying the key
+    VALUES certifies the epoch permutation (the order IS sort-by-key)
+    with zero extra shuffle; the oracle recomputes the identical
+    formula."""
     from bbdc20_submission_spark.operators.chunking import (
         chunk_by_tokens,
+        epoch_order,
         pack_sequences,
         scrub_text,
     )
@@ -1503,7 +1518,8 @@ def d10_scrub_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("text_scrubbed").alias("text")
     )
     chunks = chunk_by_tokens(scrubbed, chunk_tokens=32, overlap=0)
-    return pack_sequences(chunks, budget_tokens=64, n_buckets=8)
+    packed = pack_sequences(chunks, budget_tokens=64, n_buckets=8)
+    return epoch_order(packed, epoch=1, seed=7, portable=True)
 
 
 @query(

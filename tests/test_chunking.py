@@ -521,3 +521,32 @@ def test_reselect_keepers_argmax_and_ties(spark):
         3: (2, True),
         9: (9, False),
     }
+
+
+def test_epoch_order_portable_matches_md5_formula(spark):
+    """epoch_order(portable=True): the key must equal the md5-prefix
+    formula over 'seed:epoch:bucket:seq' (the d10 oracle contract),
+    be deterministic, and permute differently per epoch."""
+    import hashlib
+
+    from bbdc20_submission_spark.operators.chunking import epoch_order
+
+    rows = [(b, s) for b in range(3) for s in range(4)]
+    df = spark.createDataFrame(rows, "pack_bucket long, seq_id long")
+
+    def _ref(seed, epoch, b, s):
+        return int(
+            hashlib.md5(f"{seed}:{epoch}:{b}:{s}".encode()).hexdigest()[:8],
+            16,
+        )
+
+    for epoch in (1, 2):
+        got = {
+            (r["pack_bucket"], r["seq_id"]): r["epoch_key"]
+            for r in epoch_order(df, epoch, seed=7, portable=True).collect()
+        }
+        assert got == {(b, s): _ref(7, epoch, b, s) for b, s in rows}
+    # the two epochs order the sequences differently
+    k1 = sorted(rows, key=lambda bs: _ref(7, 1, *bs))
+    k2 = sorted(rows, key=lambda bs: _ref(7, 2, *bs))
+    assert k1 != k2

@@ -267,3 +267,23 @@ def test_reselect_keepers_corpus_never_shuffles(spark, sf_dir):
     plan = formatted_plan(df)
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_corpus_diff_never_shuffles_text(spark, sf_dir):
+    """c2_corpus_diff: the status full-outer join exchanges only
+    (id, md5) pairs and the rename pass exchanges hashed shingle
+    arrays / band buckets — the raw text column (including its ``_t``
+    alias in the tagged added/removed union) must never enter a
+    shuffle. At 100 TB the diff's exchange volume is then a few dozen
+    bytes per doc regardless of document size."""
+    df = registry.QUERIES["c2_corpus_diff"](spark, sf_dir)
+    plan = formatted_plan(df)
+    sections = plan.split("\n\n")
+    exchange_nodes = [s for s in sections if ") Exchange" in s]
+    assert exchange_nodes, "no Exchange node found"
+    for node in exchange_nodes:
+        input_lines = [l for l in node.splitlines() if l.startswith("Input")]
+        assert input_lines, node
+        assert all(
+            "text#" not in l and "_t#" not in l for l in input_lines
+        ), node
