@@ -143,12 +143,38 @@ def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
     )
 
 
+def portable_minhash_md5s(x: Column, num_hashes: int) -> list[Column]:
+    """Engine-portable MinHash slot hashes: ceil(num_hashes/4) salted
+    md5s per value (``md5(x || ':q')``), each split into four
+    INDEPENDENT 32-bit longs (hex chars 1-8, 9-16, 17-24, 25-32;
+    DuckDB: ``CAST(('0x'||substr(md5(x||':q'),1+8*r,8)) AS BIGINT)``).
+    Slot independence matters: a composite a+(s+1)*b double-hashing
+    scheme was tried first and its across-slot correlation collapsed
+    the 16-slot agreement estimate to ~2 effective samples — the
+    near-dup-vs-index stage then over-dropped 21% of a batch whose
+    true dup rate was ~7%. Four md5s per shingle keep the estimator's
+    slot count honest at a quarter of the one-md5-per-slot cost;
+    32-bit minima only matter through collisions, which are identical
+    in both engines (parity never depends on width)."""
+    cols: list[Column] = []
+    for q in range((num_hashes + 3) // 4):
+        m = F.md5(F.concat_ws(":", x, F.lit(q)))
+        for r in range(4):
+            if len(cols) == num_hashes:
+                break
+            cols.append(
+                F.conv(F.substring(m, 1 + 8 * r, 8), 16, 10).cast("long")
+            )
+    return cols
+
+
 def minhash_signatures_df(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_k: int = 3,
     num_hashes: int = 16,
+    portable: bool = False,
 ) -> DataFrame:
     """DataFrame-level MinHash: explode shingles once, compute all
     ``num_hashes`` seeded hashes as flat columns, groupBy-min.
@@ -157,7 +183,14 @@ def minhash_signatures_df(
     partial aggregation (the min combines per-partition before the
     shuffle), unlike the nested higher-order-function form which
     re-evaluates the hash per signature slot — measured ~10x faster at
-    sf0.1. Output: [_id, h0..h{n-1}]."""
+    sf0.1. Output: [_id, h0..h{n-1}].
+
+    ``portable=True`` swaps xxhash64 for the md5-based quartered-slot
+    scheme (:func:`portable_minhash_md5s`) so any engine with md5
+    reproduces the signatures — and therefore every downstream band
+    bucket and estimated-Jaccard decision — bit-for-bit (the
+    incremental-ingest certification path); xxhash64 stays the
+    throughput default."""
     tokened = df.select(
         F.col(id_col).alias("_id"), ws_tokens(text_col).alias("_toks")
     )
@@ -165,9 +198,19 @@ def minhash_signatures_df(
         "_id",
         F.explode(shingles_from_tokens(F.col("_toks"), shingle_k)).alias("_sh"),
     )
-    hashed = shingled.select(
-        "_id", *[F.xxhash64("_sh", F.lit(s)).alias(f"h{s}") for s in range(num_hashes)]
-    )
+    if portable:
+        slots = portable_minhash_md5s(F.col("_sh"), num_hashes)
+        hashed = shingled.select(
+            "_id", *[c.alias(f"h{s}") for s, c in enumerate(slots)]
+        )
+    else:
+        hashed = shingled.select(
+            "_id",
+            *[
+                F.xxhash64("_sh", F.lit(s)).alias(f"h{s}")
+                for s in range(num_hashes)
+            ],
+        )
     return hashed.groupBy("_id").agg(
         *[F.min(f"h{s}").alias(f"h{s}") for s in range(num_hashes)]
     )

@@ -21,8 +21,11 @@ Semantics notes:
     impossible by design and the estimator's variance is the standard
     trade of index-based incremental dedup);
   * near-dup WITHIN the batch uses the full exact-verify path
-    (candidates -> exact Jaccard -> connected components), since the
-    batch text is on hand.
+    (banded candidates from the batch's OWN index signatures ->
+    exact Jaccard -> connected components), since the batch text is
+    on hand; reusing the index signatures means one signature pass
+    per batch, and in portable mode the candidate set is an exact
+    function of md5 (externally reproducible, no recall assumption).
 
 Scale shape: everything joins on hashes/band buckets — text never
 enters a shuffle; index-side banding is a narrow transform over the
@@ -51,15 +54,22 @@ def build_dedup_index(
     text_col: str = "text",
     shingle_k: int = 3,
     num_hashes: int = 16,
+    portable: bool = False,
 ) -> DataFrame:
     """Build the per-doc dedup index frame: [_id, content_hash,
     h0..h{n-1}]. One pass over the corpus (hash + the signature
     aggregation); the output is what a deployment persists between
-    ingestion batches."""
+    ingestion batches.
+
+    ``portable=True``: md5-based signatures (engine-reproducible —
+    the certification mode; see ``minhash_signatures_df``). An index
+    must be consumed with the same mode it was built with."""
     hashes = df.select(
         F.col(id_col).alias("_id"), F.md5(F.col(text_col)).alias("content_hash")
     )
-    sigs = minhash_signatures_df(df, id_col, text_col, shingle_k, num_hashes)
+    sigs = minhash_signatures_df(
+        df, id_col, text_col, shingle_k, num_hashes, portable=portable
+    )
     return hashes.join(sigs, "_id")
 
 
@@ -105,6 +115,7 @@ def incremental_dedup(
     num_hashes: int = 16,
     bands: int = 4,
     min_jaccard: float = 0.5,
+    portable: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Dedup ``new_docs`` against ``index`` (from
     :func:`build_dedup_index`, same shingle/signature params) AND
@@ -115,10 +126,17 @@ def incremental_dedup(
     exact-within-batch (keep lowest id), near-vs-index (band-bucket
     join + signature-estimated Jaccard >= ``min_jaccard``),
     near-within-batch (exact-verified LSH + components, keep each
-    cluster's representative)."""
+    cluster's representative).
+
+    ``portable=True``: the batch's index rows use the md5-based
+    engine-portable signatures — REQUIRED when ``index`` was built
+    with ``build_dedup_index(portable=True)`` (slot agreement across
+    mixed hash families is meaningless). The within-batch verify path
+    is mode-independent: its candidates are exact-Jaccard-verified,
+    so the emitted decisions depend only on text."""
     kept, appended = _dedup_batch(
         new_docs, index, id_col, text_col, shingle_k, num_hashes,
-        bands, min_jaccard,
+        bands, min_jaccard, portable=portable,
     )
     return kept, index.unionByName(appended)
 
@@ -132,6 +150,7 @@ def _dedup_batch(
     num_hashes: int,
     bands: int,
     min_jaccard: float,
+    portable: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Core of :func:`incremental_dedup`: returns ``(kept_new_docs,
     appended_index_rows)`` — the survivors plus exactly their index
@@ -139,7 +158,8 @@ def _dedup_batch(
     below), so no caller pays a second md5 + MinHash pass to persist
     the updated index."""
     batch_index = build_dedup_index(
-        new_docs, id_col, text_col, shingle_k, num_hashes
+        new_docs, id_col, text_col, shingle_k, num_hashes,
+        portable=portable,
     )
     # one row per batch doc, a few dozen bytes each; consumed by the
     # exact filter, the banding, the estimate join, AND the appended
@@ -194,17 +214,28 @@ def _dedup_batch(
     near_old = est.filter(F.col("_est_j") >= min_jaccard).select("_new").distinct()
     fresh = fresh.join(near_old, fresh["_id"] == near_old["_new"], "left_anti")
 
-    # 4. near-dup within the batch: exact-verified path on the text
+    # 4. near-dup within the batch: exact-verified path on the text.
+    # Candidates come from banding the BATCH INDEX signatures the
+    # survivors already carry (fresh is a slice of batch_index) — one
+    # signature pass per batch instead of a second from-scratch
+    # MinHash, and in portable mode the candidate set is an exact
+    # function of md5, so an external engine reproduces it without
+    # any recall assumption (the certification need behind the
+    # r8 rewrite; the old path re-derived xxhash64 signatures via
+    # minhash_lsh_candidates).
     surv_docs = new_docs.join(
         fresh.select(F.col("_id").alias(id_col)), id_col, "left_semi"
     )
-    # candidates and verify share one persisted shingle-set frame
-    # (shingle once; see hashed_shingle_sets)
+    sbl = _banded(fresh, num_hashes, bands)
+    sbr = sbl.withColumnRenamed("_id", "_id2")
+    cands = (
+        sbl.join(sbr, ["band", "bucket"])
+        .filter(F.col("_id") < F.col("_id2"))
+        .select(F.col("_id").alias("id_a"), F.col("_id2").alias("id_b"))
+        .distinct()
+    )
     sets = managed_persist(
         hashed_shingle_sets(surv_docs, id_col, text_col, shingle_k)
-    )
-    cands = minhash_lsh_candidates(
-        surv_docs, id_col, text_col, shingle_k, num_hashes, bands, sets=sets
     )
     # shingle_k MUST flow through: verifying at a different k than the
     # candidates/signatures silently shifts the effective threshold

@@ -182,18 +182,171 @@ def d9_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "d7_ngram_jaccard",
     oracle="""
-    WITH toks AS (
+    WITH RECURSIVE toks7 AS (
         SELECT doc_id, list_distinct(str_split(text, ' ')) AS ws FROM documents
+    ),
+    adj AS (
+        SELECT 'adjacent' AS family, a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_filter(a.ws, x -> list_contains(b.ws, x)))
+                     / len(list_distinct(list_concat(a.ws, b.ws))), 6) AS jaccard
+        FROM toks7 a JOIN toks7 b ON b.doc_id = a.doc_id + 1
+    ),
+    params AS (SELECT max(doc_id) + 1 AS off FROM documents),
+    corpus AS MATERIALIZED (
+        SELECT doc_id, text, CASE WHEN doc_id % 8 = 0 THEN 'h' ELSE 'b' END AS side
+        FROM documents WHERE doc_id % 8 IN (0, 4)
+        UNION ALL
+        SELECT doc_id + (SELECT off FROM params), text, 'b'
+        FROM documents WHERE doc_id % 40 = 8
+        UNION ALL
+        SELECT doc_id + 2 * (SELECT off FROM params), text, 'b'
+        FROM documents WHERE doc_id % 40 = 12
+        UNION ALL
+        SELECT doc_id + 3 * (SELECT off FROM params), text || ' qq-near-marker', 'b'
+        FROM documents WHERE doc_id % 40 = 16
+        UNION ALL
+        SELECT doc_id + 4 * (SELECT off FROM params), text || ' qq-near-marker', 'b'
+        FROM documents WHERE doc_id % 40 = 20
+    ),
+    dsh AS MATERIALIZED (
+        SELECT doc_id, side,
+               list_distinct([array_to_string(t[i:i+2], ' ')
+                              for i in generate_series(1, greatest(len(t)-2, 1))]) AS s
+        FROM (SELECT doc_id, side, str_split(text, ' ') AS t FROM corpus)
+    ),
+    dab AS MATERIALIZED (
+        SELECT doc_id, side,
+               [md5(x || ':0') for x in s] AS m0,
+               [md5(x || ':1') for x in s] AS m1,
+               [md5(x || ':2') for x in s] AS m2,
+               [md5(x || ':3') for x in s] AS m3
+        FROM dsh
+    ),
+    sigs AS MATERIALIZED (
+        SELECT doc_id, side,
+               list_min(list_transform(m0, m -> CAST(('0x'||substr(m,1,8)) AS BIGINT))) AS h0,
+               list_min(list_transform(m0, m -> CAST(('0x'||substr(m,9,8)) AS BIGINT))) AS h1,
+               list_min(list_transform(m0, m -> CAST(('0x'||substr(m,17,8)) AS BIGINT))) AS h2,
+               list_min(list_transform(m0, m -> CAST(('0x'||substr(m,25,8)) AS BIGINT))) AS h3,
+               list_min(list_transform(m1, m -> CAST(('0x'||substr(m,1,8)) AS BIGINT))) AS h4,
+               list_min(list_transform(m1, m -> CAST(('0x'||substr(m,9,8)) AS BIGINT))) AS h5,
+               list_min(list_transform(m1, m -> CAST(('0x'||substr(m,17,8)) AS BIGINT))) AS h6,
+               list_min(list_transform(m1, m -> CAST(('0x'||substr(m,25,8)) AS BIGINT))) AS h7,
+               list_min(list_transform(m2, m -> CAST(('0x'||substr(m,1,8)) AS BIGINT))) AS h8,
+               list_min(list_transform(m2, m -> CAST(('0x'||substr(m,9,8)) AS BIGINT))) AS h9,
+               list_min(list_transform(m2, m -> CAST(('0x'||substr(m,17,8)) AS BIGINT))) AS h10,
+               list_min(list_transform(m2, m -> CAST(('0x'||substr(m,25,8)) AS BIGINT))) AS h11,
+               list_min(list_transform(m3, m -> CAST(('0x'||substr(m,1,8)) AS BIGINT))) AS h12,
+               list_min(list_transform(m3, m -> CAST(('0x'||substr(m,9,8)) AS BIGINT))) AS h13,
+               list_min(list_transform(m3, m -> CAST(('0x'||substr(m,17,8)) AS BIGINT))) AS h14,
+               list_min(list_transform(m3, m -> CAST(('0x'||substr(m,25,8)) AS BIGINT))) AS h15
+        FROM dab
+    ),
+    hist AS (SELECT * FROM sigs WHERE side = 'h'),
+    hmd AS (SELECT md5(text) AS h FROM corpus WHERE side = 'h'),
+    bmd AS (SELECT doc_id, md5(text) AS h FROM corpus WHERE side = 'b'),
+    fresh0 AS MATERIALIZED (
+        SELECT doc_id, h FROM bmd WHERE h NOT IN (SELECT h FROM hmd)
+    ),
+    fresh AS MATERIALIZED (
+        SELECT doc_id FROM fresh0 f
+        WHERE doc_id = (SELECT min(doc_id) FROM fresh0 g WHERE g.h = f.h)
+    ),
+    nearidx AS (
+        SELECT DISTINCT b.doc_id
+        FROM sigs b
+        JOIN fresh fr ON fr.doc_id = b.doc_id
+        JOIN hist h2 ON (
+            (b.h0 = h2.h0 AND b.h1 = h2.h1 AND b.h2 = h2.h2 AND b.h3 = h2.h3) OR
+            (b.h4 = h2.h4 AND b.h5 = h2.h5 AND b.h6 = h2.h6 AND b.h7 = h2.h7) OR
+            (b.h8 = h2.h8 AND b.h9 = h2.h9 AND b.h10 = h2.h10 AND b.h11 = h2.h11) OR
+            (b.h12 = h2.h12 AND b.h13 = h2.h13 AND b.h14 = h2.h14 AND b.h15 = h2.h15)
+        )
+        WHERE ((CASE WHEN b.h0 = h2.h0 THEN 1 ELSE 0 END) + (CASE WHEN b.h1 = h2.h1 THEN 1 ELSE 0 END) + (CASE WHEN b.h2 = h2.h2 THEN 1 ELSE 0 END) + (CASE WHEN b.h3 = h2.h3 THEN 1 ELSE 0 END) + (CASE WHEN b.h4 = h2.h4 THEN 1 ELSE 0 END) + (CASE WHEN b.h5 = h2.h5 THEN 1 ELSE 0 END) + (CASE WHEN b.h6 = h2.h6 THEN 1 ELSE 0 END) + (CASE WHEN b.h7 = h2.h7 THEN 1 ELSE 0 END) + (CASE WHEN b.h8 = h2.h8 THEN 1 ELSE 0 END) + (CASE WHEN b.h9 = h2.h9 THEN 1 ELSE 0 END) + (CASE WHEN b.h10 = h2.h10 THEN 1 ELSE 0 END) + (CASE WHEN b.h11 = h2.h11 THEN 1 ELSE 0 END) + (CASE WHEN b.h12 = h2.h12 THEN 1 ELSE 0 END) + (CASE WHEN b.h13 = h2.h13 THEN 1 ELSE 0 END) + (CASE WHEN b.h14 = h2.h14 THEN 1 ELSE 0 END) + (CASE WHEN b.h15 = h2.h15 THEN 1 ELSE 0 END)) / 16.0 >= 0.5
+    ),
+    surv AS MATERIALIZED (
+        SELECT doc_id FROM fresh
+        WHERE doc_id NOT IN (SELECT doc_id FROM nearidx)
+    ),
+    ssig AS (
+        SELECT g.* FROM sigs g JOIN surv sv ON sv.doc_id = g.doc_id
+    ),
+    bcand AS (
+        SELECT x.doc_id AS pa, y.doc_id AS pb
+        FROM ssig x JOIN ssig y ON x.doc_id < y.doc_id AND (
+            (x.h0 = y.h0 AND x.h1 = y.h1 AND x.h2 = y.h2 AND x.h3 = y.h3) OR
+            (x.h4 = y.h4 AND x.h5 = y.h5 AND x.h6 = y.h6 AND x.h7 = y.h7) OR
+            (x.h8 = y.h8 AND x.h9 = y.h9 AND x.h10 = y.h10 AND x.h11 = y.h11) OR
+            (x.h12 = y.h12 AND x.h13 = y.h13 AND x.h14 = y.h14 AND x.h15 = y.h15)
+        )
+    ),
+    spairs AS MATERIALIZED (
+        SELECT c.pa, c.pb
+        FROM bcand c
+        JOIN dsh a ON a.doc_id = c.pa
+        JOIN dsh b ON b.doc_id = c.pb
+        WHERE round(len(list_filter(a.s, x -> list_contains(b.s, x)))
+                    / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.5
+    ),
+    edges(a, b) AS (
+        SELECT pa, pb FROM spairs UNION ALL SELECT pb, pa FROM spairs
+    ),
+    reach(id, rid) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, r.rid FROM edges e JOIN reach r ON r.id = e.b
+    ),
+    comp AS (SELECT id, min(rid) AS component FROM reach GROUP BY id),
+    keptq AS MATERIALIZED (
+        SELECT sv.doc_id FROM surv sv LEFT JOIN comp c ON c.id = sv.doc_id
+        WHERE c.component IS NULL OR c.component = sv.doc_id
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           round(len(list_filter(a.ws, x -> list_contains(b.ws, x)))
-                 / len(list_distinct(list_concat(a.ws, b.ws))), 6) AS jaccard
-    FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1
+    SELECT family, id_a, id_b, jaccard FROM adj
+    UNION ALL
+    SELECT 'ingest_kept' AS family, doc_id AS id_a,
+           CAST(NULL AS BIGINT) AS id_b, CAST(NULL AS DOUBLE) AS jaccard
+    FROM keptq
+    UNION ALL
+    SELECT 'ingest_index' AS family, doc_id AS id_a,
+           CAST(NULL AS BIGINT) AS id_b, CAST(NULL AS DOUBLE) AS jaccard
+    FROM (SELECT doc_id FROM corpus WHERE side = 'h'
+          UNION ALL SELECT doc_id FROM keptq)
     """,
 )
 def d7_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-set Jaccard similarity for consecutive-id pairs (linear
-    candidate generation; the LSH operators generate real candidates)."""
+    """Pairwise-similarity + INCREMENTAL-INGEST suite.
+
+    Family 'adjacent': word-set Jaccard for consecutive-id pairs
+    (linear candidate generation; the LSH operators generate real
+    candidates) — the original d7 certification, unchanged.
+
+    Families 'ingest_kept' / 'ingest_index' (r8): the FULL
+    incremental ingest dedup (``incremental.incremental_dedup``) in
+    PORTABLE mode, end to end. History = doc_id % 8 == 0 indexed via
+    ``build_dedup_index(portable=True)`` (salted-md5 quartered 32-bit
+    MinHash slots — engine-reproducible); batch = doc_id % 8 == 4
+    plus four PLANTED families (offsets of max(doc_id)+1, same
+    arithmetic both engines) that make every elimination stage fire
+    at every SF: exact copies of history docs (% 40 == 8 -> stage-1
+    anti-join), exact copies of in-batch docs (% 40 == 12 ->
+    stage-2 keep-lowest), near copies of history docs (% 40 == 16,
+    one marker token appended -> stage-3 banded estimate), and near
+    copies of in-batch docs (% 40 == 20 -> stage-4 within-batch
+    verify + components).
+
+    The oracle re-derives EVERY stage with the identical formulas —
+    including both banded candidate generations on the same portable
+    signatures (bucket equality == slot-slice equality), so no LSH
+    recall assumption enters the certification: whatever the bands
+    decide, both engines decide identically, and the exact-Jaccard
+    verify bounds false positives. Certifying kept + updated-index
+    MEMBERSHIP certifies the whole decision chain — membership IS the
+    operator's output contract."""
+    from bbdc20_submission_spark.operators.incremental import (
+        build_dedup_index,
+        incremental_dedup,
+    )
+
     d = load_table(spark, "documents", sf_dir)
     toks = d.select(
         "doc_id", F.array_distinct(ws_tokens("text")).alias("ws")
@@ -202,10 +355,53 @@ def d7_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = toks.select(F.col("doc_id").alias("id_b"), F.col("ws").alias("wb"))
     inter = F.size(F.array_intersect("wa", "wb"))
     union = F.size(F.array_union("wa", "wb"))
-    return (
+    adjacent = (
         a.join(b, F.col("id_b") == F.col("id_a") + 1)
-        .select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
+        .select(
+            F.lit("adjacent").alias("family"),
+            "id_a",
+            "id_b",
+            F.round(inter / union, 6).alias("jaccard"),
+        )
     )
+    off = _plant_offset(spark, sf_dir, table="documents", id_col="doc_id")
+    did = F.col("doc_id")
+    hist = d.filter(did % 8 == 0).select("doc_id", "text")
+    near = F.concat(F.col("text"), F.lit(" qq-near-marker"))
+
+    def _plant(cls: int, k: int, text_col):
+        return d.filter(did % 40 == cls).select(
+            (did + k * off).alias("doc_id"), text_col.alias("text")
+        )
+
+    batch = (
+        d.filter(did % 8 == 4).select("doc_id", "text")
+        .unionByName(_plant(8, 1, F.col("text")))
+        .unionByName(_plant(12, 2, F.col("text")))
+        .unionByName(_plant(16, 3, near))
+        .unionByName(_plant(20, 4, near))
+    )
+    # the computed index frame feeds three consumers inside the flow
+    # (exact anti-join, banding, estimate join) — checkpoint so the
+    # history signature build runs once, as it would when the index
+    # is read from storage (the production shape)
+    idx = build_dedup_index(hist, portable=True).localCheckpoint()
+    kept, updated = incremental_dedup(batch, idx, portable=True)
+    nb = F.lit(None).cast("long")
+    nj = F.lit(None).cast("double")
+    kept_rows = kept.select(
+        F.lit("ingest_kept").alias("family"),
+        F.col("doc_id").alias("id_a"),
+        nb.alias("id_b"),
+        nj.alias("jaccard"),
+    )
+    idx_rows = updated.select(
+        F.lit("ingest_index").alias("family"),
+        F.col("_id").alias("id_a"),
+        nb.alias("id_b"),
+        nj.alias("jaccard"),
+    )
+    return adjacent.unionByName(kept_rows).unionByName(idx_rows)
 
 
 @query(

@@ -613,3 +613,39 @@ def test_exactly_once_semantic_ingest_replay(spark, tmp_path):
         exactly_once=True,
     )
     assert {i for i, b in _kept() if b == 1} == set(range(20, 24))
+
+
+def test_incremental_dedup_portable_mode_matches_fast_mode(spark):
+    """portable=True (md5-prefix signatures, the certification mode)
+    must make the SAME keep/drop decisions as the xxhash64 fast path
+    on the planted scenario: exact duplicates estimate jaccard 1.0 and
+    disjoint-vocab docs ~0 under ANY hash family, so mode changes the
+    mechanism, never the outcome, away from the threshold."""
+    from bbdc20_submission_spark.operators.incremental import (
+        build_dedup_index,
+        incremental_dedup,
+    )
+
+    def _doc(i: int) -> str:
+        return " ".join(f"p{i}w{j}" for j in range(30))
+
+    hist = spark.createDataFrame(
+        [(i, _doc(i)) for i in range(40)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(900 + i, _doc(i)) for i in range(5)]       # exact dups of history
+        + [(i, _doc(i)) for i in range(40, 60)]      # fresh
+        + [(8000, _doc(40))],                        # within-batch dup
+        "doc_id long, text string",
+    )
+    results = {}
+    for portable in (False, True):
+        idx = build_dedup_index(hist, portable=portable)
+        kept, updated = incremental_dedup(batch, idx, portable=portable)
+        results[portable] = (
+            {r["doc_id"] for r in kept.select("doc_id").collect()},
+            {r["_id"] for r in updated.select("_id").collect()},
+        )
+    assert results[False] == results[True]
+    assert results[True][0] == set(range(40, 60))
+    assert results[True][1] == set(range(60))
