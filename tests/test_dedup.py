@@ -703,3 +703,52 @@ def test_decontaminate_spans_removes_eval_overlap(spark):
     assert {d for d, v in out.items() if v[0] > 0} == {
         d for d, v in flags.items() if v == 1
     }
+
+
+def test_portable_minhash_slots_match_md5_reference(spark):
+    """portable_minhash_md5s: slot s must equal int(md5(x+':'+str(s//4))
+    hex chars [8*(s%4), 8*(s%4)+8], 16) — the exact formula every
+    DuckDB oracle reproduces — and the portable signature frame must
+    be the per-slot minimum of those values over the doc's distinct
+    shingles."""
+    import hashlib
+
+    from bbdc20_submission_spark.operators.dedup import (
+        minhash_signatures_df,
+        portable_minhash_md5s,
+        shingles_from_tokens,
+        ws_tokens,
+    )
+    from pyspark.sql import functions as F
+
+    def _ref(x: str, s: int) -> int:
+        h = hashlib.md5(f"{x}:{s // 4}".encode()).hexdigest()
+        return int(h[8 * (s % 4): 8 * (s % 4) + 8], 16)
+
+    vals = ["alpha beta gamma", "x", ""]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = df.select(
+        "v", *[c.alias(f"h{s}") for s, c in
+               enumerate(portable_minhash_md5s(F.col("v"), 16))]
+    ).collect()
+    for r in got:
+        for s in range(16):
+            assert r[f"h{s}"] == _ref(r["v"], s), (r["v"], s)
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b"), (3, "")],
+        "doc_id long, text string",
+    )
+    sig = {
+        r["_id"]: [r[f"h{s}"] for s in range(16)]
+        for r in minhash_signatures_df(docs, portable=True).collect()
+    }
+    sh = {
+        r["doc_id"]: r["sh"]
+        for r in docs.select(
+            "doc_id", shingles_from_tokens(ws_tokens("text"), 3).alias("sh")
+        ).collect()
+    }
+    for i, text in [(1, None), (2, None), (3, None)]:
+        want = [min(_ref(x, s) for x in sh[i]) for s in range(16)]
+        assert sig[i] == want, i
