@@ -554,10 +554,10 @@ def test_exactly_once_ingest_replay_is_idempotent(spark, tmp_path):
 
 
 def test_exactly_once_semantic_ingest_replay(spark, tmp_path):
-    """Semantic (embedding-side) exactly-once ingest: replayed batch
-    leaves state identical; the streaming wrapper with
-    exactly_once=True produces the same survivor set as the plain
-    at-least-once run of the same feed."""
+    """Semantic (embedding-side) exactly-once ingest: a replayed
+    micro-batch leaves kept/index state identical, and cross-batch
+    sequencing rides the partitioned index (batch 1 dedups against
+    batch 0's admissions)."""
     import numpy as np
 
     from bbdc20_submission_spark.operators.clustering import fit_quantizer
@@ -565,7 +565,6 @@ def test_exactly_once_semantic_ingest_replay(spark, tmp_path):
         build_semantic_index,
         ingest_semantic_batch,
         seed_ingest_index,
-        stream_incremental_semantic_dedup,
     )
 
     rng = np.random.default_rng(7)
