@@ -72,6 +72,11 @@ QUERIES = [
     # only for the churn (~3/13 of the corpus by the %13 derivation),
     # so the ratio must stay at-worst linear in corpus size
     "c2_corpus_diff",
+    # r8: the ingest-certification suite (portable-signature
+    # incremental dedup over a ~30% corpus slice + planted families);
+    # its cost is dominated by the flow's fixed job count, so the
+    # ratio should read strongly sub-linear
+    "d7_ngram_jaccard",
 ]
 
 
