@@ -648,3 +648,67 @@ def test_incremental_dedup_portable_mode_matches_fast_mode(spark):
     assert results[False] == results[True]
     assert results[True][0] == set(range(40, 60))
     assert results[True][1] == set(range(60))
+
+
+def test_stream_incremental_dedup_exactly_once_end_to_end(spark, tmp_path):
+    """The foreachBatch wrapper with exactly_once=True: an availableNow
+    run over a seeded partitioned index admits exactly the fresh docs
+    (same decisions as the append-mode wiring), lays every output in
+    ingest_batch_id partitions, and grows the index by exactly the
+    survivors."""
+    import os
+
+    from bbdc20_submission_spark.operators.incremental import (
+        build_dedup_index,
+        seed_ingest_index,
+        stream_incremental_dedup,
+    )
+
+    def _doc(i: int) -> str:
+        return " ".join(f"e{i}w{j}" for j in range(30))
+
+    hist = spark.createDataFrame(
+        [(i, _doc(i)) for i in range(80)], "doc_id long, text string"
+    )
+    index_path = str(tmp_path / "index")
+    seed_ingest_index(build_dedup_index(hist), index_path)
+
+    staged = str(tmp_path / "incoming")
+    os.makedirs(staged, exist_ok=True)
+    spark.createDataFrame(
+        [(i, _doc(i)) for i in range(80, 120)], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(staged)
+    rows_b = (
+        [(8000 + i, _doc(i)) for i in range(10)]        # dups of history
+        + [(8100 + i, _doc(80 + i)) for i in range(10)]  # dups of batch A
+        + [(i, _doc(i)) for i in range(120, 140)]        # fresh
+    )
+    spark.createDataFrame(rows_b, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("append").parquet(staged)
+
+    schema = spark.read.parquet(staged).schema
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(staged)
+    kept_path = str(tmp_path / "kept")
+    q = stream_incremental_dedup(
+        stream,
+        index_path,
+        kept_path,
+        str(tmp_path / "ckpt"),
+        exactly_once=True,
+    ).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    kept = spark.read.parquet(kept_path)
+    assert "ingest_batch_id" in kept.columns
+    kept_ids = sorted(r["doc_id"] for r in kept.collect())
+    assert not any(8000 <= i < 8200 for i in kept_ids)
+    assert set(range(80, 140)) <= set(kept_ids)
+    assert len(kept_ids) == 60
+    idx = spark.read.parquet(index_path)
+    assert idx.count() == 80 + 60
+    # the seed sits in partition -1, every admission in a batch >= 0
+    parts = {r["ingest_batch_id"] for r in idx.select("ingest_batch_id").distinct().collect()}
+    assert -1 in parts and all(p >= -1 for p in parts)
