@@ -213,6 +213,14 @@ def _dedup_batch(
     )
     near_old = est.filter(F.col("_est_j") >= min_jaccard).select("_new").distinct()
     fresh = fresh.join(near_old, fresh["_id"] == near_old["_new"], "left_anti")
+    # fresh feeds FOUR consumers below (both band sides of the
+    # within-batch candidate self-join, the survivor semi-join, and —
+    # via kept — the appended-index slice); without a checkpoint each
+    # re-derives the keep/anti join chain above, and under AQE every
+    # re-derived exchange is its own stage job — the flow's cost is
+    # driver round-trips, not data (63 jobs / ~7.8 s at sf0.1 before,
+    # ~2/3 of it planning gaps)
+    fresh = fresh.localCheckpoint()
 
     # 4. near-dup within the batch: exact-verified path on the text.
     # Candidates come from banding the BATCH INDEX signatures the
