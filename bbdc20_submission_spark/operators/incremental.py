@@ -517,6 +517,99 @@ def _read_ingest_index(spark, index_path: str, batch_id: int):
         return None
 
 
+def compact_ingest_index(
+    spark, index_path: str, upto_batch: int, num_files: int = 8
+) -> int:
+    """Fold every ``ingest_batch_id < upto_batch`` partition of an
+    exactly-once ingest layout into the ``-1`` seed partition — the
+    maintenance companion to :func:`_write_ingest_partition`. Without
+    it the layout grows one partition directory per micro-batch
+    forever, and ``_read_ingest_index`` re-lists and re-reads ALL of
+    them every batch: at production cadence (10^4+ batches) partition
+    discovery and tiny-file read amplification dominate the as-of
+    read. Returns the number of partition directories folded (0 when
+    only the seed is below the watermark).
+
+    Replay-safety contract: ``upto_batch`` must not exceed the
+    stream's last COMMITTED batch id + 1. Structured Streaming only
+    ever replays the in-flight (uncommitted) batch, and for any batch
+    id >= ``upto_batch`` the as-of filter ``ingest_batch_id <
+    batch_id`` selects the folded seed in full — so the replay sees
+    byte-identical index state before and after compaction. Folding a
+    batch that could still replay WOULD change its as-of view (the
+    seed absorbs later batches' rows); the watermark rule prevents
+    that by construction.
+
+    Crash safety on plain parquet (no transactional table format):
+    the fold is written to a sibling temp dir, renamed into the table
+    root as a hidden ``.compact-staged-<n>`` dir (complete by the
+    time it appears, and invisible to partition discovery), and only
+    then are the folded partitions dropped and the staged dir renamed
+    to the seed. A crash before staging leaves the layout untouched;
+    a crash after staging is finished by the NEXT compaction call,
+    which first completes any staged swap it finds. Run compaction
+    from the ingest driver between micro-batches (not concurrently
+    with a batch's index read)."""
+    if upto_batch < 0:
+        raise ValueError(
+            f"upto_batch must be >= 0, got {upto_batch} (the seed "
+            "partition is -1; there is nothing below it to fold)"
+        )
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    root = HPath(index_path)
+    fs = root.getFileSystem(hconf)
+    if not fs.exists(root):
+        return 0
+    prefix = INGEST_BATCH_COL + "="
+    staged_prefix = ".compact-staged-"
+
+    def _partition_dirs():
+        out = []
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith(prefix):
+                try:
+                    out.append((int(name[len(prefix):]), st.getPath()))
+                except ValueError:
+                    continue
+        return out
+
+    def _finish_swap(staged, watermark: int) -> None:
+        # the staged dir holds the COMPLETE fold (it is renamed into
+        # the root only after a successful full write), so dropping
+        # the source partitions and renaming it to the seed is safe
+        # to re-run from any interruption point
+        for bid, p in _partition_dirs():
+            if bid < watermark:
+                fs.delete(p, True)
+        fs.rename(staged, HPath(root, prefix + "-1"))
+
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith(staged_prefix):
+            _finish_swap(st.getPath(), int(name[len(staged_prefix):]))
+
+    folded = [(b, p) for b, p in _partition_dirs() if b < upto_batch]
+    if not any(b >= 0 for b, _ in folded):
+        return 0
+    rows = (
+        spark.read.parquet(index_path)
+        .filter(F.col(INGEST_BATCH_COL) < upto_batch)
+        .drop(INGEST_BATCH_COL)
+    )
+    tmp = HPath(index_path.rstrip("/") + ".compact-tmp")
+    if fs.exists(tmp):
+        fs.delete(tmp, True)
+    writer = rows.coalesce(num_files) if num_files else rows
+    writer.write.mode("overwrite").parquet(tmp.toString())
+    staged = HPath(root, staged_prefix + str(upto_batch))
+    fs.rename(tmp, staged)
+    _finish_swap(staged, upto_batch)
+    return len(folded)
+
+
 def ingest_dedup_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -546,9 +639,29 @@ def ingest_dedup_batch(
     final state is exactly-once no matter how many times a batch
     retries. Seed a pre-existing historical index with
     :func:`seed_ingest_index`; readers of ``kept_path`` see one extra
-    ``ingest_batch_id`` partition column."""
+    ``ingest_batch_id`` partition column.
+
+    ``dedup_kwargs`` accepts exactly the :func:`incremental_dedup`
+    tuning knobs (shingle_k / num_hashes / bands / min_jaccard /
+    portable); an unrecognized key raises rather than silently doing
+    nothing. ``portable`` MUST match the mode the persisted index was
+    built with (``build_dedup_index(portable=...)`` /
+    :func:`seed_ingest_index` of such an index) — mixed hash families
+    make the near-vs-index slot-agreement estimate meaningless and
+    would poison every later batch through the appended rows."""
     from pyspark.errors import AnalysisException
 
+    unknown = set(dedup_kwargs) - {
+        "shingle_k", "num_hashes", "bands", "min_jaccard", "portable"
+    }
+    if unknown:
+        raise TypeError(
+            f"ingest_dedup_batch: unrecognized dedup_kwargs {sorted(unknown)}; "
+            "accepted: shingle_k, num_hashes, bands, min_jaccard, portable "
+            "(a silently-ignored knob here would desynchronize the stream "
+            "from its persisted index)"
+        )
+    portable = dedup_kwargs.get("portable", False)
     spark = batch_df.sparkSession
     index = None
     if exactly_once:
@@ -567,6 +680,7 @@ def ingest_dedup_batch(
             text_col=text_col,
             shingle_k=dedup_kwargs.get("shingle_k", 3),
             num_hashes=dedup_kwargs.get("num_hashes", 16),
+            portable=portable,
         )
     kept, appended = _dedup_batch(
         batch_df,
@@ -577,6 +691,7 @@ def ingest_dedup_batch(
         dedup_kwargs.get("num_hashes", 16),
         dedup_kwargs.get("bands", 4),
         dedup_kwargs.get("min_jaccard", 0.5),
+        portable=portable,
     )
     if exactly_once:
         _write_ingest_partition(kept, batch_id, kept_path)
@@ -614,7 +729,18 @@ def stream_incremental_dedup(
     partitions with replay-deterministic index reads — see
     :func:`ingest_dedup_batch` — at the cost of an ``ingest_batch_id``
     partition column in the output layout (seed pre-existing history
-    with :func:`seed_ingest_index`)."""
+    with :func:`seed_ingest_index`; fold old partitions periodically
+    with :func:`compact_ingest_index`).
+
+    Failure-mode note: ``_dedup_batch`` localCheckpoints its
+    intermediate frames, which are non-replicated executor-local
+    blocks — on a cluster with dynamic allocation, losing an executor
+    mid-batch fails that micro-batch. Under ``exactly_once=True`` the
+    retry is a deterministic rewrite, so this only costs latency; in
+    default append mode a failure between the kept write and the index
+    append double-appends on retry (the standard at-least-once window
+    — prefer ``exactly_once=True`` wherever executors can be
+    deallocated mid-batch)."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         ingest_dedup_batch(
@@ -732,11 +858,12 @@ def corpus_diff(
     new: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    match_renames: bool = False,
+    match_renames: bool | str = False,
     shingle_k: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
     min_jaccard: float = 0.5,
+    max_churn_fraction: float = 0.5,
 ) -> DataFrame:
     """Snapshot diff between two corpus versions — the dataset-release
     audit every training-data pipeline runs before shipping a refresh:
@@ -755,6 +882,17 @@ def corpus_diff(
     (max-Jaccard, tie -> lowest old id) removed match, NULL for true
     additions. Diff sets are usually small relative to the corpus, so
     the near-dup pass pays only for the churn, never the snapshot.
+
+    Churn guard: the rename pass is a release-audit tool, not a dedup
+    job — when the churn fraction (added + removed over all ids)
+    exceeds ``max_churn_fraction``, matching everything against
+    everything is the wrong machinery, so the pass is SKIPPED with a
+    warning (``matched_old_id``/``match_jaccard`` come back NULL).
+    ``match_renames="force"`` runs it anyway; past the threshold the
+    forced pass drops the broadcast hints on the churn-id sets so a
+    corpus-sized id set degrades to a shuffle join instead of blowing
+    the broadcast limit / driver memory. Computing the guard costs one
+    count over the persisted (id, status) frame.
 
     Scale shape: the status join exchanges ONLY (id, md5) pairs — text
     never shuffles for the diff itself; the rename pass runs the same
@@ -787,17 +925,39 @@ def corpus_diff(
     if not match_renames:
         return base
     st_p = managed_persist(st)
+    counts = st_p.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("status").isin("added", "removed"), 1).otherwise(0)
+        ).alias("churn"),
+    ).collect()[0]
+    churn_frac = counts["churn"] / counts["n"] if counts["n"] else 0.0
+    if churn_frac > max_churn_fraction:
+        if match_renames != "force":
+            import warnings
+
+            warnings.warn(
+                f"corpus_diff: churn fraction {churn_frac:.2f} exceeds "
+                f"max_churn_fraction={max_churn_fraction}; skipping the "
+                "rename pass (matching near-disjoint snapshots is a dedup "
+                "job, not a release audit). Pass match_renames='force' to "
+                "run it anyway.",
+                stacklevel=2,
+            )
+            return base
+        hint = lambda d: d  # noqa: E731 — forced past the threshold:
+        # the churn-id sets may be corpus-sized, so let Spark plan a
+        # shuffle join rather than erroring on the broadcast limit
+    else:
+        hint = F.broadcast
     # churn-id sets are BROADCAST (8 bytes/id, small by this pass's
     # contract — "the near-dup pass pays only for the churn"), so the
     # text-carrying snapshots are filtered map-side: without the hint
     # these left-semi joins plan as SortMergeJoins that shuffle the
     # WHOLE corpus with its text by id — the one text exchange in the
-    # operator, and the first thing to blow up at 100 TB. Pathological
-    # full-churn diffs (every doc added/removed) should drop the
-    # rename pass instead — matching everything against everything is
-    # a dedup job, not a release audit.
+    # operator, and the first thing to blow up at 100 TB.
     added = new.join(
-        F.broadcast(
+        hint(
             st_p.filter(F.col("status") == "added").select(
                 F.col("_id").alias(id_col)
             )
@@ -806,7 +966,7 @@ def corpus_diff(
         "left_semi",
     )
     removed = old.join(
-        F.broadcast(
+        hint(
             st_p.filter(F.col("status") == "removed").select(
                 F.col("_id").alias(id_col)
             )

@@ -470,7 +470,11 @@ def test_corpus_diff_statuses_and_renames(spark):
     }
     rich = {
         r["doc_id"]: (r["status"], r["matched_old_id"], r["match_jaccard"])
-        for r in corpus_diff(old, new, match_renames=True).collect()
+        # the toy diff is 4/6 churn — raise the guard to exercise the
+        # rename mechanics (the guard itself is tested separately)
+        for r in corpus_diff(
+            old, new, match_renames=True, max_churn_fraction=1.0
+        ).collect()
     }
     assert {k: v[0] for k, v in rich.items()} == {
         k: v[0] for k, v in plain.items()
@@ -615,7 +619,8 @@ def test_exactly_once_semantic_ingest_replay(spark, tmp_path):
 
 
 def test_incremental_dedup_portable_mode_matches_fast_mode(spark):
-    """portable=True (md5-prefix signatures, the certification mode)
+    """portable=True (salted-md5 quartered 32-bit slot signatures,
+    the certification mode)
     must make the SAME keep/drop decisions as the xxhash64 fast path
     on the planted scenario: exact duplicates estimate jaccard 1.0 and
     disjoint-vocab docs ~0 under ANY hash family, so mode changes the
@@ -712,3 +717,256 @@ def test_stream_incremental_dedup_exactly_once_end_to_end(spark, tmp_path):
     # the seed sits in partition -1, every admission in a batch >= 0
     parts = {r["ingest_batch_id"] for r in idx.select("ingest_batch_id").distinct().collect()}
     assert -1 in parts and all(p >= -1 for p in parts)
+
+
+def test_ingest_dedup_batch_portable_mode_end_to_end(spark, tmp_path):
+    """The round-8 trap: a portable-seeded index consumed by the
+    streaming batch body MUST build portable batch signatures too —
+    with mixed hash families the near-vs-index slot agreement is
+    random noise and near-dups of history silently pass. Here the
+    near-dup of a historical doc (1 word changed out of 50, true
+    Jaccard ~0.94) must be dropped by the vs-index ESTIMATE stage
+    (exact-hash can't catch it), and a replay in portable mode must
+    be a no-op."""
+    from bbdc20_submission_spark.operators.incremental import (
+        build_dedup_index,
+        ingest_dedup_batch,
+        seed_ingest_index,
+    )
+
+    def _doc(i: int) -> str:
+        return " ".join(f"q{i}w{j}" for j in range(50))
+
+    hist = spark.createDataFrame(
+        [(i, _doc(i)) for i in range(20)], "doc_id long, text string"
+    )
+    index_path = str(tmp_path / "idx")
+    kept_path = str(tmp_path / "kept")
+    seed_ingest_index(build_dedup_index(hist, portable=True), index_path)
+
+    near_of_0 = _doc(0).rsplit(" ", 1)[0] + " CHANGED"
+    b0 = spark.createDataFrame(
+        [(900, _doc(1)), (901, near_of_0)]
+        + [(i, _doc(i)) for i in range(20, 30)],
+        "doc_id long, text string",
+    )
+    ingest_dedup_batch(
+        b0, 0, index_path, kept_path, exactly_once=True, portable=True
+    )
+
+    def _state():
+        kept = sorted(
+            (r["doc_id"], r["ingest_batch_id"])
+            for r in spark.read.parquet(kept_path).collect()
+        )
+        idx = sorted(
+            (r["_id"], r["ingest_batch_id"])
+            for r in spark.read.parquet(index_path).collect()
+        )
+        return kept, idx
+
+    first = _state()
+    kept0 = {i for i, _ in first[0]}
+    assert 900 not in kept0          # exact dup of history
+    assert 901 not in kept0          # NEAR dup of history — the trap
+    assert kept0 == set(range(20, 30))
+    # replay in portable mode is a no-op
+    ingest_dedup_batch(
+        b0, 0, index_path, kept_path, exactly_once=True, portable=True
+    )
+    assert _state() == first
+    # appended index rows carry portable signatures: re-running a
+    # later batch with a near-dup of a batch-0 ADMISSION also drops it
+    near_of_20 = _doc(20).rsplit(" ", 1)[0] + " ALSO"
+    b1 = spark.createDataFrame(
+        [(8000, near_of_20), (30, _doc(30))], "doc_id long, text string"
+    )
+    ingest_dedup_batch(
+        b1, 1, index_path, kept_path, exactly_once=True, portable=True
+    )
+    kept, _ = _state()
+    assert {i for i, b in kept if b == 1} == {30}
+
+
+def test_ingest_dedup_batch_rejects_unknown_kwargs(spark, tmp_path):
+    """A typo'd / unsupported dedup knob must fail loudly — a silently
+    ignored kwarg here is exactly how the portable drop slipped in."""
+    import pytest
+
+    from bbdc20_submission_spark.operators.incremental import (
+        ingest_dedup_batch,
+    )
+
+    b = spark.createDataFrame([(1, "a b c d e f g h i j")],
+                              "doc_id long, text string")
+    with pytest.raises(TypeError, match="unrecognized dedup_kwargs"):
+        ingest_dedup_batch(
+            b, 0, str(tmp_path / "i"), str(tmp_path / "k"),
+            portabel=True,  # the typo the guard exists for
+        )
+
+
+def test_compact_ingest_index_folds_and_preserves_asof(spark, tmp_path):
+    """compact_ingest_index folds partitions < upto_batch into the -1
+    seed: the directory count collapses, the as-of view of any batch
+    >= the watermark is row-identical, and a replay of the in-flight
+    batch after compaction is still a byte-identical no-op."""
+    import os
+
+    from bbdc20_submission_spark.operators.incremental import (
+        _read_ingest_index,
+        build_dedup_index,
+        compact_ingest_index,
+        ingest_dedup_batch,
+        seed_ingest_index,
+    )
+
+    def _doc(i: int) -> str:
+        return " ".join(f"c{i}w{j}" for j in range(30))
+
+    hist = spark.createDataFrame(
+        [(i, _doc(i)) for i in range(10)], "doc_id long, text string"
+    )
+    index_path = str(tmp_path / "idx")
+    kept_path = str(tmp_path / "kept")
+    seed_ingest_index(build_dedup_index(hist), index_path)
+
+    nxt = 10
+    for b in range(3):  # batches 0..2: 5 fresh docs each + 1 dup
+        rows = [(9000 + b, _doc(0))] + [
+            (i, _doc(i)) for i in range(nxt, nxt + 5)
+        ]
+        nxt += 5
+        ingest_dedup_batch(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            b, index_path, kept_path, exactly_once=True,
+        )
+
+    def _dirs():
+        return sorted(
+            d for d in os.listdir(index_path)
+            if d.startswith("ingest_batch_id=")
+        )
+
+    def _asof(bid):
+        return sorted(
+            r["_id"]
+            for r in _read_ingest_index(spark, index_path, bid).collect()
+        )
+
+    assert len(_dirs()) == 4  # seed + 3 batches
+    before = _asof(3)
+    n = compact_ingest_index(spark, index_path, upto_batch=3)
+    assert n == 4  # -1, 0, 1, 2 all folded
+    assert _dirs() == ["ingest_batch_id=-1"]
+    assert _asof(3) == before  # as-of view of the next batch unchanged
+    assert sorted(before) == list(range(25))
+
+    # compaction again is a no-op (only the seed is below the mark)
+    assert compact_ingest_index(spark, index_path, upto_batch=3) == 0
+
+    # batch 3 runs against the compacted index; its replay is a no-op
+    b3 = spark.createDataFrame(
+        [(9100, _doc(1))] + [(i, _doc(i)) for i in range(25, 30)],
+        "doc_id long, text string",
+    )
+    ingest_dedup_batch(b3, 3, index_path, kept_path, exactly_once=True)
+    state = sorted(
+        (r["_id"], r["ingest_batch_id"])
+        for r in spark.read.parquet(index_path).collect()
+    )
+    assert {i for i, b in state if b == 3} == set(range(25, 30))
+    ingest_dedup_batch(b3, 3, index_path, kept_path, exactly_once=True)
+    assert state == sorted(
+        (r["_id"], r["ingest_batch_id"])
+        for r in spark.read.parquet(index_path).collect()
+    )
+    # partial fold: only batch 3 outstanding -> fold it too
+    assert compact_ingest_index(spark, index_path, upto_batch=4) == 2
+    assert _dirs() == ["ingest_batch_id=-1"]
+    assert _asof(4) == sorted(list(range(30)))
+
+
+def test_compact_ingest_index_crash_recovery(spark, tmp_path):
+    """A compaction that crashed between staging and the final swap
+    (the staged dir is in the root, folded dirs possibly half-deleted)
+    is finished by the next compaction call — no rows lost."""
+    import os
+
+    from bbdc20_submission_spark.operators.incremental import (
+        build_dedup_index,
+        compact_ingest_index,
+        ingest_dedup_batch,
+        seed_ingest_index,
+    )
+
+    def _doc(i: int) -> str:
+        return " ".join(f"r{i}w{j}" for j in range(30))
+
+    hist = spark.createDataFrame(
+        [(i, _doc(i)) for i in range(8)], "doc_id long, text string"
+    )
+    index_path = str(tmp_path / "idx")
+    seed_ingest_index(build_dedup_index(hist), index_path)
+    ingest_dedup_batch(
+        spark.createDataFrame(
+            [(i, _doc(i)) for i in range(8, 12)], "doc_id long, text string"
+        ),
+        0, index_path, str(tmp_path / "kept"), exactly_once=True,
+    )
+
+    # run a real compaction, then simulate the crash window by
+    # renaming the finished seed back to a staged dir (staged content
+    # is by construction the complete fold)
+    assert compact_ingest_index(spark, index_path, upto_batch=1) == 2
+    os.rename(
+        os.path.join(index_path, "ingest_batch_id=-1"),
+        os.path.join(index_path, ".compact-staged-1"),
+    )
+    # recovery happens on the next call, even a no-op one
+    assert compact_ingest_index(spark, index_path, upto_batch=1) == 0
+    assert sorted(
+        d for d in os.listdir(index_path) if d.startswith("ingest_batch_id=")
+    ) == ["ingest_batch_id=-1"]
+    ids = sorted(r["_id"] for r in spark.read.parquet(index_path).collect())
+    assert ids == list(range(12))
+
+
+def test_corpus_diff_full_churn_guard(spark):
+    """Disjoint snapshots (churn fraction 1.0) must SKIP the rename
+    pass with a warning — matching everything against everything is a
+    dedup job — while match_renames='force' still runs it (and
+    degrades the broadcast hint rather than erroring)."""
+    import warnings as _w
+
+    from bbdc20_submission_spark.operators.incremental import corpus_diff
+
+    def _doc(i: int) -> str:
+        return " ".join(f"g{i}w{j}" for j in range(30))
+
+    old = spark.createDataFrame(
+        [(i, _doc(i)) for i in range(6)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(  # all renames of old, disjoint ids
+        [(100 + i, _doc(i)) for i in range(6)], "doc_id long, text string"
+    )
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        rows = corpus_diff(old, new, match_renames=True).collect()
+    assert any("churn fraction" in str(c.message) for c in caught)
+    got = {r["doc_id"]: r for r in rows}
+    assert all(
+        got[100 + i]["status"] == "added"
+        and got[100 + i]["matched_old_id"] is None
+        for i in range(6)
+    )
+    # forced: the rename pass runs and finds the exact matches
+    forced = {
+        r["doc_id"]: r
+        for r in corpus_diff(old, new, match_renames="force").collect()
+    }
+    assert all(
+        forced[100 + i]["matched_old_id"] == i
+        and forced[100 + i]["match_jaccard"] == 1.0
+        for i in range(6)
+    )
