@@ -40,6 +40,12 @@ from pyspark.sql import functions as F
 # py4j plan-build time), so assignment moves to an Arrow-batched
 # pandas UDF whose cost is one numpy matmul per record batch.
 _EXPR_MAX_K = 32
+# expression-path budget on k*dim: the literal fold tree costs O(k*dim)
+# INTERPRETED lambda dispatches per row (higher-order functions never
+# enter codegen), so past ~512 products the Arrow-batched matmul wins
+# despite its Python dispatch overhead (A/B at k=31, dim=64: 0.71 s vs
+# 0.20 s steady-state on 2k rows)
+_EXPR_MAX_KDIM = 512
 
 _DEFAULT_SAMPLE_CAP = 262_144
 
@@ -280,16 +286,23 @@ def _with_cluster(
     keep_dists: bool = False,
 ) -> DataFrame:
     """Append the nearest-centroid id (ties → lowest) as ``out_col`` in
-    one narrow pass, preserving all input columns. Small k: literal
-    distance expressions + ``array_position(array_min)`` argmin, fully
-    inside codegen. Large k: Arrow-batched pandas UDF, one numpy
-    matmul per batch (centroids ride in the serialized UDF closure —
-    k·dim doubles, broadcast with the task binary).
+    one narrow pass, preserving all input columns. Small k·dim:
+    literal distance expressions + ``array_position(array_min)``
+    argmin (zip_with/aggregate folds are INTERPRETED, not codegen'd,
+    so their per-row cost is O(k·dim) lambda dispatches — measured
+    3.5x slower than the matmul at k=31, dim=64; the expression path
+    only wins while the fold tree is small enough that Arrow transfer
+    + Python dispatch overhead dominates). Large k·dim: Arrow-batched
+    pandas UDF, one numpy matmul per batch (centroids ride an explicit
+    broadcast).
 
-    ``keep_dists=True`` (small-k only) also keeps the per-centroid
-    squared-distance array as ``_d`` for invariant checks."""
+    ``keep_dists=True`` (small-k only, k <= _EXPR_MAX_K) also keeps
+    the per-centroid squared-distance array as ``_d`` for invariant
+    checks — it forces the expression path regardless of the cost
+    switch, since the UDF form never materializes distances."""
     k = int(centers.shape[0])
-    if k <= _EXPR_MAX_K:
+    dim = int(centers.shape[1]) if centers.ndim == 2 else 0
+    if k <= _EXPR_MAX_K and (keep_dists or k * dim <= _EXPR_MAX_KDIM):
         arr_sql = f"CAST(`{vec_col}` AS array<double>)"
         dists = F.expr(
             "array(%s)" % ",".join(_dist2_sql(arr_sql, c) for c in centers.tolist())
