@@ -343,15 +343,44 @@ def _nearest_pandas_udf(spark, centers: np.ndarray):
         if len(v) == 0:
             return _pd.Series([], dtype="int64")
         Cw = bc.value
+        dimw = int(Cw.shape[1])
         c2w = (Cw * Cw).sum(axis=1)
-        X = _np.asarray(v.tolist(), dtype=_np.float64)
-        out = _np.empty(X.shape[0], dtype=_np.int64)
-        for lo in range(0, X.shape[0], step):
-            d = X[lo : lo + step] @ Cw.T
-            d *= -2.0
-            d += c2w[None, :]
-            out[lo : lo + step] = _np.argmin(d, axis=1)
-        return _pd.Series(out)
+        rows = v.tolist()
+        # NULL / wrong-dim vectors -> NULL cluster, matching the
+        # expression path (zip_with pads length mismatches with nulls,
+        # so every distance and hence the argmin comes out NULL there);
+        # without the mask np.asarray raises on None / ragged input.
+        valid = _np.fromiter(
+            (r is not None and len(r) == dimw for r in rows),
+            dtype=bool,
+            count=len(rows),
+        )
+
+        def _assign(X):
+            res = _np.empty(X.shape[0], dtype=_np.int64)
+            for lo in range(0, X.shape[0], step):
+                d = X[lo : lo + step] @ Cw.T
+                d *= -2.0
+                d += c2w[None, :]
+                res[lo : lo + step] = _np.argmin(d, axis=1)
+            return res
+
+        if valid.all():
+            try:
+                return _pd.Series(_assign(_np.asarray(rows, dtype=_np.float64)))
+            except (TypeError, ValueError):
+                # inner NULL elements survive the length check; demote
+                # those rows to invalid and fall through to the masked path
+                for i, r in enumerate(rows):
+                    if valid[i] and any(x is None or x != x for x in r):
+                        valid[i] = False
+        out = _pd.Series(_np.full(len(rows), -1, dtype=_np.int64)).astype("Int64")
+        idx = _np.flatnonzero(valid)
+        if idx.size:
+            X = _np.asarray([rows[i] for i in idx], dtype=_np.float64)
+            out.iloc[idx] = _assign(X)
+        out[~valid] = _pd.NA
+        return out
 
     return _nearest
 

@@ -527,8 +527,8 @@ def compact_ingest_index(
     forever, and ``_read_ingest_index`` re-lists and re-reads ALL of
     them every batch: at production cadence (10^4+ batches) partition
     discovery and tiny-file read amplification dominate the as-of
-    read. Returns the number of partition directories folded (0 when
-    only the seed is below the watermark).
+    read. Returns the number of batch partitions folded (0 when only
+    the seed is below the watermark — see the return contract below).
 
     Replay-safety contract: ``upto_batch`` must not exceed the
     stream's last COMMITTED batch id + 1. Structured Streaming only
@@ -549,7 +549,23 @@ def compact_ingest_index(
     a crash after staging is finished by the NEXT compaction call,
     which first completes any staged swap it finds. Run compaction
     from the ingest driver between micro-batches (not concurrently
-    with a batch's index read)."""
+    with a batch's index read).
+
+    The staged dir carries an explicit ``_COMPACT_COMPLETE`` marker
+    (written after the parquet job, before the rename; underscore
+    files are invisible to Spark's file index), and a swap is only
+    ever finished for a marker-bearing dir: on filesystems where
+    directory rename is NOT atomic (S3A is a copy+delete), a crash
+    mid-rename can leave a partial staged dir, and the marker check
+    makes recovery delete that partial instead of installing it as
+    the seed. Every Hadoop ``rename`` return value is checked —
+    Hadoop reports most failures by returning false, not raising —
+    and a false aborts BEFORE any destructive step, so the staged
+    copy is never the only copy at deletion time.
+
+    Returns the number of BATCH partition directories absorbed
+    (``ingest_batch_id >= 0``); an existing seed that participates in
+    the fold does not count toward the total."""
     if upto_batch < 0:
         raise ValueError(
             f"upto_batch must be >= 0, got {upto_batch} (the seed "
@@ -564,6 +580,7 @@ def compact_ingest_index(
         return 0
     prefix = INGEST_BATCH_COL + "="
     staged_prefix = ".compact-staged-"
+    _COMPACT_MARKER = "_COMPACT_COMPLETE"
 
     def _partition_dirs():
         out = []
@@ -577,14 +594,24 @@ def compact_ingest_index(
         return out
 
     def _finish_swap(staged, watermark: int) -> None:
-        # the staged dir holds the COMPLETE fold (it is renamed into
-        # the root only after a successful full write), so dropping
+        # destructive steps are gated on the completeness marker: a
+        # marker-bearing staged dir holds the FULL fold, so dropping
         # the source partitions and renaming it to the seed is safe
-        # to re-run from any interruption point
+        # to re-run from any interruption point. A marker-less staged
+        # dir is a partial from a crashed non-atomic rename (object
+        # stores) — drop the partial, the sources are still intact.
+        if not fs.exists(HPath(staged, _COMPACT_MARKER)):
+            fs.delete(staged, True)
+            return
         for bid, p in _partition_dirs():
             if bid < watermark:
                 fs.delete(p, True)
-        fs.rename(staged, HPath(root, prefix + "-1"))
+        if not fs.rename(staged, HPath(root, prefix + "-1")):
+            raise IOError(
+                f"compact_ingest_index: rename {staged} -> seed partition "
+                "returned false; the fold survives in the staged dir and "
+                "the next compaction call will retry the swap"
+            )
 
     for st in fs.listStatus(root):
         name = st.getPath().getName()
@@ -604,10 +631,15 @@ def compact_ingest_index(
         fs.delete(tmp, True)
     writer = rows.coalesce(num_files) if num_files else rows
     writer.write.mode("overwrite").parquet(tmp.toString())
+    fs.create(HPath(tmp, _COMPACT_MARKER), True).close()
     staged = HPath(root, staged_prefix + str(upto_batch))
-    fs.rename(tmp, staged)
+    if not fs.rename(tmp, staged):
+        raise IOError(
+            f"compact_ingest_index: rename {tmp} -> {staged} returned "
+            "false; layout left untouched (fold not installed)"
+        )
     _finish_swap(staged, upto_batch)
-    return len(folded)
+    return sum(1 for b, _ in folded if b >= 0)
 
 
 def ingest_dedup_batch(

@@ -857,7 +857,7 @@ def test_compact_ingest_index_folds_and_preserves_asof(spark, tmp_path):
     assert len(_dirs()) == 4  # seed + 3 batches
     before = _asof(3)
     n = compact_ingest_index(spark, index_path, upto_batch=3)
-    assert n == 4  # -1, 0, 1, 2 all folded
+    assert n == 3  # batches 0, 1, 2 absorbed; the -1 seed doesn't count
     assert _dirs() == ["ingest_batch_id=-1"]
     assert _asof(3) == before  # as-of view of the next batch unchanged
     assert sorted(before) == list(range(25))
@@ -882,7 +882,7 @@ def test_compact_ingest_index_folds_and_preserves_asof(spark, tmp_path):
         for r in spark.read.parquet(index_path).collect()
     )
     # partial fold: only batch 3 outstanding -> fold it too
-    assert compact_ingest_index(spark, index_path, upto_batch=4) == 2
+    assert compact_ingest_index(spark, index_path, upto_batch=4) == 1
     assert _dirs() == ["ingest_batch_id=-1"]
     assert _asof(4) == sorted(list(range(30)))
 
@@ -918,7 +918,7 @@ def test_compact_ingest_index_crash_recovery(spark, tmp_path):
     # run a real compaction, then simulate the crash window by
     # renaming the finished seed back to a staged dir (staged content
     # is by construction the complete fold)
-    assert compact_ingest_index(spark, index_path, upto_batch=1) == 2
+    assert compact_ingest_index(spark, index_path, upto_batch=1) == 1
     os.rename(
         os.path.join(index_path, "ingest_batch_id=-1"),
         os.path.join(index_path, ".compact-staged-1"),
@@ -930,6 +930,51 @@ def test_compact_ingest_index_crash_recovery(spark, tmp_path):
     ) == ["ingest_batch_id=-1"]
     ids = sorted(r["_id"] for r in spark.read.parquet(index_path).collect())
     assert ids == list(range(12))
+
+
+def test_compact_ingest_index_drops_partial_staged_dir(spark, tmp_path):
+    """A staged dir WITHOUT the _COMPACT_COMPLETE marker (the debris a
+    crashed non-atomic rename leaves on an object store) must be
+    deleted by recovery, NOT installed as the seed — and the source
+    partitions it would have replaced must survive untouched."""
+    import os
+
+    from bbdc20_submission_spark.operators.incremental import (
+        build_dedup_index,
+        compact_ingest_index,
+        ingest_dedup_batch,
+        seed_ingest_index,
+    )
+
+    def _doc(i: int) -> str:
+        return " ".join(f"q{i}w{j}" for j in range(30))
+
+    hist = spark.createDataFrame(
+        [(i, _doc(i)) for i in range(6)], "doc_id long, text string"
+    )
+    index_path = str(tmp_path / "idx")
+    seed_ingest_index(build_dedup_index(hist), index_path)
+    ingest_dedup_batch(
+        spark.createDataFrame(
+            [(i, _doc(i)) for i in range(6, 9)], "doc_id long, text string"
+        ),
+        0, index_path, str(tmp_path / "kept"), exactly_once=True,
+    )
+
+    # fabricate the partial: a staged dir with some bytes but no marker
+    partial = os.path.join(index_path, ".compact-staged-1")
+    os.makedirs(partial)
+    with open(os.path.join(partial, "part-00000.parquet"), "wb") as f:
+        f.write(b"\x00" * 16)  # truncated garbage, never read
+
+    # the fold proceeds from the intact sources; the partial is dropped
+    assert compact_ingest_index(spark, index_path, upto_batch=1) == 1
+    assert not os.path.exists(partial)
+    assert sorted(
+        d for d in os.listdir(index_path) if d.startswith("ingest_batch_id=")
+    ) == ["ingest_batch_id=-1"]
+    ids = sorted(r["_id"] for r in spark.read.parquet(index_path).collect())
+    assert ids == list(range(9))
 
 
 def test_corpus_diff_full_churn_guard(spark):

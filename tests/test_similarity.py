@@ -389,6 +389,64 @@ def test_quantizer_udf_assignment_matches_expr_path(spark):
     assert a == b
 
 
+def test_null_and_ragged_vectors_yield_null_cluster_both_paths(spark):
+    """NULL or wrong-dim vectors must assign a NULL cluster on BOTH
+    physical paths. The expression path gets this for free (zip_with
+    pads mismatches with nulls -> all distances NULL -> NULL argmin);
+    the Arrow UDF path must mask them rather than crash in
+    np.asarray — pipelines with NULL embeddings at k*dim above the
+    switch used to fail at runtime."""
+    import numpy as np
+
+    from bbdc20_submission_spark.operators.clustering import _with_cluster
+
+    dim_big, dim_small = 256, 8
+    rows_of = lambda d: [
+        (0, [0.0] * d),            # -> cluster 0
+        (1, [1.0] * d),            # -> cluster 1
+        (2, None),                 # NULL vector
+        (3, [0.0] * (d - 1)),      # ragged (short)
+        (4, [1.0] * (d + 1)),      # ragged (long)
+    ]
+    for d in (dim_big, dim_small):  # UDF path / expression path
+        centers = np.vstack([np.zeros(d), np.ones(d)])
+        df = spark.createDataFrame(
+            rows_of(d), "vec_id long, embedding array<double>"
+        )
+        got = {
+            r["vec_id"]: r["cluster"]
+            for r in _with_cluster(df, centers, "embedding").collect()
+        }
+        assert got == {0: 0, 1: 1, 2: None, 3: None, 4: None}, (d, got)
+
+
+def test_kdim_cost_switch_picks_the_measured_winner(spark):
+    """Pin the _EXPR_MAX_KDIM physical-path switch (clustering.py):
+    k=31/dim=64 (k*dim=1984) must plan the Arrow UDF matmul, k=8/dim=8
+    must plan literal expressions, and keep_dists must force the
+    expression path regardless of k*dim (the UDF form never
+    materializes distances). Guard against silent re-routing."""
+    import numpy as np
+
+    from bbdc20_submission_spark.operators.clustering import (
+        _EXPR_MAX_KDIM,
+        _with_cluster,
+    )
+
+    def _plan(k, d, **kw):
+        centers = np.arange(k * d, dtype=np.float64).reshape(k, d)
+        df = spark.createDataFrame(
+            [(0, [0.0] * d)], "vec_id long, embedding array<double>"
+        )
+        out = _with_cluster(df, centers, "embedding", **kw)
+        return out._jdf.queryExecution().executedPlan().toString()
+
+    assert 31 * 64 > _EXPR_MAX_KDIM
+    assert "ArrowEvalPython" in _plan(31, 64)
+    assert "ArrowEvalPython" not in _plan(8, 8)
+    assert "ArrowEvalPython" not in _plan(31, 64, keep_dists=True)
+
+
 def test_quantizer_fit_is_seeded_deterministic(spark):
     """Same corpus + seed -> bit-identical centroids (k-means++ and
     Lloyd's run on a seeded RandomState over a deterministic sample)."""
