@@ -923,8 +923,11 @@ def corpus_diff(
     ``match_renames="force"`` runs it anyway; past the threshold the
     forced pass drops the broadcast hints on the churn-id sets so a
     corpus-sized id set degrades to a shuffle join instead of blowing
-    the broadcast limit / driver memory. Computing the guard costs one
-    count over the persisted (id, status) frame.
+    the broadcast limit / driver memory. The guard itself is an
+    ID-ONLY action: added/removed status is pure id presence, so the
+    guard join reads and shuffles just the id columns (parquet prunes
+    the text entirely) and the md5 status frame stays lazy until the
+    caller's first real action.
 
     Scale shape: the status join exchanges ONLY (id, md5) pairs — text
     never shuffles for the diff itself; the rename pass runs the same
@@ -957,12 +960,26 @@ def corpus_diff(
     if not match_renames:
         return base
     st_p = managed_persist(st)
-    counts = st_p.agg(
-        F.count("*").alias("n"),
-        F.sum(
-            F.when(F.col("status").isin("added", "removed"), 1).otherwise(0)
-        ).alias("churn"),
-    ).collect()[0]
+    # guard action on ids ONLY: status 'added'/'removed' is pure id
+    # presence, so the fraction never needs the md5 hashes — this join
+    # shuffles 8-byte ids (text column pruned at the scan) instead of
+    # forcing the full text-hashing status frame to materialize as a
+    # dedicated blocking job before the caller's own action runs
+    counts = (
+        old.select(F.col(id_col).alias("_id"), F.lit(True).alias("_o"))
+        .join(
+            new.select(F.col(id_col).alias("_id"), F.lit(True).alias("_n")),
+            "_id",
+            "full_outer",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("_o").isNull() | F.col("_n").isNull(), 1).otherwise(0)
+            ).alias("churn"),
+        )
+        .collect()[0]
+    )
     churn_frac = counts["churn"] / counts["n"] if counts["n"] else 0.0
     if churn_frac > max_churn_fraction:
         if match_renames != "force":
