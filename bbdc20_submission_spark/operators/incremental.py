@@ -743,6 +743,7 @@ def stream_incremental_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     exactly_once: bool = False,
+    compact_every_n_batches: int | None = None,
     **dedup_kwargs,
 ):
     """FULL incremental dedup on a stream — exact + near, vs the
@@ -764,6 +765,21 @@ def stream_incremental_dedup(
     with :func:`seed_ingest_index`; fold old partitions periodically
     with :func:`compact_ingest_index`).
 
+    ``compact_every_n_batches=N`` (exactly-once only) folds the index
+    automatically: every N-th batch runs :func:`compact_ingest_index`
+    with ``upto_batch = batch_id`` — strictly below the in-flight
+    batch, which is the watermark rule's maximum (everything < the
+    current id is committed; only the current batch can replay, and
+    its as-of view of a fold below it is byte-identical). The fold
+    runs at the START of the batch body, BEFORE the index read: the
+    foreachBatch loop is sequential, so this is the documented
+    "between micro-batches" slot, and — critically — the call's
+    built-in staged-swap recovery runs before any read, so a replay
+    after a crash mid-fold never reads the half-swapped layout. A
+    compaction failure fails the micro-batch; the replay re-enters
+    recovery first, then rewrites deterministically (latency, not
+    data loss). Live partition-dir count stays <= N + 1 (seed).
+
     Failure-mode note: ``_dedup_batch`` localCheckpoints its
     intermediate frames, which are non-replicated executor-local
     blocks — on a cluster with dynamic allocation, losing an executor
@@ -774,7 +790,26 @@ def stream_incremental_dedup(
     — prefer ``exactly_once=True`` wherever executors can be
     deallocated mid-batch)."""
 
+    if compact_every_n_batches is not None:
+        if not exactly_once:
+            raise ValueError(
+                "compact_every_n_batches requires exactly_once=True: the "
+                "append-mode layout has no ingest_batch_id partitions to fold"
+            )
+        if int(compact_every_n_batches) < 1:
+            raise ValueError(
+                f"compact_every_n_batches must be >= 1, got {compact_every_n_batches}"
+            )
+
     def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if (
+            compact_every_n_batches
+            and batch_id > 0
+            and batch_id % int(compact_every_n_batches) == 0
+        ):
+            compact_ingest_index(
+                batch_df.sparkSession, index_path, upto_batch=batch_id
+            )
         ingest_dedup_batch(
             batch_df,
             batch_id,

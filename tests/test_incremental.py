@@ -719,6 +719,125 @@ def test_stream_incremental_dedup_exactly_once_end_to_end(spark, tmp_path):
     assert -1 in parts and all(p >= -1 for p in parts)
 
 
+def test_stream_compaction_keeps_partition_count_bounded(spark, tmp_path):
+    """compact_every_n_batches wired into the exactly-once stream: a
+    6-batch availableNow run with N=2 must end with at most N+1 index
+    partition dirs (seed + the unfolded tail) instead of 7, dedup
+    decisions against FOLDED history must still hold (a dup of a
+    batch-0 admission arriving later is dropped even after batch 0 was
+    absorbed into the seed), and a continuation run from the same
+    checkpoint stays green."""
+    import os
+
+    from bbdc20_submission_spark.operators.incremental import (
+        build_dedup_index,
+        seed_ingest_index,
+        stream_incremental_dedup,
+    )
+
+    def _doc(i: int) -> str:
+        return " ".join(f"s{i}w{j}" for j in range(30))
+
+    hist = spark.createDataFrame(
+        [(i, _doc(i)) for i in range(20)], "doc_id long, text string"
+    )
+    index_path = str(tmp_path / "index")
+    kept_path = str(tmp_path / "kept")
+    seed_ingest_index(build_dedup_index(hist), index_path)
+
+    staged = str(tmp_path / "incoming")
+    os.makedirs(staged, exist_ok=True)
+    # 6 single-file batches: 5 fresh docs each; the LAST file also
+    # re-sends the content of a FIRST-file doc under a new id, and a
+    # dup of seeded history — both must lose to the folded index
+    nxt = 20
+    for b in range(6):
+        rows = [(i, _doc(i)) for i in range(nxt, nxt + 5)]
+        if b == 5:
+            rows += [(9001, _doc(20)), (9002, _doc(0))]
+        nxt += 5
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(staged)
+
+    schema = spark.read.parquet(staged).schema
+
+    def _run():
+        q = stream_incremental_dedup(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staged),
+            index_path,
+            kept_path,
+            str(tmp_path / "ckpt"),
+            exactly_once=True,
+            compact_every_n_batches=2,
+        ).trigger(availableNow=True).start()
+        q.awaitTermination()
+
+    _run()
+
+    def _dirs():
+        return sorted(
+            d for d in os.listdir(index_path)
+            if d.startswith("ingest_batch_id=")
+        )
+
+    # folds fired at batch starts 2 and 4 -> seed + batches 4, 5 remain
+    assert len(_dirs()) <= 3, _dirs()
+    kept_ids = sorted(
+        r["doc_id"] for r in spark.read.parquet(kept_path).collect()
+    )
+    # FileStreamSource order isn't pinned, but exactly one of each dup
+    # pair may survive; with single-file triggers the last file IS a
+    # later batch than the first, so both re-sends must be dropped
+    assert 9001 not in kept_ids and 9002 not in kept_ids
+    assert kept_ids == list(range(20, 50))
+    idx_ids = sorted(
+        r["_id"] for r in spark.read.parquet(index_path).collect()
+    )
+    assert idx_ids == list(range(50))  # nothing lost to any fold
+
+    # continuation from the same checkpoint: one more file -> batch 6;
+    # the fold at its start absorbs 4 and 5, then batch 6 lands
+    spark.createDataFrame(
+        [(i, _doc(i)) for i in range(50, 53)] + [(9003, _doc(21))],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(staged)
+    _run()
+    assert _dirs() == ["ingest_batch_id=-1", "ingest_batch_id=6"]
+    kept_ids = sorted(
+        r["doc_id"] for r in spark.read.parquet(kept_path).collect()
+    )
+    assert kept_ids == list(range(20, 53))
+
+
+def test_stream_compaction_requires_exactly_once(spark, tmp_path):
+    """compact_every_n_batches without exactly_once must raise: the
+    append-mode layout has no batch partitions to fold, so accepting
+    it would silently never compact."""
+    import pytest as _pt
+
+    from bbdc20_submission_spark.operators.incremental import (
+        stream_incremental_dedup,
+    )
+
+    stream = spark.readStream.format("rate").load().selectExpr(
+        "value AS doc_id", "CAST(value AS string) AS text"
+    )
+    with _pt.raises(ValueError, match="exactly_once"):
+        stream_incremental_dedup(
+            stream, str(tmp_path / "i"), str(tmp_path / "k"),
+            str(tmp_path / "c"), compact_every_n_batches=2,
+        )
+    with _pt.raises(ValueError, match=">= 1"):
+        stream_incremental_dedup(
+            stream, str(tmp_path / "i"), str(tmp_path / "k"),
+            str(tmp_path / "c"), exactly_once=True,
+            compact_every_n_batches=0,
+        )
+
+
 def test_ingest_dedup_batch_portable_mode_end_to_end(spark, tmp_path):
     """The round-8 trap: a portable-seeded index consumed by the
     streaming batch body MUST build portable batch signatures too —
