@@ -936,6 +936,14 @@ def contamination_flags(
     )
 
 
+# broadcast ceiling for the duplicated-window-hash membership set:
+# 4M longs ≈ 32 MB on the wire — comfortably under Spark's 8 GB
+# broadcast hard cap and small against executor memory, while any
+# realistically deduplicated corpus stays far below it (the set holds
+# only hashes occurring >= min_count times)
+_BCAST_MAX_DUP_HASHES = 4_000_000
+
+
 def duplicate_span_stats(
     df: DataFrame,
     text_col: str = "text",
@@ -971,7 +979,13 @@ def duplicate_span_stats(
         argument as ``hashed_shingle_sets``;
       * the duplicate-hash set is a groupBy(count) on those hashes —
         map-side partials, no distinct over text;
-      * flagged occurrences come from one hash equi-join; interval
+      * flagged occurrences come from one membership join against the
+        duplicated-hash set — BROADCAST below a 4M-hash cap (the
+        common case: duplicated windows are a small fraction), so the
+        occurrence stream probes it map-side and is never sorted; a
+        bounded limit probe detects the pathological all-duplicated
+        corpus and degrades to a shuffle-HASH join (no broadcast, and
+        still no O(n log n) sort of all occurrences); interval
         merging is a per-doc window function over ONLY the flagged
         positions (duplicated spans, not all spans);
       * reconstruction filters the token array by the doc's merged
@@ -987,13 +1001,28 @@ def duplicate_span_stats(
         raise ValueError(f"span_tokens must be >= 2, got {span_tokens}")
     base = df.select(F.col(id_col), ws_tokens(F.col(text_col)).alias("_t"))
     occ = _window_occurrences(base, id_col, L)
-    dup = (
+    dup = managed_persist(
         occ.groupBy("_h")
         .agg(F.count("*").alias("_c"))
         .filter(F.col("_c") >= min_count)
         .select("_h")
     )
-    flagged = occ.join(dup, "_h")
+    # Membership join strategy: the duplicated-hash set is usually a
+    # small fraction of all windows (most windows are unique), so
+    # broadcast it and let the corpus-sized occurrence stream probe it
+    # MAP-SIDE — planned as SortMergeJoin, this join shuffles AND
+    # sorts every window occurrence by hash, the one O(n log n) term
+    # in the operator (measured as the super-linear tail at 16x). A
+    # bounded limit probe (precedent: chunking's edge probe) guards
+    # the pathological all-duplicated corpus: past the cap the join
+    # degrades to a shuffle-HASH join — still no sort of the
+    # occurrence stream, and no corpus-sized broadcast.
+    small = (
+        dup.limit(_BCAST_MAX_DUP_HASHES + 1).count() <= _BCAST_MAX_DUP_HASHES
+    )
+    flagged = occ.join(
+        F.broadcast(dup) if small else dup.hint("shuffle_hash"), "_h"
+    )
     return _excise_flagged(
         base, flagged, id_col, L, "n_dup_spans", "span_tokens_removed"
     )
@@ -1031,7 +1060,17 @@ def _excise_flagged(
     positions) and reconstruct each doc's text with the covered tokens
     removed. Shared tail of :func:`duplicate_span_stats` and
     :func:`decontaminate_spans`. Output: [id, n_col, removed_col,
-    clean_text]; unflagged docs pass through with 0/0/original."""
+    clean_text]; unflagged docs pass through with 0/0/original.
+
+    The per-doc span list rides an EXPLICIT broadcast back onto the
+    corpus: flagged docs are a small fraction of any corpus this
+    operator is the right tool for (dup spans in span dedup,
+    eval-set hits in decontamination), and the alternative — an
+    id-keyed shuffle of ``base`` — would exchange the token arrays,
+    the one column this family promises never to shuffle. Before the
+    membership set was cached the same plan arose implicitly from
+    Catalyst's size estimate; caching hides the estimate, so the
+    hint pins it."""
     from pyspark.sql import Window
 
     flagged = flagged.withColumn("_e", F.col("_s") + F.lit(L - 1))
@@ -1062,7 +1101,7 @@ def _excise_flagged(
         "i -> element_at(_t, CAST(i AS INT))), ' ')"
     )
     return (
-        base.join(per_doc, id_col, "left")
+        base.join(F.broadcast(per_doc), id_col, "left")
         .select(
             F.col(id_col),
             F.coalesce(n_col, F.lit(0)).cast("long").alias(n_col),

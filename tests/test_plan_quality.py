@@ -242,6 +242,11 @@ def test_span_dedup_never_shuffles_text(spark, sf_dir):
         assert all(
             "text#" not in l and "_t#" not in l for l in input_lines
         ), node
+    # the dup-hash membership join must be a BROADCAST probe on the
+    # occurrence stream (below the 4M-hash cap) — a SortMergeJoin here
+    # sorts every stride-1 window by hash, the O(n log n) term this
+    # operator exists to avoid
+    assert "BroadcastHashJoin" in plan, plan
 
 
 def test_reselect_keepers_corpus_never_shuffles(spark, sf_dir):
