@@ -48,7 +48,22 @@ def stream_curate(
     Output: [id_col, chunk_id, chunk_text, n_tokens, lang_pred,
     quality]. The function is agnostic to the input being a stream or
     a batch frame (the operators don't know the difference), so tests
-    certify stream output == batch output on identical data."""
+    certify stream output == batch output on identical data.
+
+    Scale note (r10, measured in SCALING.md): the plan is a pure map,
+    so a micro-batch's wall clock is (fixed trigger cost) + (per-doc
+    work) / (input splits in the trigger) — parallelism comes ONLY
+    from the file/split count of the batch, since there is no shuffle
+    to rebalance behind. Two sizing rules follow for a file-source
+    deployment: (1) scale the trigger budget with arrival volume
+    (``maxBytesPerTrigger``, or ``maxFilesPerTrigger`` proportional to
+    files-per-interval) so trigger count — and its fixed cost — stays
+    constant as the corpus grows; a budget frozen while volume grows
+    16x pays 16x the fixed cost. (2) keep upstream files at (or split
+    oversized files via ``spark.sql.files.maxPartitionBytes``) a size
+    that yields at least one split per core per trigger — a trigger
+    whose batch is one small file runs the whole map on one core no
+    matter how large the cluster."""
     if blocked_sources:
         from bbdc20_submission_spark.plans.curation import (
             source_blocklist_filter,
