@@ -85,6 +85,42 @@ def _apply_sub_buckets(
     )
 
 
+def _explode_sub_buckets(
+    frame: DataFrame,
+    hot: DataFrame,
+    bucket_cols: list[str],
+    cap: int,
+) -> DataFrame:
+    """Probe-side counterpart of :func:`_apply_sub_buckets` that keeps
+    recall EXACT: instead of hashing each probe row into one of the
+    hot bucket's ``m = ceil(n/cap)`` subs, replicate it into ALL of
+    them, so every (index row, probe row) pair still meets in exactly
+    the index row's sub. Hash-assigning BOTH sides only compares pairs
+    whose id hashes agree mod m — fine for the symmetric dup-family
+    cap (those buckets only need connectivity), but it silently drops
+    ~(m-1)/m of true pairs when buckets go hot from LOW KEY ENTROPY
+    rather than duplication: the simhash multi-index's s blocks are
+    only 64/s bits wide, so past ~cap * 2^(64/s) docs EVERY bucket is
+    hot and recall decays corpus-wide (measured: 11252/16384 true
+    pairs at the 64x probe before this helper existed). Cost: probe
+    rows in hot buckets replicate m-fold — the true candidate volume
+    the pigeonhole guarantee requires; the index side stays <= cap per
+    (bucket, sub) task and the kernel's blocked matrix bounds peak
+    memory regardless."""
+    m = (
+        F.when(
+            F.col("_bn").isNotNull(),
+            F.ceil(F.col("_bn") / F.lit(cap)).cast("long"),
+        )
+        .otherwise(F.lit(1))
+    )
+    return (
+        frame.join(F.broadcast(hot), bucket_cols, "left")
+        .withColumn("sub_bucket", F.explode(F.sequence(F.lit(0), m - 1)))
+        .drop("_bn")
+    )
+
+
 def exact_dedup_groups(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -704,6 +740,7 @@ def hamming_near_pairs(
     max_hamming: int = 8,
     bands: int | None = None,
     bucket_cap: int = 1024,
+    exact_hot_buckets: bool = True,
 ) -> DataFrame:
     """All pairs of a ``[_id, _fp]`` fingerprint frame within the
     hamming budget — the candidate-join core of ``simhash_near_dups``
@@ -712,7 +749,24 @@ def hamming_near_pairs(
     sign-LSH packed to a long, perceptual image hashes riding the
     multimodal tables) can reuse it and so the pigeonhole recall is
     property-testable with constructed fingerprints.
-    Output: [id_a, id_b, hamming], id_a < id_b, distinct."""
+    Output: [id_a, id_b, hamming], id_a < id_b, distinct.
+
+    Applicability window (r10, measured at the 64x probe): the
+    pigeonhole blocks are only ``64/s`` bits wide, so block buckets
+    hold ``~n / 2^(64/s)`` docs regardless of corpus content — past
+    ``n ~ bucket_cap * 2^(64/s)`` (~130k docs at budget 17 / s=9 /
+    cap 1024) EVERY bucket goes hot and the exact candidate volume
+    grows quadratically (measured 72.6x wall on 64x docs). The width
+    cannot be bought back with longer fingerprints: the budget scales
+    with the bit width for a fixed angular threshold, so block width
+    is ~2/theta bits for ANY fingerprint size. Past the window,
+    either accept the quadratic exact cost (default), pass
+    ``exact_hot_buckets=False`` to sub-sample hot buckets (bounded
+    O(n*cap) work, keeps ~1/m of cross-sub pairs per hot bucket —
+    fine when downstream only needs cluster CONNECTIVITY, e.g. media
+    dedup), or switch families to MinHash-LSH banding whose key
+    entropy is arbitrary (probabilistic S-curve recall — d8 measured
+    16359/16384 at the same 64x probe)."""
     if bands is not None and bands <= max_hamming:
         raise ValueError(
             f"bands={bands} <= max_hamming={max_hamming} breaks the "
@@ -771,11 +825,22 @@ def hamming_near_pairs(
             "_id", "_fp", F.explode(F.expr(probe_sql)).alias("bb")
         ).select("_id", "_fp", "bb.band", "bb.slice")
         hot = _hot_buckets(index, ["band", "slice"], bucket_cap)
+        # index side: hash-assigned subs (<= cap rows per task); probe
+        # side: EXPLODED into every sub of a hot bucket — hash-assigning
+        # both sides would only compare pairs whose id hashes collide
+        # mod m, which loses recall corpus-wide once the narrow block
+        # keys (64/s bits) make every bucket hot (see
+        # _explode_sub_buckets). At the certified SFs no bucket is hot,
+        # so both plans are identical there.
         left = _apply_sub_buckets(
             index, hot, ["band", "slice"], "_id", bucket_cap
         ).withColumn("_side", F.lit(0))
-        right = _apply_sub_buckets(
-            probe, hot, ["band", "slice"], "_id", bucket_cap
+        right = (
+            _explode_sub_buckets(probe, hot, ["band", "slice"], bucket_cap)
+            if exact_hot_buckets
+            else _apply_sub_buckets(
+                probe, hot, ["band", "slice"], "_id", bucket_cap
+            )
         ).withColumn("_side", F.lit(1))
         # Per-bucket pair generation runs as a numpy XOR+popcount
         # kernel instead of a block equi-join: the join streams the
@@ -1017,9 +1082,13 @@ def duplicate_span_stats(
     # the pathological all-duplicated corpus: past the cap the join
     # degrades to a shuffle-HASH join — still no sort of the
     # occurrence stream, and no corpus-sized broadcast.
-    small = (
-        dup.limit(_BCAST_MAX_DUP_HASHES + 1).count() <= _BCAST_MAX_DUP_HASHES
-    )
+    # full count, not limit(cap+1): the frame is persisted, and a
+    # limit's incremental partition ramp-up materializes the cache
+    # only partially, so the main job recomputes the missing dup
+    # partitions (the expensive occ map side) — count() populates the
+    # whole cache in one pass for the same guard information (A/B'd
+    # equal-or-faster at sf0.1 in-session)
+    small = dup.count() <= _BCAST_MAX_DUP_HASHES
     flagged = occ.join(
         F.broadcast(dup) if small else dup.hint("shuffle_hash"), "_h"
     )

@@ -35,7 +35,7 @@ RESULTS_JSON = f"{WORK}/results.json"
 # without re-running the whole matrix.
 SECTIONS = set(
     os.environ.get(
-        "SCALE_PROBE_SECTIONS", "queries,ext,stream,refine"
+        "SCALE_PROBE_SECTIONS", "queries,ext,stream,refine,text64"
     ).split(",")
 )
 # Individual operators can be re-measured (e.g. after a run that
@@ -466,49 +466,70 @@ def main() -> None:
         open(os.path.join(out, "_DONE"), "w").close()
         return out
 
-    def _d9_budget_probe(spark, d: str, base_pairs: int, factor: int) -> dict:
-        """Re-derive the d9 hamming budget at this factor: the found
-        pair set is exact-jaccard-verified (so it is a SUBSET of the
-        true set by construction), and the true-set size is exactly
-        ``factor x base_pairs`` under duplicate-free replication — a
-        count match therefore proves SET equality, i.e. recall 1 over
-        the budget at this scale. The max hamming over that (proven
-        complete) pair set is the re-derived per-factor maximum the
-        17-bit budget must cover."""
+    D9_BUDGET = 17  # the literal d9_simhash_near_dups passes
+
+    def _d9_budget_probe(spark, d: str, base_list: list, factor: int) -> dict:
+        """Re-derive the d9 hamming budget at this factor from GROUND
+        TRUTH: the true pair set is the brute-forced base pairs
+        translated into every replica (duplicate-free salting keeps
+        within-replica jaccard byte-identical to the base corpus), so
+        the true-pair hamming DISTRIBUTION is computable directly from
+        the fingerprints — ``within_budget`` is the number the
+        candidate stage must find (pigeonhole guarantees pairs only up
+        to the budget), and ``true_max_hamming`` shows how close the
+        corpus tail sits to (or past) the budget at this scale. d9's
+        output is exact-jaccard-verified (a SUBSET of truth by
+        construction), so ``found == within_budget`` proves the
+        candidate stage is exactly budget-complete — any gap to
+        ``expected`` is the beyond-budget tail, not a machinery
+        loss."""
         from bbdc20_submission_spark.operators.dedup import (
             hamming64,
             hashed_shingle_sets,
             simhash_sets_df,
         )
 
-        pairs = registry.QUERIES["d9_simhash_near_dups"](spark, d).select(
-            "id_a", "id_b"
+        found = registry.QUERIES["d9_simhash_near_dups"](spark, d).count()
+        d8_found = registry.QUERIES["d8_minhash_lsh"](spark, d).count()
+        truth = spark.createDataFrame(
+            [
+                (a + r * 10_000_000, b + r * 10_000_000)
+                for a, b in base_list
+                for r in range(factor)
+            ],
+            "id_a long, id_b long",
         )
         docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
         fp = simhash_sets_df(hashed_shingle_sets(docs, shingle_k=3))
         row = (
-            pairs.join(
-                F.broadcast(fp.selectExpr("_id AS id_a", "_fp AS fp_a")), "id_a"
-            )
-            .join(
-                F.broadcast(fp.selectExpr("_id AS id_b", "_fp AS fp_b")), "id_b"
-            )
+            F.broadcast(truth)
+            .join(fp.selectExpr("_id AS id_a", "_fp AS fp_a"), "id_a")
+            .join(fp.selectExpr("_id AS id_b", "_fp AS fp_b"), "id_b")
+            .select(hamming64(F.col("fp_a"), F.col("fp_b")).alias("h"))
             .agg(
-                F.count("*").alias("found"),
-                F.max(hamming64(F.col("fp_a"), F.col("fp_b"))).alias("max_h"),
+                F.count("*").alias("n"),
+                F.max("h").alias("true_max"),
+                F.sum(
+                    F.when(F.col("h") <= D9_BUDGET, 1).otherwise(0)
+                ).alias("within"),
             )
             .first()
         )
+        assert row["n"] == len(base_list) * factor, (
+            f"truth join lost pairs: {row['n']} of {len(base_list) * factor}"
+        )
         return {
-            "found": row["found"],
-            "expected": base_pairs * factor,
-            "max_hamming": row["max_h"],
+            "found": found,
+            "expected": len(base_list) * factor,
+            "within_budget": row["within"],
+            "true_max_hamming": row["true_max"],
+            "d8_found": d8_found,
         }
 
-    def _brute_force_base_pairs() -> int:
-        """DuckDB brute-force jaccard >= 0.5 pair count over the BASE
+    def _brute_force_base_pairs() -> list:
+        """DuckDB brute-force jaccard >= 0.5 PAIR LIST over the BASE
         corpus (the d8/d9 oracle formula verbatim) — the ground truth
-        the per-factor expected counts multiply. One-time, untimed,
+        the per-factor true sets translate from. One-time, untimed,
         cached in results.json."""
         import duckdb
 
@@ -517,8 +538,10 @@ def main() -> None:
             "CREATE VIEW documents AS SELECT * FROM "
             f"read_parquet('{BASE}/documents.parquet')"
         )
-        return con.sql(
-            """
+        return [
+            [int(a), int(b)]
+            for a, b in con.sql(
+                """
             WITH toks AS MATERIALIZED (
                 SELECT doc_id, str_split(text, ' ') AS t FROM documents
             ),
@@ -528,11 +551,12 @@ def main() -> None:
                                       for i in generate_series(1, greatest(len(t)-2, 1))]) AS s
                 FROM toks
             )
-            SELECT count(*) FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            SELECT a.doc_id, b.doc_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE round(len(list_filter(a.s, x -> list_contains(b.s, x)))
                         / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.5
             """
-        ).fetchone()[0]
+            ).fetchall()
+        ]
 
     TEXT64_FACTORS = [1, 16, 64]
     TEXT64_QUERIES = [
@@ -617,10 +641,14 @@ def main() -> None:
         json.dump(store, open(RESULTS_JSON, "w"))
 
     if "text64" in SECTIONS:
-        if "base_pairs" not in store["d9_budget"]:
-            store["d9_budget"]["base_pairs"] = _brute_force_base_pairs()
-            print("base true pairs:", store["d9_budget"]["base_pairs"], flush=True)
-        base_pairs = store["d9_budget"]["base_pairs"]
+        if "base_pair_list" not in store["d9_budget"]:
+            store["d9_budget"]["base_pair_list"] = _brute_force_base_pairs()
+            print(
+                "base true pairs:",
+                len(store["d9_budget"]["base_pair_list"]),
+                flush=True,
+            )
+        base_list = [tuple(p) for p in store["d9_budget"]["base_pair_list"]]
         for f in TEXT64_FACTORS:
             d = replicate_documents(spark, f)
             spark.read.parquet(os.path.join(d, "documents.parquet")).count()
@@ -632,7 +660,7 @@ def main() -> None:
                 print(f, q, t, flush=True)
             if _want("d9_simhash_near_dups"):
                 store["d9_budget"][str(f)] = _d9_budget_probe(
-                    spark, d, base_pairs, f
+                    spark, d, base_list, f
                 )
                 print(f, "d9_budget", store["d9_budget"][str(f)], flush=True)
             json.dump(store, open(RESULTS_JSON, "w"))
@@ -743,21 +771,42 @@ def main() -> None:
         "| operator | 1x (s) | 16x (s) | 64x (s) | 64x/1x |",
         "|---|---|---|---|---|",
         *_table(TEXT64_QUERIES, store["text64"], factors=TEXT64_FACTORS),
-        "\nd9 hamming-budget re-derivation on the same ladder (true-set"
-        " size = DuckDB brute-force jaccard>=0.5 count at 1x times the"
-        " replica count — duplicate-free salting preserves within-"
-        "replica jaccard exactly; d9's output is exact-verified, so"
-        " found == expected proves SET equality = recall 1 over the"
-        " budget at that scale): "
+        "\nd9 hamming-budget re-derivation on the same ladder (true"
+        " pairs = DuckDB brute-force jaccard>=0.5 PAIR LIST at 1x"
+        " translated into every replica — duplicate-free salting"
+        " preserves within-replica jaccard exactly — so the true-pair"
+        " hamming distribution is measured directly from the"
+        " fingerprints; d9's output is exact-verified, so d9-found =="
+        " within-budget proves the candidate stage is exactly"
+        " budget-complete): "
         + "; ".join(
-            f"{f}x found {store['d9_budget'][str(f)]['found']}/"
-            f"{store['d9_budget'][str(f)]['expected']} expected,"
-            f" max hamming {store['d9_budget'][str(f)]['max_hamming']}"
+            f"{f}x true {b['expected']}, within budget-17"
+            f" {b['within_budget']}, d9 found {b['found']}"
+            + (
+                " (budget-exact)"
+                if b["found"] == b["within_budget"]
+                else " (CANDIDATE LOSS — investigate)"
+            )
+            + f", true max hamming {b['true_max_hamming']},"
+            f" d8 found {b['d8_found']}"
             for f in TEXT64_FACTORS
+            for b in [store["d9_budget"][str(f)]]
         )
-        + ". The 17-bit budget covers every re-derived maximum; raise"
-        " it only if a future corpus pushes a true pair past 17"
-        " (recall is pigeonhole-guaranteed only up to the budget).",
+        + ". Where true max hamming exceeds 17, the gap between found"
+        " and true is the beyond-budget TAIL of the corpus's hamming"
+        " distribution at that scale — the knob is the budget (raising"
+        " it widens the window but narrows the pigeonhole blocks),"
+        " not the machinery. d8's gaps are the MinHash-LSH S-curve"
+        " tail near jaccard 0.5 — probabilistic by design, tunable"
+        " via bands. d9's 64x wall in the table is the exact scheme's"
+        " quadratic region: past n ~ bucket_cap * 2^(64/s) (~130k docs"
+        " at budget 17) every 7-bit pigeonhole bucket is hot and the"
+        " exact candidate volume grows with n^2 (r9's capped run hid"
+        " this as a silent 31% recall loss; r10 made exactness the"
+        " default and the cost explicit — hamming_near_pairs"
+        " docstring has the applicability window; bounded-work"
+        " alternatives are exact_hot_buckets=False for"
+        " connectivity-only consumers, or the d8 family).",
         f"\nevents rows: 1x={rows[1]:,} / 4x={rows[4]:,} / 16x={rows[16]:,}.",
         "\nA ratio near (or below) 16x on 16x data means the operator is"
         " at-worst linear in input on fixed hardware — shuffles stay"

@@ -268,6 +268,59 @@ def test_hamming_near_pairs_pigeonhole_recall(spark):
     assert all(v <= 13 for v in out.values())
 
 
+def test_hamming_near_pairs_recall_exact_in_hot_buckets(spark):
+    """The multi-index must stay recall-1 when buckets exceed the cap
+    (the r10 64x probe found 31% of true pairs silently dropped before
+    the probe-side sub-bucket explosion): with a tiny cap forcing every
+    block bucket hot, the emitted pair set must still equal the numpy
+    brute force EXACTLY. Hash-assigning subs on both sides — the old
+    behavior — only finds pairs whose id hashes collide mod the split
+    count, which this corpus is large enough to violate for many
+    pairs."""
+    import random
+
+    from bbdc20_submission_spark.operators.dedup import hamming_near_pairs
+
+    def signed(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    rng = random.Random(11)
+    budget = 4  # s=3 blocks of ~21 bits
+    n = 120
+    fps = []
+    # 40 base docs, each with two near copies within the budget; ALL
+    # docs share identical block-0 bits (the low 22 bits), so every
+    # block-0 bucket holds all 120 rows >> cap=8 and must sub-split
+    for i in range(40):
+        base = (rng.getrandbits(42) << 22) | 0x2ABCDE
+        fps.append(base)
+        for _ in range(2):
+            flipped = base
+            for pos in rng.sample(range(22, 64), rng.randint(1, budget)):
+                flipped ^= 1 << pos
+            fps.append(flipped)
+    assert len(fps) == n
+    truth = {
+        (a, b)
+        for a in range(n)
+        for b in range(a + 1, n)
+        if bin(fps[a] ^ fps[b]).count("1") <= budget
+    }
+    df = spark.createDataFrame(
+        [(i, signed(f)) for i, f in enumerate(fps)], "_id long, _fp long"
+    )
+    out = {
+        (r["id_a"], r["id_b"])
+        for r in hamming_near_pairs(
+            df, max_hamming=budget, bucket_cap=8
+        ).collect()
+    }
+    assert out == truth, (
+        f"missing {len(truth - out)} of {len(truth)} true pairs, "
+        f"{len(out - truth)} spurious"
+    )
+
+
 def test_classifier_quality_score_matches_reference_math(spark):
     """The hashed-BoW linear scorer must equal an independent python
     re-derivation (hashlib md5 featurization + float fold in token
