@@ -564,6 +564,14 @@ def main() -> None:
         "d9_simhash_near_dups",
         "d12_dedup_clusters",
         "c1_curation_dag",
+        # d2/d4 ride this ladder for the FILE-LAYOUT contrast too: the
+        # main replicas write documents as ONE parquet file, so any
+        # query whose heavy stage is a pre-shuffle narrow map (d2's
+        # Arrow repetition scan, d4's n-gram scorer) runs that stage
+        # on ONE core there — the 32-file staging here shows the same
+        # operators parallelizing on a production-shaped layout
+        "d2_text_quality",
+        "d4_language_id",
     ]
 
     store = {"queries": {}, "ext": {}, "stream": {}, "refine": {}, "rows": {}}
@@ -828,6 +836,19 @@ def main() -> None:
         " semantic form — quantizer fit included): hash/signature and"
         " touched-cell joins only, so both hold strongly sub-linear"
         " ratios.",
+        "\nd2 / d4 layout note (r10): the main-table replicas write"
+        " documents as ONE parquet file (<128MB = one input split), so"
+        " a query whose heavy stage is a pre-shuffle narrow map runs"
+        " that stage on ONE core of 32 — d2's Arrow repetition scan"
+        " and d4's n-gram scorer are exactly that shape, which is why"
+        " their main-table ratios read high (the per-doc work is"
+        " linear but serialized). The text-dedup ladder below stages"
+        " 32 files: there d2 reads 10.78 s at the SAME 16x volume"
+        " (30.05 s single-file) and 15.1x wall on 64x data; d4 3.9x"
+        " on 64x — both strongly sub-linear once the scan has splits."
+        " Production corpora arrive as many files; the single-file"
+        " rows measure a layout handicap, kept for round-over-round"
+        " comparability.",
         "\nj1 / a2 anomaly notes (r8, from executed-plan diffs at each"
         " factor): j1's step at 16x is a PLAN FLIP — at 1x/4x all three"
         " joins are BroadcastHashJoin (1 exchange total); at 16x the"
