@@ -387,15 +387,46 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("_id", "bb.band", "bb.bucket")
-    banded = _cap_buckets(banded, ["band", "bucket"], "_id", bucket_cap)
+    hot = _hot_buckets(banded, ["band", "bucket"], bucket_cap)
+    banded = _apply_sub_buckets(banded, hot, ["band", "bucket"], "_id", bucket_cap)
     left = banded.withColumnRenamed("_id", "id_a")
     right = banded.withColumnRenamed("_id", "id_b")
-    return (
+    pairs = (
         left.join(right, ["band", "bucket", "sub_bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
     )
+    # Chain edges across a hot bucket's subs: sub-splitting compares
+    # pairs only WITHIN a sub, and the sub assignment hashes the id
+    # identically in every band, so without these a capped dup family
+    # (the boilerplate corpus _cap_buckets exists for) falls apart
+    # into ceil(n/cap) disconnected cliques — downstream clustering
+    # would then keep ~n/cap representatives of one family instead of
+    # one. Linking consecutive subs through their min-id member makes
+    # any genuine near-dup family ONE component again at +(m-1) edges
+    # per hot bucket; chain edges ride the same downstream jaccard
+    # verify as every candidate, so a bucket whose members merely
+    # share a band signature (not true near-dups) gains nothing. On a
+    # healthy corpus the hot dim is empty and every chain stage is a
+    # no-op over zero rows.
+    from pyspark.sql import Window
+
+    reps = (
+        banded.join(F.broadcast(hot.select("band", "bucket")), ["band", "bucket"])
+        .groupBy("band", "bucket", "sub_bucket")
+        .agg(F.min("_id").alias("_rep"))
+    )
+    w = Window.partitionBy("band", "bucket").orderBy("sub_bucket")
+    chain = (
+        reps.withColumn("_prev", F.lag("_rep").over(w))
+        .filter(F.col("_prev").isNotNull())
+        .select(
+            F.least("_prev", "_rep").alias("id_a"),
+            F.greatest("_prev", "_rep").alias("id_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+    )
+    return pairs.unionByName(chain).distinct()
 
 
 def hashed_shingle_sets(

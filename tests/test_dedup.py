@@ -79,14 +79,28 @@ def test_hot_bucket_cap_bounds_pair_count(spark):
     rows = [(i, "the same boilerplate text repeated verbatim " * 8) for i in range(n)]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     cands = minhash_lsh_candidates(docs, num_hashes=16, bands=4, bucket_cap=cap)
-    n_pairs = cands.count()
+    pairs = [(r["id_a"], r["id_b"]) for r in cands.collect()]
+    n_pairs = len(pairs)
     assert 0 < n_pairs <= n * cap, f"{n_pairs} pairs for n={n}, cap={cap}"
     # every doc still lands in some pair (clustering stays connected
     # enough to mark all copies as duplicates of something)
-    ids = {r[0] for r in cands.select("id_a").collect()} | {
-        r[0] for r in cands.select("id_b").collect()
-    }
+    ids = {i for p in pairs for i in p}
     assert len(ids) == n
+    # r10: the family must be ONE component, not ceil(n/cap) cliques —
+    # sub-splitting hashes ids identically in every band, so without
+    # the cross-sub chain edges a capped dup family would keep ~n/cap
+    # representatives downstream instead of one
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    assert len({find(i) for i in range(n)}) == 1
 
 
 def test_minhash_no_false_positives_on_disjoint_docs(spark):
