@@ -402,27 +402,50 @@ def minhash_lsh_candidates(
     # (the boilerplate corpus _cap_buckets exists for) falls apart
     # into ceil(n/cap) disconnected cliques — downstream clustering
     # would then keep ~n/cap representatives of one family instead of
-    # one. Linking consecutive subs through their min-id member makes
-    # any genuine near-dup family ONE component again at +(m-1) edges
-    # per hot bucket; chain edges ride the same downstream jaccard
-    # verify as every candidate, so a bucket whose members merely
-    # share a band signature (not true near-dups) gains nothing. On a
-    # healthy corpus the hot dim is empty and every chain stage is a
-    # no-op over zero rows.
+    # one. Each sub contributes TWO representatives (its min- and
+    # max-id members) and consecutive subs are linked through all
+    # four rep-pair edges (+4(m-1) edges per hot bucket); chain edges
+    # ride the same downstream jaccard verify as every candidate, so
+    # a bucket whose members merely share a band signature (not true
+    # near-dups) gains nothing. HEURISTIC, not a guarantee: in a
+    # MIXED hot bucket (a genuine dup family sharing its band
+    # signature with unrelated collision docs) a chain edge anchored
+    # on a collision rep fails the verify, so the family reconnects
+    # only if, for every consecutive sub pair, at least one of the
+    # four rep edges joins two family members. Two reps per sub
+    # square the per-link failure odds vs one (a collision doc must
+    # hold BOTH extremes of a sub's id range), which is the cheap
+    # end of the tradeoff — the exact alternative (explode one side
+    # across subs, as hamming_near_pairs does under
+    # exact_hot_buckets=True) restores the O(n^2) hot-bucket cost the
+    # cap exists to bound, unjustifiable for a connectivity repair.
+    # On a healthy corpus the hot dim is empty and every chain stage
+    # is a no-op over zero rows.
     from pyspark.sql import Window
 
     reps = (
         banded.join(F.broadcast(hot.select("band", "bucket")), ["band", "bucket"])
         .groupBy("band", "bucket", "sub_bucket")
-        .agg(F.min("_id").alias("_rep"))
+        .agg(F.min("_id").alias("_lo"), F.max("_id").alias("_hi"))
     )
     w = Window.partitionBy("band", "bucket").orderBy("sub_bucket")
     chain = (
-        reps.withColumn("_prev", F.lag("_rep").over(w))
-        .filter(F.col("_prev").isNotNull())
+        reps.withColumn("_plo", F.lag("_lo").over(w))
+        .withColumn("_phi", F.lag("_hi").over(w))
+        .filter(F.col("_plo").isNotNull())
         .select(
-            F.least("_prev", "_rep").alias("id_a"),
-            F.greatest("_prev", "_rep").alias("id_b"),
+            F.explode(
+                F.array(
+                    F.struct(F.col("_plo").alias("x"), F.col("_lo").alias("y")),
+                    F.struct(F.col("_plo").alias("x"), F.col("_hi").alias("y")),
+                    F.struct(F.col("_phi").alias("x"), F.col("_lo").alias("y")),
+                    F.struct(F.col("_phi").alias("x"), F.col("_hi").alias("y")),
+                )
+            ).alias("_e")
+        )
+        .select(
+            F.least("_e.x", "_e.y").alias("id_a"),
+            F.greatest("_e.x", "_e.y").alias("id_b"),
         )
         .filter(F.col("id_a") != F.col("id_b"))
     )
@@ -716,6 +739,7 @@ def simhash_near_dups(
     bands: int | None = None,
     bucket_cap: int = 1024,
     shingle_k: int | None = None,
+    exact_hot_buckets: bool | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs with guaranteed recall via multi-index
     Hamming search (the HmSearch/multi-index-hashing family): split
@@ -762,7 +786,11 @@ def simhash_near_dups(
         fp = simhash_df(df, id_col, text_col)
     fp = managed_persist(fp)
     return hamming_near_pairs(
-        fp, max_hamming=max_hamming, bands=bands, bucket_cap=bucket_cap
+        fp,
+        max_hamming=max_hamming,
+        bands=bands,
+        bucket_cap=bucket_cap,
+        exact_hot_buckets=exact_hot_buckets,
     )
 
 
@@ -771,7 +799,8 @@ def hamming_near_pairs(
     max_hamming: int = 8,
     bands: int | None = None,
     bucket_cap: int = 1024,
-    exact_hot_buckets: bool = True,
+    exact_hot_buckets: bool | None = None,
+    exact_pair_budget: int = 1_000_000_000,
 ) -> DataFrame:
     """All pairs of a ``[_id, _fp]`` fingerprint frame within the
     hamming budget — the candidate-join core of ``simhash_near_dups``
@@ -787,21 +816,52 @@ def hamming_near_pairs(
     hold ``~n / 2^(64/s)`` docs regardless of corpus content — past
     ``n ~ bucket_cap * 2^(64/s)`` (~130k docs at budget 17 / s=9 /
     cap 1024) EVERY bucket goes hot and the exact candidate volume
-    grows quadratically (measured 72.6x wall on 64x docs). The width
-    cannot be bought back with longer fingerprints: the budget scales
-    with the bit width for a fixed angular threshold, so block width
-    is ~2/theta bits for ANY fingerprint size. Past the window,
-    either accept the quadratic exact cost (default), pass
-    ``exact_hot_buckets=False`` to sub-sample hot buckets (bounded
-    O(n*cap) work, keeps ~1/m of cross-sub pairs per hot bucket —
-    fine when downstream only needs cluster CONNECTIVITY, e.g. media
-    dedup), or switch families to MinHash-LSH banding whose key
-    entropy is arbitrary (probabilistic S-curve recall — d8 measured
-    16359/16384 at the same 64x probe)."""
+    grows quadratically (measured 155 s / 58.1x wall on 64x docs).
+    The width cannot be bought back with longer fingerprints: the
+    budget scales with the bit width for a fixed angular threshold,
+    so block width is ~2/theta bits for ANY fingerprint size.
+
+    ``exact_hot_buckets`` (r11: the guard is now automatic):
+
+    * ``None`` (default) — AUTO: after the hot-bucket dim is built
+      (one broadcast-sized agg the capped plan needs anyway), the
+      exact scheme's hot candidate volume is estimated as
+      ``(w+1) * sum(hot _bn^2)`` — index occupancy times the probed
+      neighborhood of each hot bucket. At or under
+      ``exact_pair_budget`` pair evaluations the exact (recall-1)
+      plan runs; past it the operator degrades to the BOUNDED
+      O(n*cap) sub-sampled plan and emits a ``UserWarning`` naming
+      the estimate and the opt-in. On any corpus inside the
+      applicability window the hot dim is empty, the estimate is 0,
+      and the auto plan is byte-identical to the exact one — the
+      guard costs one tiny agg job and changes nothing.
+    * ``True`` — exact recall regardless of cost (the caller opts
+      INTO the quadratic region; no guard job runs). Incompatible
+      with ``bands`` (the legacy branch sub-samples both sides and
+      cannot honor exactness — it raises).
+    * ``False`` — always the bounded plan: keeps ~1/m of cross-sub
+      pairs per hot bucket, fine when downstream only needs cluster
+      CONNECTIVITY (e.g. media dedup), never quadratic.
+
+    ``exact_pair_budget``: auto-mode ceiling in pair evaluations.
+    The default 1e9 is ~a few seconds of vectorized SWAR popcounts
+    on a 32-core executor wave — past that the quadratic term
+    dominates wall and a bounded plan (or the MinHash-LSH family,
+    whose bucket-key entropy is arbitrary — d8 measured 16359/16384
+    at the same 64x probe) is the right tool."""
     if bands is not None and bands <= max_hamming:
         raise ValueError(
             f"bands={bands} <= max_hamming={max_hamming} breaks the "
             "pigeonhole recall guarantee; use bands > max_hamming"
+        )
+    if bands is not None and exact_hot_buckets is True:
+        raise ValueError(
+            "exact_hot_buckets=True is incompatible with the legacy "
+            "banded scheme (bands=...): it hash-splits hot buckets on "
+            "BOTH join sides, so hot-bucket recall is bounded, not "
+            "exact. Use the default multi-index scheme (bands=None) "
+            "for exactness, or exact_hot_buckets=False/None to accept "
+            "the bounded legacy behavior."
         )
     if bands is not None:
         # legacy equality-only pigeonhole: bands > max_hamming slices
@@ -856,6 +916,43 @@ def hamming_near_pairs(
             "_id", "_fp", F.explode(F.expr(probe_sql)).alias("bb")
         ).select("_id", "_fp", "bb.band", "bb.slice")
         hot = _hot_buckets(index, ["band", "slice"], bucket_cap)
+        if exact_hot_buckets is None:
+            # AUTO guard: one broadcast-sized agg over the hot dim
+            # estimates the exact scheme's hot candidate volume as
+            # (w+1) * sum(_bn^2) — each hot bucket's index occupancy
+            # times the (w+1)-bucket probed neighborhood (occupancies
+            # are ~uniform in the all-hot low-entropy regime that
+            # creates this problem). Inside the applicability window
+            # the hot dim is EMPTY, the estimate is 0, and auto ==
+            # exact byte-for-byte; past the window this is what stops
+            # a 100 TB caller from silently entering the quadratic
+            # region (r10's 155 s at the 64x octave).
+            w_max = max(w for _, w in slices)
+            est_pairs = (
+                hot.agg(F.sum(F.col("_bn") * F.col("_bn"))).first()[0] or 0
+            ) * (w_max + 1)
+            use_exact = est_pairs <= exact_pair_budget
+            if not use_exact:
+                import warnings
+
+                warnings.warn(
+                    "hamming_near_pairs: estimated exact hot-bucket "
+                    f"candidate volume ~{est_pairs:.2e} pair evals "
+                    f"exceeds exact_pair_budget={exact_pair_budget:.0e}"
+                    " — the corpus is past the multi-index "
+                    "applicability window (n >~ bucket_cap * "
+                    "2^(64/s)); degrading to the bounded O(n*cap) "
+                    "sub-sampled plan (cluster connectivity preserved "
+                    "per sub, ~1/m of cross-sub pairs kept per hot "
+                    "bucket). Pass exact_hot_buckets=True to opt into "
+                    "the quadratic exact plan, or switch to the "
+                    "MinHash-LSH family (minhash_lsh_candidates) for "
+                    "scale-free bucket entropy.",
+                    UserWarning,
+                    stacklevel=2,
+                )
+        else:
+            use_exact = exact_hot_buckets
         # index side: hash-assigned subs (<= cap rows per task); probe
         # side: EXPLODED into every sub of a hot bucket — hash-assigning
         # both sides would only compare pairs whose id hashes collide
@@ -868,7 +965,7 @@ def hamming_near_pairs(
         ).withColumn("_side", F.lit(0))
         right = (
             _explode_sub_buckets(probe, hot, ["band", "slice"], bucket_cap)
-            if exact_hot_buckets
+            if use_exact
             else _apply_sub_buckets(
                 probe, hot, ["band", "slice"], "_id", bucket_cap
             )

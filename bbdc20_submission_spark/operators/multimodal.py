@@ -165,10 +165,13 @@ def perceptual_hash(
     and therefore its pigeonhole recall guarantee and its hot-bucket
     economics — assume FULL 64-bit fingerprints. With ``taps < 65``
     the unused high bits are zero for every blob, so the high band
-    slices become universal buckets: recall still holds only up to
-    the bucket cap, and pair volume degrades toward the capped
-    worst case. Use taps=65 for dedup; smaller widths are for
-    compact similarity sketches, not the near-dup path."""
+    slices become UNIVERSAL buckets holding the whole corpus: under
+    the exact hot-bucket plan (``exact_hot_buckets=True``) the
+    probe-side explosion then makes candidate volume quadratic in n,
+    and under the bounded plan (``media_near_dups``'s default) recall
+    holds only up to the bucket cap per sub. Use taps=65 for dedup;
+    smaller widths are for compact similarity sketches, not the
+    near-dup path."""
     if not 3 <= taps <= 65:
         raise ValueError(
             f"taps={taps}: need 3..65 (taps-1 bits must fit a 64-bit long)"
@@ -212,6 +215,7 @@ def media_near_dups(
     max_hamming: int = 8,
     decode_fn: Callable[[bytes], np.ndarray] = fake_decode_image,
     bucket_cap: int = 1024,
+    exact_hot_buckets: bool | None = False,
 ) -> DataFrame:
     """Near-duplicate media detection: perceptual dHash, then the
     multi-index Hamming candidate join (pigeonhole recall 1 over the
@@ -220,9 +224,25 @@ def media_near_dups(
     64-bit signature source). Fingerprints are persisted (2 longs per
     blob) because the join reads them from three sides; payloads are
     decoded exactly once and never shuffle.
-    Output: [id_a, id_b, hamming]."""
+    Output: [id_a, id_b, hamming].
+
+    ``exact_hot_buckets`` defaults to ``False`` here (unlike the text
+    path): media dedup consumes these pairs for cluster CONNECTIVITY
+    (keep one blob per near-dup family), which the bounded O(n*cap)
+    sub-sampled plan preserves — and perceptual hashes are the case
+    where hot buckets arise from genuine mass duplication (re-encoded
+    copies of one asset) or, with ``taps < 65``, from zero high bits
+    making the high band slices universal. Pass ``True`` only when
+    every individual pair matters and the corpus is inside the
+    multi-index applicability window (see ``hamming_near_pairs``), or
+    ``None`` for the budget-guarded auto mode."""
     from bbdc20_submission_spark.caching import managed_persist
     from bbdc20_submission_spark.operators.dedup import hamming_near_pairs
 
     fp = managed_persist(perceptual_hash(media, decode_fn))
-    return hamming_near_pairs(fp, max_hamming=max_hamming, bucket_cap=bucket_cap)
+    return hamming_near_pairs(
+        fp,
+        max_hamming=max_hamming,
+        bucket_cap=bucket_cap,
+        exact_hot_buckets=exact_hot_buckets,
+    )

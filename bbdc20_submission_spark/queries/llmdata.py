@@ -173,7 +173,14 @@ def d9_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)
     sets = managed_persist(hashed_shingle_sets(d, shingle_k=3))
     fp = managed_persist(simhash_sets_df(sets))
-    cands = hamming_near_pairs(fp, max_hamming=17).select("id_a", "id_b")
+    # exact_hot_buckets=True: the certified SFs sit well inside the
+    # multi-index applicability window (no bucket is hot), so this is
+    # byte-identical to the r11 auto-guard's choice — passing it
+    # explicitly skips the guard's extra agg job (bench job-count
+    # hygiene) and documents that d9's contract IS exact recall.
+    cands = hamming_near_pairs(
+        fp, max_hamming=17, exact_hot_buckets=True
+    ).select("id_a", "id_b")
     return jaccard_pairs(
         d, cands, shingle_k=3, min_jaccard=0.5, broadcast_sets=True, sets=sets
     ).filter(F.col("jaccard") >= 0.5)

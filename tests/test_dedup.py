@@ -819,3 +819,169 @@ def test_portable_minhash_slots_match_md5_reference(spark):
     for i, text in [(1, None), (2, None), (3, None)]:
         want = [min(_ref(x, s) for x in sh[i]) for s in range(16)]
         assert sig[i] == want, i
+
+
+def _hot_corpus_for_guard(spark):
+    """The r10 hot-bucket corpus (shared block-0 bits force every
+    block-0 bucket hot at cap=8) plus its brute-force truth — shared
+    by the auto-guard tests."""
+    import random as _random
+
+    from pyspark.sql import types as T
+
+    def signed(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    rng = _random.Random(11)
+    budget = 4  # s=3 blocks of ~21 bits
+    fps = []
+    for _ in range(40):
+        base = (rng.getrandbits(42) << 22) | 0x2ABCDE
+        fps.append(base)
+        for _ in range(2):
+            flipped = base
+            for pos in rng.sample(range(22, 64), rng.randint(1, budget)):
+                flipped ^= 1 << pos
+            fps.append(flipped)
+    truth = {
+        (a, b)
+        for a in range(len(fps))
+        for b in range(a + 1, len(fps))
+        if bin(fps[a] ^ fps[b]).count("1") <= budget
+    }
+    df = spark.createDataFrame(
+        [(i, signed(f)) for i, f in enumerate(fps)],
+        T.StructType(
+            [
+                T.StructField("_id", T.LongType(), False),
+                T.StructField("_fp", T.LongType(), False),
+            ]
+        ),
+    )
+    return df, truth, budget
+
+
+def test_hamming_auto_guard_stays_exact_inside_budget(spark):
+    """AUTO mode (exact_hot_buckets=None, the default) with the
+    default pair budget: the constructed hot corpus is far below 1e9
+    estimated pair evals, so the guard must pick the exact plan — the
+    emitted set equals the brute force and no degradation warning is
+    raised."""
+    import warnings as _warnings
+
+    from bbdc20_submission_spark.operators.dedup import hamming_near_pairs
+
+    df, truth, budget = _hot_corpus_for_guard(spark)
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")  # any UserWarning -> test failure
+        out = {
+            (r["id_a"], r["id_b"])
+            for r in hamming_near_pairs(
+                df, max_hamming=budget, bucket_cap=8
+            ).collect()
+        }
+    assert out == truth
+
+
+def test_hamming_auto_guard_degrades_past_budget(spark):
+    """AUTO mode past the pair budget: the guard must warn and switch
+    to the bounded O(n*cap) plan — a strict SUBSET of the true pairs
+    (nothing spurious, cross-sub pairs sampled away), while an
+    explicit exact_hot_buckets=True opt-in ignores the budget and
+    recovers exactness."""
+    import pytest as _pytest
+
+    from bbdc20_submission_spark.operators.dedup import hamming_near_pairs
+
+    df, truth, budget = _hot_corpus_for_guard(spark)
+    with _pytest.warns(UserWarning, match="applicability window"):
+        out = {
+            (r["id_a"], r["id_b"])
+            for r in hamming_near_pairs(
+                df, max_hamming=budget, bucket_cap=8, exact_pair_budget=100
+            ).collect()
+        }
+    assert out < truth, (len(out), len(truth))
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in hamming_near_pairs(
+            df,
+            max_hamming=budget,
+            bucket_cap=8,
+            exact_hot_buckets=True,
+            exact_pair_budget=100,
+        ).collect()
+    }
+    assert exact == truth
+
+
+def test_hamming_legacy_bands_rejects_exactness_claim(spark):
+    """The legacy banded scheme hash-splits hot buckets on BOTH sides,
+    so it cannot honor exact_hot_buckets=True — it must raise rather
+    than silently lose recall (r11, ADVICE)."""
+    import pytest as _pytest
+
+    from bbdc20_submission_spark.operators.dedup import hamming_near_pairs
+
+    df, _, budget = _hot_corpus_for_guard(spark)
+    with _pytest.raises(ValueError, match="incompatible"):
+        hamming_near_pairs(
+            df, max_hamming=budget, bands=10, exact_hot_buckets=True
+        )
+    # bands with the bounded/auto settings still works
+    assert (
+        hamming_near_pairs(
+            df, max_hamming=budget, bands=10, exact_hot_buckets=False
+        ).count()
+        > 0
+    )
+
+
+def test_chain_edges_survive_mixed_hot_bucket(spark):
+    """r11 (ADVICE): a hot LSH bucket that MIXES a genuine dup family
+    with band-signature-collision docs (high shingle overlap, below
+    the verify threshold) must still reconnect the family after the
+    downstream jaccard verify. The min+max reps per sub make a chain
+    link fail only when a collision doc holds BOTH id extremes of a
+    sub; collision ids here sit in the middle of the family id range,
+    so every sub's extremes are family members and the verified chain
+    holds."""
+    family_text = " ".join(f"tok{j}" for j in range(40))
+    rows = []
+    fam_ids = list(range(0, 300)) + list(range(700, 1000))
+    for i in fam_ids:
+        rows.append((i, family_text))
+    col_ids = list(range(400, 600))
+    for i in col_ids:
+        suffix = " ".join(f"uniq{i}_{j}" for j in range(20))
+        rows.append((i, family_text + " " + suffix))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cands = minhash_lsh_candidates(
+        docs, num_hashes=16, bands=4, bucket_cap=32
+    )
+    cand_pairs = [(r["id_a"], r["id_b"]) for r in cands.collect()]
+    fam = set(fam_ids)
+    # the scenario must actually occur: collision docs share hot
+    # buckets with the family (mixed bucket), i.e. family-collision
+    # candidate pairs exist before the verify
+    assert any((a in fam) != (b in fam) for a, b in cand_pairs)
+    verified = jaccard_pairs(
+        docs, cands, shingle_k=3, min_jaccard=0.95
+    ).filter(F.col("jaccard") >= 0.95)
+    pairs = [(r["id_a"], r["id_b"]) for r in verified.collect()]
+    # nothing below the verify bar survives (collision docs are ~0.65
+    # jaccard vs the family, ~0.49 vs each other)
+    assert all(a in fam and b in fam for a, b in pairs)
+    # the family is ONE component across all its sub-buckets
+    idx = {d: k for k, d in enumerate(sorted(fam))}
+    parent = list(range(len(fam)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(idx[a])] = find(idx[b])
+    assert len({find(i) for i in range(len(fam))}) == 1
