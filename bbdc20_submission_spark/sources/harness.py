@@ -28,6 +28,9 @@ HARNESS_TABLES = (
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
+# (path, mtime) -> inferred StructType; see load_table
+_SCHEMA_CACHE: dict[tuple[str, float], object] = {}
+
 
 def _events_ts_is_nanos(path: str) -> bool:
     """Footer peek: does ``events.parquet`` store ``ts`` as nanos?
@@ -45,6 +48,67 @@ def _events_ts_is_nanos(path: str) -> bool:
         return pa.types.is_timestamp(field.type) and field.type.unit == "ns"
     except Exception:
         return True
+
+
+# Adaptive re-split (r11): a scan whose input offers far fewer
+# independently readable chunks than the cluster has cores serializes
+# every pre-shuffle narrow stage onto those few cores — the r10 scale
+# probes measured d2_text_quality at 30 s on a single-file 16x replica
+# vs 10.8 s on the same volume staged as 32 files. Parquet can only be
+# read row-group-parallel, so a big single-row-group file is ONE chunk
+# no matter how Spark sizes byte splits. When the effective chunk
+# count is below a quarter of the cores AND the DECODED payload per
+# chunk is heavy enough that the one-time round-robin shuffle is
+# trivially amortized, insert an explicit repartition to
+# defaultParallelism. At 100 TB real inputs carry thousands of row
+# groups and never trigger this; it rescues the pathological
+# under-split small/medium layout (test replicas, hand-exported
+# files) where the shuffle costs milliseconds and the unlocked
+# parallelism is worth 3-20x on compute-heavy narrow stages.
+#
+# Both sides of the threshold are MEASURED, not guessed: an A/B over
+# the full 50-query bench at sf0.1 showed a repartition inserted
+# under light chunks (sf0.1 lineitem: 600k rows but only 13.6 MB
+# decoded) costs ~+0.5 s of shuffle round-trip per query with no
+# downstream win, while the 16x single-file documents replica
+# (~30 MB+ decoded text in ONE chunk feeding Arrow-batched scoring)
+# was 3x wall. Decoded bytes per chunk — from footer
+# total_byte_size, which is the uncompressed column-chunk payload —
+# is the footer-visible proxy that separates them.
+_RESPLIT_DECODED_BYTES_PER_CHUNK = 24 << 20
+# matches spark.sql.files.openCostInBytes — the floor Spark itself
+# uses when sizing byte splits, so chunk estimates agree with the
+# scheduler's own granularity
+_SPLIT_BYTE_FLOOR = 4 << 20
+
+
+def _effective_splits(path: str) -> tuple[int, int] | None:
+    """(decoded bytes, independently readable chunks) for a parquet
+    path from FOOTER metadata only — no Spark job. A file's chunk
+    count is bounded both by its row groups (the read-parallel unit)
+    and by the byte splits Spark would cut (floor 4 MB); decoded
+    bytes is the sum of row-group ``total_byte_size`` (uncompressed).
+    None when the footer isn't locally readable (remote FS) — callers
+    skip the re-split."""
+    try:
+        import os as _os
+
+        import pyarrow.dataset as ds
+
+        dataset = ds.dataset(path, format="parquet")
+        decoded = 0
+        chunks = 0
+        for frag in dataset.get_fragments():
+            md = frag.metadata
+            byte_splits = max(
+                1, _os.path.getsize(frag.path) // _SPLIT_BYTE_FLOOR
+            )
+            chunks += max(1, min(md.num_row_groups, byte_splits))
+            for rg in range(md.num_row_groups):
+                decoded += md.row_group(rg).total_byte_size
+        return decoded, chunks
+    except Exception:
+        return None
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
@@ -71,7 +135,20 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
         # when the footer actually says nanos so harness-owned sessions
         # aren't mutated for the common µs layouts.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    # schema-inference cache (r11): a bare spark.read.parquet runs a
+    # one-task schema-inference JOB per call; on a bench of 50 small
+    # queries that's one driver-planning gap (and one slot of ambient
+    # noise surface) per table read for a schema that never changes.
+    # First read infers and caches (keyed by path + mtime so a
+    # regenerated table re-infers); later reads pass the schema
+    # explicitly — identical frame, one fewer job.
+    key = (path, os.path.getmtime(path))
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+    else:
+        df = spark.read.schema(schema).parquet(path)
     if name == "events":
         ts_dtype = dict(df.dtypes).get("ts")
         if ts_dtype == "bigint":
@@ -82,6 +159,19 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
             # so it must be UTC for oracle-identical instants.
             spark.conf.set("spark.sql.session.timeZone", "UTC")
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    stats = _effective_splits(path)
+    if stats is not None:
+        decoded, chunks = stats
+        cores = spark.sparkContext.defaultParallelism
+        if (
+            decoded >= chunks * _RESPLIT_DECODED_BYTES_PER_CHUNK
+            and chunks < max(1, cores // 4)
+        ):
+            # predicate pushdown and column pruning both commute with
+            # Repartition in Catalyst, so the scan keeps its
+            # PushedFilters/ReadSchema; only the post-scan stages fan
+            # out across the cluster
+            df = df.repartition(cores)
     return df
 
 

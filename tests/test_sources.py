@@ -308,19 +308,28 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
         return sum(1 for a, b in ranges if b >= lo and a <= hi)
 
     zpath = str(tmp_path / "z")
-    write_zorder(df, zpath, ("x", "y"), n_files=16, bits=8)
+    # repartitionByRange's RangePartitioner draws its own sample over
+    # the z values; at the default 100 rows/partition its boundary
+    # wobble shifted a file edge across the probe band run-to-run
+    # (up to 9 touched in-suite vs 4-8 solo), which r10 absorbed by
+    # loosening this bound to <= 10. Instead make the boundaries
+    # EXACT for this test: sample more rows per partition than the
+    # input holds (40k rows / 32 partitions = 1250), so the
+    # partitioner sees every z value and the layout is deterministic
+    # — and the original <= 8 bound holds.
+    sample_key = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    old_sample = spark.conf.get(sample_key)
+    spark.conf.set(sample_key, "4000")
+    try:
+        write_zorder(df, zpath, ("x", "y"), n_files=16, bits=8)
+    finally:
+        spark.conf.set(sample_key, old_sample)
     # a 5%-wide band on either axis touches ~sqrt(16)=4 of 16 file
-    # rectangles; allow slack for quantile error + rectangle edges +
-    # repartitionByRange boundary wobble (its RangePartitioner draws
-    # its own sample over the z values, and where those boundaries
-    # land between curve cells shifts a file edge across the probe
-    # band — measured up to 9 touched in-suite where solo runs give
-    # 4-8; the contrast bound below stays at all 16, so the 2-D
-    # pruning property is still sharply separated)
+    # rectangles; slack for quantile error + rectangle edges
     for c in ("x", "y"):
         r = file_ranges(zpath, c)
         assert len(r) == 16
-        assert touched(r, 4000.0, 4500.0) <= 10, (c, sorted(r))
+        assert touched(r, 4000.0, 4500.0) <= 8, (c, sorted(r))
 
     # contrast: 1-D range sort on x leaves y unprunable (every file
     # spans ~the full y range)
@@ -561,3 +570,51 @@ def test_zorder_partition_sorted_input_still_prunes(spark, tmp_path):
     assert len(ranges) == 16
     touched = sum(1 for a, b in ranges if b >= 9000.0 and a <= 9500.0)
     assert touched <= 8, sorted(ranges)
+
+
+def test_load_table_resplits_heavy_single_chunk_input(spark, tmp_path):
+    """r11: a table whose parquet layout offers one heavy chunk (one
+    row group, >24 MB decoded) must come back repartitioned to
+    defaultParallelism so narrow stages don't serialize on one core;
+    a light single-chunk table (every certified SF) must pass through
+    with its plan untouched."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bbdc20_submission_spark.sources.harness import load_table
+
+    heavy_dir = tmp_path / "heavy"
+    heavy_dir.mkdir()
+    n = 30_000
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            # unique per row so parquet dictionary encoding cannot
+            # collapse the column (total_byte_size is post-encoding)
+            "text": pa.array([f"tok{i}x " * 150 for i in range(n)]),
+        }
+    )
+    pq.write_table(
+        tbl, str(heavy_dir / "documents.parquet"), row_group_size=n
+    )
+    heavy = load_table(spark, "documents", str(heavy_dir))
+    assert (
+        heavy.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+    # filters still reach the scan through the inserted repartition
+    plan = heavy.filter("doc_id < 10").select("doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,10)]" in plan, plan
+
+    light_dir = tmp_path / "light"
+    light_dir.mkdir()
+    small = pa.table(
+        {
+            "doc_id": pa.array(range(100), pa.int64()),
+            "text": pa.array(["short text"] * 100),
+        }
+    )
+    pq.write_table(tbl.slice(0, 100), str(light_dir / "documents.parquet"))
+    del small
+    light = load_table(spark, "documents", str(light_dir))
+    assert "Exchange" not in light._jdf.queryExecution().executedPlan().toString()
