@@ -382,10 +382,64 @@ def main() -> None:
         q.awaitTermination()
         shutil.rmtree(rd, ignore_errors=True)
 
+    def _stream_text_compact_run(spark, d):
+        # r11 (VERDICT #6): the TEXT ingest stream with automatic index
+        # compaction ON — seed the lower-id half as history, stream the
+        # upper half in 16 micro-batches (1 file/trigger), exactly-once
+        # layout, compact_every_n_batches=4. The claim under test: the
+        # per-batch wall stays FLAT across batches because the as-of
+        # index read folds old partitions instead of re-listing one
+        # partition dir per batch forever. Per-batch durations land in
+        # stream_detail for the flatness check.
+        from bbdc20_submission_spark.operators.incremental import (
+            build_dedup_index,
+            seed_ingest_index,
+            stream_incremental_dedup,
+        )
+
+        docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+        mid = docs.approxQuantile("doc_id", [0.5], 0.001)[0]
+        hist = docs.filter(F.col("doc_id") < mid)
+        staged = os.path.join(d, "ingest-staged16")
+        if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+            docs.filter(F.col("doc_id") >= mid).repartition(16).write.mode(
+                "overwrite"
+            ).parquet(staged)
+        rd = _fresh("textcompact")
+        index_path = os.path.join(rd, "index")
+        seed_ingest_index(build_dedup_index(hist), index_path)
+        schema = spark.read.parquet(staged).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staged)
+        )
+        q = stream_incremental_dedup(
+            stream,
+            index_path,
+            os.path.join(rd, "kept"),
+            os.path.join(rd, "ckpt"),
+            exactly_once=True,
+            compact_every_n_batches=4,
+        ).trigger(availableNow=True).start()
+        q.awaitTermination()
+        prog = [p for p in q.recentProgress if p.get("numInputRows", 0) > 0]
+        store.setdefault("stream_detail", {}).setdefault(
+            "stream_incremental_dedup_compact", {}
+        )[str(_factor_of(d))] = {
+            "triggers": len(prog),
+            "rows": sum(p["numInputRows"] for p in prog),
+            "trigger_ms": [
+                p["durationMs"].get("triggerExecution") for p in prog
+            ],
+        }
+        shutil.rmtree(rd, ignore_errors=True)
+
     STREAM = {
         "stream_curate": _stream_curate_run,
         "stream_curate_scaled": _stream_curate_scaled_run,
         "stream_incremental_semantic_dedup": _stream_semantic_run,
+        "stream_incremental_dedup_compact": _stream_text_compact_run,
     }
 
     # ---- two-level quantization probe (embeddings only, 1x/16x/64x).
@@ -572,7 +626,36 @@ def main() -> None:
         # operators parallelizing on a production-shaped layout
         "d2_text_quality",
         "d4_language_id",
+        # r11 (VERDICT #4): the remaining heavy text families at the
+        # 64x octave — d5 (token fingerprint + span dedup + decon)
+        # and d7 (the full portable-ingest certification suite) both
+        # read only documents, so they ride the same ladder
+        "d5_token_fingerprint",
+        "d7_ngram_jaccard",
     ]
+
+    def _d9_auto_guard(spark, d):
+        # the d9 composition with the r11 AUTO hot-bucket guard
+        # (exact_hot_buckets=None): identical to d9 at 1x/16x (no hot
+        # buckets, guard picks exact), degrades to the bounded
+        # O(n*cap) plan at 64x where exact mode measured 155 s — this
+        # row IS the SCALING note for the bounded-mode 64x wall
+        from bbdc20_submission_spark.caching import managed_persist
+        from bbdc20_submission_spark.operators.dedup import (
+            hamming_near_pairs,
+            hashed_shingle_sets,
+            jaccard_pairs,
+            simhash_sets_df,
+        )
+
+        docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+        sets = managed_persist(hashed_shingle_sets(docs, shingle_k=3))
+        fp = managed_persist(simhash_sets_df(sets))
+        cands = hamming_near_pairs(fp, max_hamming=17).select("id_a", "id_b")
+        return jaccard_pairs(
+            docs, cands, shingle_k=3, min_jaccard=0.5,
+            broadcast_sets=True, sets=sets,
+        ).filter(F.col("jaccard") >= 0.5)
 
     store = {"queries": {}, "ext": {}, "stream": {}, "refine": {}, "rows": {}}
     if os.path.exists(RESULTS_JSON):
@@ -666,6 +749,18 @@ def main() -> None:
                 t = _measure(lambda: registry.QUERIES[q](spark, d))
                 store["text64"].setdefault(q, {})[str(f)] = t
                 print(f, q, t, flush=True)
+            if _want("d9_auto_guard"):
+                import warnings as _warnings
+
+                with _warnings.catch_warnings():
+                    _warnings.simplefilter("ignore")  # expected at 64x
+                    t = _measure(lambda: _d9_auto_guard(spark, d))
+                    store["text64"].setdefault("d9_auto_guard", {})[
+                        str(f)
+                    ] = t
+                    found = _d9_auto_guard(spark, d).count()
+                store["d9_budget"].setdefault("auto_found", {})[str(f)] = found
+                print(f, "d9_auto_guard", t, "found", found, flush=True)
             if _want("d9_simhash_near_dups"):
                 store["d9_budget"][str(f)] = _d9_budget_probe(
                     spark, d, base_list, f
@@ -690,7 +785,7 @@ def main() -> None:
         and all(
             str(f) in store["text64"].get(q, {})
             for f in TEXT64_FACTORS
-            for q in TEXT64_QUERIES
+            for q in [*TEXT64_QUERIES, "d9_auto_guard"]
         )
         and all(str(f) in store["d9_budget"] for f in TEXT64_FACTORS)
     )
@@ -734,7 +829,14 @@ def main() -> None:
         " production shape (fixed cadence, cluster sized to arrival"
         " volume). stream_incremental_semantic_dedup = the foreachBatch"
         " embedding-ingest form, history fit + index build + an"
-        " 8-micro-batch stream all timed):\n",
+        " 8-micro-batch stream all timed."
+        " stream_incremental_dedup_compact (r11) = the TEXT ingest"
+        " stream under the exactly-once layout with automatic index"
+        " compaction (compact_every_n_batches=4): history seeded as"
+        " the -1 partition, 16 micro-batches of 1 file each — the"
+        " per-batch flatness claim is checked from the decomposition"
+        " below, since without compaction the as-of index read"
+        " re-lists one partition dir per batch forever):\n",
         "| streaming form | 1x (s) | 4x (s) | 16x (s) | 16x/1x |",
         "|---|---|---|---|---|",
         *_table(list(STREAM), store["stream"]),
@@ -743,7 +845,11 @@ def main() -> None:
             f" {tag} at {f}x = {det['triggers']} triggers /"
             f" {det['rows']:,} rows, per-trigger ms"
             f" {sorted(x for x in det['trigger_ms'] if x is not None)};"
-            for tag in ("stream_curate", "stream_curate_scaled")
+            for tag in (
+                "stream_curate",
+                "stream_curate_scaled",
+                "stream_incremental_dedup_compact",
+            )
             for f, det in sorted(
                 (
                     (int(k), v)
@@ -778,7 +884,11 @@ def main() -> None:
         " serialize the scan):\n",
         "| operator | 1x (s) | 16x (s) | 64x (s) | 64x/1x |",
         "|---|---|---|---|---|",
-        *_table(TEXT64_QUERIES, store["text64"], factors=TEXT64_FACTORS),
+        *_table(
+            [*TEXT64_QUERIES, "d9_auto_guard"],
+            store["text64"],
+            factors=TEXT64_FACTORS,
+        ),
         "\nd9 hamming-budget re-derivation on the same ladder (true"
         " pairs = DuckDB brute-force jaccard>=0.5 PAIR LIST at 1x"
         " translated into every replica — duplicate-free salting"
@@ -809,12 +919,24 @@ def main() -> None:
         " via bands. d9's 64x wall in the table is the exact scheme's"
         " quadratic region: past n ~ bucket_cap * 2^(64/s) (~130k docs"
         " at budget 17) every 7-bit pigeonhole bucket is hot and the"
-        " exact candidate volume grows with n^2 (r9's capped run hid"
-        " this as a silent 31% recall loss; r10 made exactness the"
-        " default and the cost explicit — hamming_near_pairs"
-        " docstring has the applicability window; bounded-work"
-        " alternatives are exact_hot_buckets=False for"
-        " connectivity-only consumers, or the d8 family).",
+        " exact candidate volume grows with n^2. r11 made the guard"
+        " AUTOMATIC: hamming_near_pairs defaults to exact_hot_buckets="
+        "None, which estimates the hot candidate volume from the"
+        " hot-bucket dim (one broadcast-sized agg) and degrades to the"
+        " bounded O(n*cap) plan with a warning past ~1e9 pair evals —"
+        " the d9_auto_guard row above is that default's wall on this"
+        " ladder (identical to d9 at 1x/16x where no bucket is hot;"
+        " bounded at 64x). Auto-guard verified pairs found per factor: "
+        + ", ".join(
+            f"{f}x {store['d9_budget'].get('auto_found', {}).get(str(f), '?')}"
+            f"/{store['d9_budget'][str(f)]['within_budget']}"
+            for f in TEXT64_FACTORS
+        )
+        + " — the 64x shortfall vs within-budget truth is the bounded"
+        " plan's documented cross-sub sampling (connectivity-only"
+        " consumers unaffected; callers needing every pair opt into"
+        " exact_hot_buckets=True, the r10 default, at the measured"
+        " quadratic cost; or switch to the d8 family).",
         f"\nevents rows: 1x={rows[1]:,} / 4x={rows[4]:,} / 16x={rows[16]:,}.",
         "\nA ratio near (or below) 16x on 16x data means the operator is"
         " at-worst linear in input on fixed hardware — shuffles stay"
@@ -836,19 +958,22 @@ def main() -> None:
         " semantic form — quantizer fit included): hash/signature and"
         " touched-cell joins only, so both hold strongly sub-linear"
         " ratios.",
-        "\nd2 / d4 layout note (r10): the main-table replicas write"
-        " documents as ONE parquet file (<128MB = one input split), so"
-        " a query whose heavy stage is a pre-shuffle narrow map runs"
-        " that stage on ONE core of 32 — d2's Arrow repetition scan"
-        " and d4's n-gram scorer are exactly that shape, which is why"
-        " their main-table ratios read high (the per-doc work is"
-        " linear but serialized). The text-dedup ladder below stages"
-        " 32 files: there d2 reads 10.78 s at the SAME 16x volume"
-        " (30.05 s single-file) and 15.1x wall on 64x data; d4 3.9x"
-        " on 64x — both strongly sub-linear once the scan has splits."
-        " Production corpora arrive as many files; the single-file"
-        " rows measure a layout handicap, kept for round-over-round"
-        " comparability.",
+        "\nd2 / d4 layout note (r10, closed r11): the main-table"
+        " replicas write documents as ONE parquet file with one row"
+        " group — ONE readable chunk no matter how Spark sizes byte"
+        " splits — so in r10 any query whose heavy stage is a"
+        " pre-shuffle narrow map (d2's scoring scan, d4's n-gram"
+        " scorer) ran that stage on ONE core of 32 (d2 30.05 s vs"
+        " 10.78 s on the same 16x volume staged as 32 files). r11"
+        " fixed this at the ENGINE level: load_table detects decoded-"
+        "bytes-per-chunk > 24 MB with chunks << cores from the parquet"
+        " footer and inserts an adaptive repartition"
+        " (sources/harness.py), so the single-file main-table rows now"
+        " measure the same parallel shape as the 32-file ladder —"
+        " plus, r11 replaced the three regex char-class counts in"
+        " quality_score with bit-identical translate() forms (17x on"
+        " that stage), which is most of d2's and c1's drop on both"
+        " ladders this round.",
         "\nj1 / a2 anomaly notes (r8, from executed-plan diffs at each"
         " factor): j1's step at 16x is a PLAN FLIP — at 1x/4x all three"
         " joins are BroadcastHashJoin (1 exchange total); at 16x the"
