@@ -72,10 +72,21 @@ def _events_ts_is_nanos(path: str) -> bool:
 # decoded) costs ~+0.5 s of shuffle round-trip per query with no
 # downstream win, while the 16x single-file documents replica
 # (~30 MB+ decoded text in ONE chunk feeding Arrow-batched scoring)
-# was 3x wall. Decoded bytes per chunk — from footer
-# total_byte_size, which is the uncompressed column-chunk payload —
-# is the footer-visible proxy that separates them.
-_RESPLIT_DECODED_BYTES_PER_CHUNK = 24 << 20
+# was 3x wall. The trigger counts STRING (BYTE_ARRAY) bytes only:
+# the narrow stages worth parallelizing are per-char text work
+# (scoring, tokenization, regex/UDF passes), while numeric fact
+# tables scan fast and lose outright to the inserted shuffle — the
+# r11 probe measured a 16x lineitem replica (218 MB decoded, ~0
+# string bytes) regressing a2/j1 from 2.3x/5.1x to 17x/18x when the
+# trigger keyed on total decoded bytes. String bytes per chunk is
+# the footer-visible proxy that separates the two regimes. The 6 MB
+# floor: a serialized scoring stage measured ~0.7 s per MB of string
+# payload, so past ~6 MB/chunk the one-core loss clearly exceeds the
+# ~0.5 s shuffle round-trip even for cheaper narrow stages, while
+# every certified SF stays untouched (sf0.1 documents: 1.5 MB string
+# bytes, 4x headroom) — a 4x single-file replica at 8.2 MB/chunk ran
+# its scoring stage 2x slower than the 16x replica that DID re-split.
+_RESPLIT_STR_BYTES_PER_CHUNK = 6 << 20
 # matches spark.sql.files.openCostInBytes — the floor Spark itself
 # uses when sizing byte splits, so chunk estimates agree with the
 # scheduler's own granularity
@@ -83,20 +94,21 @@ _SPLIT_BYTE_FLOOR = 4 << 20
 
 
 def _effective_splits(path: str) -> tuple[int, int] | None:
-    """(decoded bytes, independently readable chunks) for a parquet
-    path from FOOTER metadata only — no Spark job. A file's chunk
-    count is bounded both by its row groups (the read-parallel unit)
-    and by the byte splits Spark would cut (floor 4 MB); decoded
-    bytes is the sum of row-group ``total_byte_size`` (uncompressed).
-    None when the footer isn't locally readable (remote FS) — callers
-    skip the re-split."""
+    """(decoded string bytes, independently readable chunks) for a
+    parquet path from FOOTER metadata only — no Spark job. A file's
+    chunk count is bounded both by its row groups (the read-parallel
+    unit) and by the byte splits Spark would cut (floor 4 MB); string
+    bytes is the sum of uncompressed BYTE_ARRAY column-chunk sizes
+    (post-encoding, so dictionary-collapsed constants count small —
+    correct, they decode cheap too). None when the footer isn't
+    locally readable (remote FS) — callers skip the re-split."""
     try:
         import os as _os
 
         import pyarrow.dataset as ds
 
         dataset = ds.dataset(path, format="parquet")
-        decoded = 0
+        str_bytes = 0
         chunks = 0
         for frag in dataset.get_fragments():
             md = frag.metadata
@@ -105,8 +117,12 @@ def _effective_splits(path: str) -> tuple[int, int] | None:
             )
             chunks += max(1, min(md.num_row_groups, byte_splits))
             for rg in range(md.num_row_groups):
-                decoded += md.row_group(rg).total_byte_size
-        return decoded, chunks
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    if col.physical_type == "BYTE_ARRAY":
+                        str_bytes += col.total_uncompressed_size
+        return str_bytes, chunks
     except Exception:
         return None
 
@@ -161,10 +177,10 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     stats = _effective_splits(path)
     if stats is not None:
-        decoded, chunks = stats
+        str_bytes, chunks = stats
         cores = spark.sparkContext.defaultParallelism
         if (
-            decoded >= chunks * _RESPLIT_DECODED_BYTES_PER_CHUNK
+            str_bytes >= chunks * _RESPLIT_STR_BYTES_PER_CHUNK
             and chunks < max(1, cores // 4)
         ):
             # predicate pushdown and column pruning both commute with
