@@ -917,20 +917,29 @@ def hamming_near_pairs(
         ).select("_id", "_fp", "bb.band", "bb.slice")
         hot = _hot_buckets(index, ["band", "slice"], bucket_cap)
         if exact_hot_buckets is None:
-            # AUTO guard: one broadcast-sized agg over the hot dim
-            # estimates the exact scheme's hot candidate volume as
+            # AUTO guard: COLLECT the hot dim (bounded: a bucket is
+            # hot only past cap members, so the dim holds at most
+            # s * n/cap rows — a few thousand even at the 64x octave,
+            # empty inside the applicability window) and estimate the
+            # exact scheme's hot candidate volume as
             # (w+1) * sum(_bn^2) — each hot bucket's index occupancy
             # times the (w+1)-bucket probed neighborhood (occupancies
             # are ~uniform in the all-hot low-entropy regime that
-            # creates this problem). Inside the applicability window
-            # the hot dim is EMPTY, the estimate is 0, and auto ==
-            # exact byte-for-byte; past the window this is what stops
-            # a 100 TB caller from silently entering the quadratic
-            # region (r10's 155 s at the 64x octave).
+            # creates this problem). The collected rows are then
+            # replayed as a LOCAL relation for the sub-bucket joins,
+            # so the guard's one job REPLACES the plan-side hot
+            # recomputation instead of adding to it (the r11 probe
+            # measured +2.7 s at 16x for the agg-only form). Inside
+            # the window the dim is empty, the estimate is 0, and
+            # auto == exact in results; past the window this is what
+            # stops a 100 TB caller from silently entering the
+            # quadratic region (r10's 155+ s at the 64x octave).
+            hot_rows = hot.collect()
             w_max = max(w for _, w in slices)
-            est_pairs = (
-                hot.agg(F.sum(F.col("_bn") * F.col("_bn"))).first()[0] or 0
-            ) * (w_max + 1)
+            est_pairs = sum(r["_bn"] * r["_bn"] for r in hot_rows) * (
+                w_max + 1
+            )
+            hot = fp.sparkSession.createDataFrame(hot_rows, hot.schema)
             use_exact = est_pairs <= exact_pair_budget
             if not use_exact:
                 import warnings
