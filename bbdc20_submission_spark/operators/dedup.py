@@ -740,6 +740,7 @@ def simhash_near_dups(
     bucket_cap: int = 1024,
     shingle_k: int | None = None,
     exact_hot_buckets: bool | None = None,
+    exact_pair_budget: int = 1_000_000_000,
 ) -> DataFrame:
     """SimHash near-dup pairs with guaranteed recall via multi-index
     Hamming search (the HmSearch/multi-index-hashing family): split
@@ -791,6 +792,7 @@ def simhash_near_dups(
         bands=bands,
         bucket_cap=bucket_cap,
         exact_hot_buckets=exact_hot_buckets,
+        exact_pair_budget=exact_pair_budget,
     )
 
 

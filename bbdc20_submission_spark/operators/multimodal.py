@@ -216,6 +216,7 @@ def media_near_dups(
     decode_fn: Callable[[bytes], np.ndarray] = fake_decode_image,
     bucket_cap: int = 1024,
     exact_hot_buckets: bool | None = False,
+    exact_pair_budget: int = 1_000_000_000,
 ) -> DataFrame:
     """Near-duplicate media detection: perceptual dHash, then the
     multi-index Hamming candidate join (pigeonhole recall 1 over the
@@ -245,4 +246,5 @@ def media_near_dups(
         max_hamming=max_hamming,
         bucket_cap=bucket_cap,
         exact_hot_buckets=exact_hot_buckets,
+        exact_pair_budget=exact_pair_budget,
     )

@@ -613,6 +613,15 @@ def main() -> None:
         ]
 
     TEXT64_FACTORS = [1, 16, 64]
+    # like RUN_FACTORS for the text64 ladder: restrict one invocation
+    # to a subset (e.g. TEXT64_RUN_FACTORS=64) so a heavy op fits a
+    # wall-clock budget; results accumulate per factor in results.json
+    TEXT64_RUN_FACTORS = [
+        int(x)
+        for x in os.environ.get(
+            "TEXT64_RUN_FACTORS", ",".join(map(str, TEXT64_FACTORS))
+        ).split(",")
+    ]
     TEXT64_QUERIES = [
         "d8_minhash_lsh",
         "d9_simhash_near_dups",
@@ -740,7 +749,7 @@ def main() -> None:
                 flush=True,
             )
         base_list = [tuple(p) for p in store["d9_budget"]["base_pair_list"]]
-        for f in TEXT64_FACTORS:
+        for f in TEXT64_RUN_FACTORS:
             d = replicate_documents(spark, f)
             spark.read.parquet(os.path.join(d, "documents.parquet")).count()
             for q in TEXT64_QUERIES:
@@ -958,6 +967,11 @@ def main() -> None:
         " semantic form — quantizer fit included): hash/signature and"
         " touched-cell joins only, so both hold strongly sub-linear"
         " ratios.",
+        "\nduplicate_span_stats ratio note (r11): the 16x wall is"
+        " flat round-over-round (16.5 s, r10 16.6 s) — the higher"
+        " printed ratio vs r10 comes from the 1x BASELINE dropping"
+        " (5.45 -> ~1.8 s: schema-cache + fewer fixed jobs amortize"
+        " hardest at the smallest factor), not from any 16x growth.",
         "\nd2 / d4 layout note (r10, closed r11): the main-table"
         " replicas write documents as ONE parquet file with one row"
         " group — ONE readable chunk no matter how Spark sizes byte"

@@ -418,3 +418,53 @@ def test_corpus_diff_statuses_match_python_reference(
         r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()
     }
     assert got == want
+
+
+def test_charclass_counts_translate_equals_regex(spark):
+    """r11 pin: raw_text_stats counts char classes via translate
+    (delete-the-class, diff the lengths) — must equal the
+    regexp_replace('[^...]') formulation EXACTLY on adversarial
+    inputs: unicode letters outside [a-zA-Z] (must NOT count),
+    digits embedded in words, empty and whitespace-only strings,
+    punctuation-only, and multi-byte codepoints (length() counts
+    chars, not bytes, identically in both forms)."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("",),
+        (" ",),
+        ("   ",),
+        ("abc XYZ 012",),
+        ("héllo wörld Ünicode",),  # accented letters are NOT a-zA-Z
+        ("漢字テスト 123",),
+        ("!!!...,,,;;;",),
+        ("a1b2c3 _-_ [brackets] (parens)",),
+        ("tok_63 tok_63 tok_63",),  # the salted-replica shape
+        ("ţŢǅǱ ǆǲ",),  # odd-case unicode
+        ("\tTAB\tand\nnewline\n",),  # \t \n are neither space nor alnum
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    t = F.col("text")
+    letters = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    pairs = {
+        "alpha": (
+            F.length(F.regexp_replace(t, "[^a-zA-Z]", "")),
+            F.length(t) - F.length(F.translate(t, letters, "")),
+        ),
+        "digit": (
+            F.length(F.regexp_replace(t, "[^0-9]", "")),
+            F.length(t) - F.length(F.translate(t, "0123456789", "")),
+        ),
+        "space": (
+            F.length(F.regexp_replace(t, "[^ ]", "")),
+            F.length(t) - F.length(F.translate(t, " ", "")),
+        ),
+    }
+    out = df.select(
+        "text",
+        *[e.alias(f"{k}_re") for k, (e, _) in pairs.items()],
+        *[e.alias(f"{k}_tr") for k, (_, e) in pairs.items()],
+    ).collect()
+    for r in out:
+        for k in pairs:
+            assert r[f"{k}_re"] == r[f"{k}_tr"], (r["text"], k)
