@@ -848,11 +848,16 @@ def sq_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark 4 SQL-defined scalar UDF (CREATE FUNCTION ... RETURN):
     # inlined by Catalyst into the plan — the battery's sql_udf family
     # calls it; the oracle carries the inlined formula (DuckDB macros
-    # can't ride a single oracle statement).
-    spark.sql(
-        "CREATE OR REPLACE TEMPORARY FUNCTION brand_margin(p DOUBLE)"
-        " RETURNS DOUBLE RETURN round(p * 0.1, 6)"
-    )
+    # can't ride a single oracle statement). Registered once per
+    # session: CREATE OR REPLACE on an existing temp function logs a
+    # replace WARN, which was the only warning in the bench tail (r11
+    # verdict #7) — the definition is a constant, so skipping the
+    # re-registration is behavior-identical.
+    if not spark.catalog.functionExists("brand_margin"):
+        spark.sql(
+            "CREATE OR REPLACE TEMPORARY FUNCTION brand_margin(p DOUBLE)"
+            " RETURNS DOUBLE RETURN round(p * 0.1, 6)"
+        )
     return spark.sql(
         """
         SELECT 'scalar_agg' AS pattern, p_partkey AS id, p_name AS label,

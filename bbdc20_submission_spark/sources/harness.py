@@ -28,8 +28,13 @@ HARNESS_TABLES = (
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
-# (path, mtime) -> inferred StructType; see load_table
-_SCHEMA_CACHE: dict[tuple[str, float], object] = {}
+# (path, mtime) -> (inferred StructType, _effective_splits result);
+# one footer walk + one inference job per distinct file version — see
+# load_table. The splits stats share the schema's key because they are
+# derived from the same footer bytes and invalidate together (r12: the
+# stats were recomputed per call on a cached key, O(files x row-groups)
+# of driver work per read).
+_META_CACHE: dict[tuple[str, float], tuple[object, tuple[int, int] | None]] = {}
 
 
 def _events_ts_is_nanos(path: str) -> bool:
@@ -157,14 +162,29 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     # noise surface) per table read for a schema that never changes.
     # First read infers and caches (keyed by path + mtime so a
     # regenerated table re-infers); later reads pass the schema
-    # explicitly — identical frame, one fewer job.
-    key = (path, os.path.getmtime(path))
-    schema = _SCHEMA_CACHE.get(key)
-    if schema is None:
+    # explicitly — identical frame, one fewer job. A path that isn't
+    # locally stat-able (s3://, hdfs://) skips the cache AND the
+    # footer-based re-split probe and falls back to the plain scan —
+    # the same remote-FS tolerance the adjacent footer helpers have
+    # (on a real cluster those layouts carry thousands of row groups
+    # and never need the re-split anyway).
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = None
+    if mtime is None:
         df = spark.read.parquet(path)
-        _SCHEMA_CACHE[key] = df.schema
+        stats = None
     else:
-        df = spark.read.schema(schema).parquet(path)
+        key = (path, mtime)
+        cached = _META_CACHE.get(key)
+        if cached is None:
+            df = spark.read.parquet(path)
+            stats = _effective_splits(path)
+            _META_CACHE[key] = (df.schema, stats)
+        else:
+            schema, stats = cached
+            df = spark.read.schema(schema).parquet(path)
     if name == "events":
         ts_dtype = dict(df.dtypes).get("ts")
         if ts_dtype == "bigint":
@@ -175,7 +195,6 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
             # so it must be UTC for oracle-identical instants.
             spark.conf.set("spark.sql.session.timeZone", "UTC")
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-    stats = _effective_splits(path)
     if stats is not None:
         str_bytes, chunks = stats
         cores = spark.sparkContext.defaultParallelism

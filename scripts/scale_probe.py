@@ -979,9 +979,9 @@ def main() -> None:
         " pre-shuffle narrow map (d2's scoring scan, d4's n-gram"
         " scorer) ran that stage on ONE core of 32 (d2 30.05 s vs"
         " 10.78 s on the same 16x volume staged as 32 files). r11"
-        " fixed this at the ENGINE level: load_table detects decoded-"
-        "bytes-per-chunk > 24 MB with chunks << cores from the parquet"
-        " footer and inserts an adaptive repartition"
+        " fixed this at the ENGINE level: load_table detects decoded"
+        " STRING bytes per chunk > 6 MB with chunks << cores from the"
+        " parquet footer and inserts an adaptive repartition"
         " (sources/harness.py), so the single-file main-table rows now"
         " measure the same parallel shape as the 32-file ladder —"
         " plus, r11 replaced the three regex char-class counts in"

@@ -574,8 +574,9 @@ def test_zorder_partition_sorted_input_still_prunes(spark, tmp_path):
 
 def test_load_table_resplits_heavy_single_chunk_input(spark, tmp_path):
     """r11: a table whose parquet layout offers one heavy chunk (one
-    row group, >24 MB decoded) must come back repartitioned to
-    defaultParallelism so narrow stages don't serialize on one core;
+    row group, >6 MB of decoded STRING bytes per chunk — the
+    _RESPLIT_STR_BYTES_PER_CHUNK trigger) must come back repartitioned
+    to defaultParallelism so narrow stages don't serialize on one core;
     a light single-chunk table (every certified SF) must pass through
     with its plan untouched."""
     import pyarrow as pa
@@ -608,13 +609,29 @@ def test_load_table_resplits_heavy_single_chunk_input(spark, tmp_path):
 
     light_dir = tmp_path / "light"
     light_dir.mkdir()
+    # repeated constant text: parquet dictionary encoding collapses the
+    # column, so the footer's post-encoding string bytes stay tiny —
+    # the dictionary-collapsed layout the trigger must NOT fire on
     small = pa.table(
         {
             "doc_id": pa.array(range(100), pa.int64()),
             "text": pa.array(["short text"] * 100),
         }
     )
-    pq.write_table(tbl.slice(0, 100), str(light_dir / "documents.parquet"))
-    del small
+    pq.write_table(small, str(light_dir / "documents.parquet"))
     light = load_table(spark, "documents", str(light_dir))
     assert "Exchange" not in light._jdf.queryExecution().executedPlan().toString()
+
+
+def test_load_table_tolerates_unstatable_path(spark, tmp_path):
+    """r12: a path that os.path.getmtime cannot stat (remote FS in
+    production; a deleted file here) must fall through to the plain
+    uncached spark.read.parquet — surfacing Spark's own error, not a
+    driver-side OSError from the metadata cache."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from bbdc20_submission_spark.sources.harness import load_table
+
+    with pytest.raises(AnalysisException):
+        load_table(spark, "documents", str(tmp_path / "nowhere"))
