@@ -64,16 +64,27 @@ def _apply_sub_buckets(
     bucket_cols: list[str],
     id_col: str,
     cap: int,
+    salt_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Attach the deterministic ``sub_bucket`` column derived from a
-    SHARED hot-bucket dim: the sub assignment hashes only the row id,
-    so two frames tagged against the same ``hot`` agree on every id —
-    what lets an asymmetric (index/probe) self-join sub-split both
-    sides consistently."""
+    SHARED hot-bucket dim: the sub assignment hashes the row id (plus
+    ``salt_cols``), so two frames tagged against the same ``hot``
+    agree on every id — what lets an asymmetric (index/probe)
+    self-join sub-split both sides consistently.
+
+    ``salt_cols`` (r12): extra hash inputs, typically the bucket key
+    itself. Unsalted, an id lands in the SAME sub in every band, so a
+    pair split apart in one band is split apart in all of them —
+    band-correlated recall loss. Salting by the bucket key makes each
+    band an independent trial, so a bounded multi-band scheme retains
+    ``1-(1-1/m)^k`` of pairs matching in k bands instead of ``1/m``."""
     sub = (
         F.when(
             F.col("_bn").isNotNull(),
-            F.pmod(F.xxhash64(id_col), F.ceil(F.col("_bn") / F.lit(cap)).cast("long")),
+            F.pmod(
+                F.xxhash64(id_col, *salt_cols),
+                F.ceil(F.col("_bn") / F.lit(cap)).cast("long"),
+            ),
         )
         .otherwise(F.lit(0))
         .cast("long")
@@ -81,6 +92,44 @@ def _apply_sub_buckets(
     return (
         frame.join(F.broadcast(hot), bucket_cols, "left")
         .withColumn("sub_bucket", sub)
+        .drop("_bn")
+    )
+
+
+def _multi_sub_buckets(
+    frame: DataFrame,
+    hot: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    cap: int,
+    rounds: int,
+    salt_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Probe-side middle path between one hash-assigned sub (recall
+    ~1/m per hot bucket) and full explosion into all m subs (exact,
+    O(n^2) when every bucket is hot): each probe row lands in up to
+    ``rounds`` round-salted sub-buckets, so a true pair meets the
+    index row's sub with probability ~``rounds/m`` per matching band
+    — while the index side stays <= cap rows per (bucket, sub) task
+    and total cost stays O(n * cap * rounds), never quadratic.
+    ``array_distinct`` collapses rounds that hash to the same sub, so
+    rows in NON-hot buckets (m=1) replicate exactly once and the
+    certified small-SF plans carry zero extra rows."""
+    m = F.when(
+        F.col("_bn").isNotNull(),
+        F.ceil(F.col("_bn") / F.lit(cap)).cast("long"),
+    ).otherwise(F.lit(1))
+    subs = F.array_distinct(
+        F.array(
+            *[
+                F.pmod(F.xxhash64(id_col, *salt_cols, F.lit(r)), m)
+                for r in range(rounds)
+            ]
+        )
+    )
+    return (
+        frame.join(F.broadcast(hot), bucket_cols, "left")
+        .withColumn("sub_bucket", F.explode(subs))
         .drop("_bn")
     )
 
@@ -741,6 +790,7 @@ def simhash_near_dups(
     shingle_k: int | None = None,
     exact_hot_buckets: bool | None = None,
     exact_pair_budget: int = 1_000_000_000,
+    bounded_probe_rounds: int = 4,
 ) -> DataFrame:
     """SimHash near-dup pairs with guaranteed recall via multi-index
     Hamming search (the HmSearch/multi-index-hashing family): split
@@ -764,9 +814,11 @@ def simhash_near_dups(
     avoided candidate pairs.
 
     Hot buckets are hash-split at ``bucket_cap`` members of the INDEX
-    side, sub-assigning BOTH sides by id hash against the shared hot
-    dim (same recall trade as _cap_buckets, bounding the join at
-    O(n * cap * (w+1))).
+    side against a shared hot dim; the probe side is exploded across
+    every sub (exact recall) or round-salt-sampled into a few (the
+    bounded plan) depending on ``exact_hot_buckets`` — see
+    ``hamming_near_pairs`` for the full plan menu and the automatic
+    budget guard.
 
     ``bands`` (legacy): force the equality-only banded scheme with
     that many slices; ``bands <= max_hamming`` raises, because that
@@ -793,6 +845,7 @@ def simhash_near_dups(
         bucket_cap=bucket_cap,
         exact_hot_buckets=exact_hot_buckets,
         exact_pair_budget=exact_pair_budget,
+        bounded_probe_rounds=bounded_probe_rounds,
     )
 
 
@@ -803,6 +856,7 @@ def hamming_near_pairs(
     bucket_cap: int = 1024,
     exact_hot_buckets: bool | None = None,
     exact_pair_budget: int = 1_000_000_000,
+    bounded_probe_rounds: int = 4,
 ) -> DataFrame:
     """All pairs of a ``[_id, _fp]`` fingerprint frame within the
     hamming budget — the candidate-join core of ``simhash_near_dups``
@@ -841,9 +895,26 @@ def hamming_near_pairs(
       INTO the quadratic region; no guard job runs). Incompatible
       with ``bands`` (the legacy branch sub-samples both sides and
       cannot honor exactness — it raises).
-    * ``False`` — always the bounded plan: keeps ~1/m of cross-sub
-      pairs per hot bucket, fine when downstream only needs cluster
-      CONNECTIVITY (e.g. media dedup), never quadratic.
+    * ``False`` — always the bounded plan, never quadratic (r12
+      form). Per hot bucket of m = ceil(n/cap) subs: the index side
+      hash-assigns each row to ONE sub (salted by the bucket key, so
+      the assignment is independent across bands), the probe side
+      lands in up to ``bounded_probe_rounds`` round-salted subs, and
+      consecutive subs are linked by hamming-VERIFIED chain edges
+      between their min/max-id members. Pair recall: a true pair
+      matching in k bands survives with ~``1-(1-rounds/m)^k`` (each
+      band an independent trial); family CONNECTIVITY (keep-one-per-
+      family clustering) is additionally repaired by the chain edges,
+      which — unlike the MinHash chain heuristic — are exact-distance
+      checked, so they add only true pairs. Cost O(n * cap * rounds).
+
+    ``bounded_probe_rounds``: probe-side sub assignments per row in
+    the bounded plan (ignored by the exact plan, which explodes the
+    probe into every sub). 1 reproduces the r11 single-assignment
+    behavior; the default 4 bounds the probe fanout at 4x (vs m-fold
+    for the exact plan) while lifting per-band retention from ~1/m
+    to ~4/m (measured recall at the 64x octave: SCALING.md,
+    d9_auto_guard row).
 
     ``exact_pair_budget``: auto-mode ceiling in pair evaluations.
     The default 1e9 is ~a few seconds of vectorized SWAR popcounts
@@ -952,33 +1023,52 @@ def hamming_near_pairs(
                     f"exceeds exact_pair_budget={exact_pair_budget:.0e}"
                     " — the corpus is past the multi-index "
                     "applicability window (n >~ bucket_cap * "
-                    "2^(64/s)); degrading to the bounded O(n*cap) "
-                    "sub-sampled plan (cluster connectivity preserved "
-                    "per sub, ~1/m of cross-sub pairs kept per hot "
-                    "bucket). Pass exact_hot_buckets=True to opt into "
-                    "the quadratic exact plan, or switch to the "
-                    "MinHash-LSH family (minhash_lsh_candidates) for "
-                    "scale-free bucket entropy.",
+                    "2^(64/s)); degrading to the bounded "
+                    "O(n*cap*rounds) sub-sampled plan (family "
+                    "connectivity preserved via hamming-verified "
+                    "chain edges across sub-buckets; pair recall "
+                    f"~1-(1-{bounded_probe_rounds}/m)^k over k "
+                    "matching bands). Pass exact_hot_buckets=True to "
+                    "opt into the quadratic exact plan, raise "
+                    "bounded_probe_rounds for more recall at linear "
+                    "cost, or switch to the MinHash-LSH family "
+                    "(minhash_lsh_candidates) for scale-free bucket "
+                    "entropy.",
                     UserWarning,
                     stacklevel=2,
                 )
         else:
             use_exact = exact_hot_buckets
-        # index side: hash-assigned subs (<= cap rows per task); probe
-        # side: EXPLODED into every sub of a hot bucket — hash-assigning
+        # index side: hash-assigned subs (<= cap rows per task), salted
+        # by the bucket key so the assignment is INDEPENDENT per band —
+        # unsalted, a pair split apart in one band was split apart in
+        # every band (r11 behavior). Probe side: exact plan EXPLODES
+        # into every sub of a hot bucket (recall 1 — hash-assigning
         # both sides would only compare pairs whose id hashes collide
-        # mod m, which loses recall corpus-wide once the narrow block
-        # keys (64/s bits) make every bucket hot (see
-        # _explode_sub_buckets). At the certified SFs no bucket is hot,
-        # so both plans are identical there.
+        # mod m, see _explode_sub_buckets); bounded plan assigns each
+        # probe row to up to bounded_probe_rounds round-salted subs
+        # (recall ~rounds/m per matching band, cost linear in rounds).
+        # At the certified SFs no bucket is hot, so all plans are
+        # identical there.
+        if bounded_probe_rounds < 1:
+            raise ValueError(
+                f"bounded_probe_rounds={bounded_probe_rounds} must be >= 1"
+            )
+        salt = ("band", "slice")
         left = _apply_sub_buckets(
-            index, hot, ["band", "slice"], "_id", bucket_cap
+            index, hot, ["band", "slice"], "_id", bucket_cap, salt_cols=salt
         ).withColumn("_side", F.lit(0))
         right = (
             _explode_sub_buckets(probe, hot, ["band", "slice"], bucket_cap)
             if use_exact
-            else _apply_sub_buckets(
-                probe, hot, ["band", "slice"], "_id", bucket_cap
+            else _multi_sub_buckets(
+                probe,
+                hot,
+                ["band", "slice"],
+                "_id",
+                bucket_cap,
+                bounded_probe_rounds,
+                salt_cols=salt,
             )
         ).withColumn("_side", F.lit(1))
         # Per-bucket pair generation runs as a numpy XOR+popcount
@@ -1065,18 +1155,83 @@ def hamming_near_pairs(
                     }
                 )
 
-        return (
-            left.unionByName(right)
-            .repartition("band", "slice", "sub_bucket")
-            .mapInPandas(
-                _partition_pairs,
-                schema=f"id_a {id_type}, id_b {id_type}, hamming int",
-            )
-            # the kernel already filtered hamming <= budget and
-            # id_a < id_b; distinct collapses the per-band duplicate
-            # emissions, shuffling only survivors
-            .distinct()
+        pairs = left.unionByName(right).repartition(
+            "band", "slice", "sub_bucket"
+        ).mapInPandas(
+            _partition_pairs,
+            schema=f"id_a {id_type}, id_b {id_type}, hamming int",
         )
+        if not use_exact:
+            # Chain edges across a hot bucket's subs (r12, mirroring
+            # minhash_lsh_candidates): sub-splitting alone leaves a
+            # capped dup family's subs as disconnected components —
+            # downstream keep-one-per-family clustering would keep
+            # ~m representatives of one family. Link consecutive subs
+            # through their min/max-id members' rep pairs, but —
+            # unlike the MinHash path, where chain edges are a
+            # heuristic riding a later jaccard verify — check the
+            # EXACT hamming distance here (the fingerprints are in
+            # hand), so only true within-budget pairs are emitted and
+            # the output contract (every row within max_hamming) is
+            # preserved. A mixed hot bucket whose consecutive-sub reps
+            # are all collision docs can still split a family (same
+            # residual caveat as MinHash); the probe rounds' ~rounds/m
+            # cross-sub sampling is the second, independent repair.
+            # On a corpus inside the applicability window the hot dim
+            # is empty and every chain stage is a no-op over zero rows.
+            from pyspark.sql import Window
+
+            reps = (
+                left.join(
+                    F.broadcast(hot.select("band", "slice")),
+                    ["band", "slice"],
+                )
+                .groupBy("band", "slice", "sub_bucket")
+                .agg(
+                    F.min(F.struct("_id", "_fp")).alias("_lo"),
+                    F.max(F.struct("_id", "_fp")).alias("_hi"),
+                )
+            )
+            w = Window.partitionBy("band", "slice").orderBy("sub_bucket")
+            chain = (
+                reps.withColumn("_plo", F.lag("_lo").over(w))
+                .withColumn("_phi", F.lag("_hi").over(w))
+                .filter(F.col("_plo").isNotNull())
+                .select(
+                    F.explode(
+                        F.array(
+                            F.struct(
+                                F.col("_plo").alias("x"), F.col("_lo").alias("y")
+                            ),
+                            F.struct(
+                                F.col("_plo").alias("x"), F.col("_hi").alias("y")
+                            ),
+                            F.struct(
+                                F.col("_phi").alias("x"), F.col("_lo").alias("y")
+                            ),
+                            F.struct(
+                                F.col("_phi").alias("x"), F.col("_hi").alias("y")
+                            ),
+                        )
+                    ).alias("_e")
+                )
+                .select(
+                    F.least("_e.x._id", "_e.y._id").alias("id_a"),
+                    F.greatest("_e.x._id", "_e.y._id").alias("id_b"),
+                    hamming64(F.col("_e.x._fp"), F.col("_e.y._fp"))
+                    .cast("int")
+                    .alias("hamming"),
+                )
+                .filter(
+                    (F.col("id_a") != F.col("id_b"))
+                    & (F.col("hamming") <= thr)
+                )
+            )
+            pairs = pairs.unionByName(chain)
+        # the kernel already filtered hamming <= budget and
+        # id_a < id_b; distinct collapses the per-band duplicate
+        # emissions, shuffling only survivors
+        return pairs.distinct()
 
     return (
         joined.filter(F.col("id_a") < F.col("id_b"))

@@ -217,6 +217,7 @@ def media_near_dups(
     bucket_cap: int = 1024,
     exact_hot_buckets: bool | None = False,
     exact_pair_budget: int = 1_000_000_000,
+    bounded_probe_rounds: int = 4,
 ) -> DataFrame:
     """Near-duplicate media detection: perceptual dHash, then the
     multi-index Hamming candidate join (pigeonhole recall 1 over the
@@ -229,12 +230,16 @@ def media_near_dups(
 
     ``exact_hot_buckets`` defaults to ``False`` here (unlike the text
     path): media dedup consumes these pairs for cluster CONNECTIVITY
-    (keep one blob per near-dup family), which the bounded O(n*cap)
-    sub-sampled plan preserves — and perceptual hashes are the case
-    where hot buckets arise from genuine mass duplication (re-encoded
-    copies of one asset) or, with ``taps < 65``, from zero high bits
-    making the high band slices universal. Pass ``True`` only when
-    every individual pair matters and the corpus is inside the
+    (keep one blob per near-dup family), and the bounded plan (r12)
+    preserves that through hamming-VERIFIED chain edges linking each
+    hot bucket's consecutive sub-buckets, plus ~rounds/m cross-sub
+    pair sampling per band (``hamming_near_pairs``,
+    ``bounded_probe_rounds``) — perceptual hashes are exactly the
+    case where hot buckets arise from genuine mass duplication
+    (re-encoded copies of one asset) or, with ``taps < 65``, from
+    zero high bits making the high band slices universal, so the
+    never-quadratic plan is the right default. Pass ``True`` only
+    when every individual pair matters and the corpus is inside the
     multi-index applicability window (see ``hamming_near_pairs``), or
     ``None`` for the budget-guarded auto mode."""
     from bbdc20_submission_spark.caching import managed_persist
@@ -247,4 +252,5 @@ def media_near_dups(
         bucket_cap=bucket_cap,
         exact_hot_buckets=exact_hot_buckets,
         exact_pair_budget=exact_pair_budget,
+        bounded_probe_rounds=bounded_probe_rounds,
     )

@@ -937,6 +937,88 @@ def test_hamming_legacy_bands_rejects_exactness_claim(spark):
     )
 
 
+def test_hamming_bounded_plan_connects_capped_family(spark):
+    """r12 (ADVICE): the bounded hamming plan (exact_hot_buckets=False,
+    media_near_dups' default) must keep a hot-bucket dup family ONE
+    connected component across its sub-buckets — the r11 form dropped
+    every cross-sub edge (sub assignment hashed the id identically in
+    every band), splitting an n-member family into ceil(n/cap)
+    components so downstream keep-one-per-family clustering kept
+    ~n/cap representatives. The chain edges are hamming-verified, so
+    the output contract (every row within budget) must also hold."""
+    from bbdc20_submission_spark.operators.dedup import hamming_near_pairs
+
+    n_fam = 200
+    # one mass-duplication family: identical fingerprints (the
+    # re-encoded-asset case media dedup exists for) ...
+    rows = [(i, 0x0123456789ABCDEF) for i in range(n_fam)]
+    # ... plus unrelated far-away docs: 10 one-bits at disjoint
+    # positions pairwise => mutual hamming 20 and >= 10 from the family
+    fam_fp = 0x0123456789ABCDEF
+    far_ids = []
+    for k in range(3):
+        v = 0
+        for j in range(10):
+            v |= 1 << ((k * 10 + j) % 60)
+        v ^= fam_fp
+        far_ids.append(1000 + k)
+        rows.append((1000 + k, v - (1 << 64) if v >= (1 << 63) else v))
+    df = spark.createDataFrame(rows, "_id long, _fp long")
+    out = hamming_near_pairs(
+        df, max_hamming=4, bucket_cap=8, exact_hot_buckets=False
+    ).collect()
+    assert all(r["hamming"] <= 4 for r in out)
+    pairs = [(r["id_a"], r["id_b"]) for r in out]
+    # far docs never pair (distance >= 10 from everything)
+    assert all(a < n_fam and b < n_fam for a, b in pairs), sorted(
+        p for p in pairs if p[0] >= n_fam or p[1] >= n_fam
+    )[:5]
+    parent = list(range(n_fam))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    assert len({find(i) for i in range(n_fam)}) == 1, (
+        "family split into components under the bounded plan"
+    )
+
+
+def test_hamming_bounded_probe_rounds_lift_recall(spark):
+    """r12: on the hot guard corpus, the bounded plan's pair recall
+    must (a) never emit anything outside the brute-force truth, and
+    (b) be lifted by more probe rounds — rounds=4 (default) recovers
+    a superset-or-equal, strictly larger here, pair set than
+    rounds=1."""
+    from bbdc20_submission_spark.operators.dedup import hamming_near_pairs
+
+    df, truth, budget = _hot_corpus_for_guard(spark)
+
+    def bounded(rounds):
+        return {
+            (r["id_a"], r["id_b"])
+            for r in hamming_near_pairs(
+                df,
+                max_hamming=budget,
+                bucket_cap=8,
+                exact_hot_buckets=False,
+                bounded_probe_rounds=rounds,
+            ).collect()
+        }
+
+    r1, r4 = bounded(1), bounded(4)
+    assert r1 <= truth and r4 <= truth
+    # rounds=1 probes with salt 0 only, a subset of rounds=4's salts
+    # 0..3, so its pair set is contained by construction — and the
+    # extra rounds must actually recover pairs on this all-hot corpus
+    assert r1 <= r4
+    assert len(r4) > len(r1), (len(r1), len(r4), len(truth))
+
+
 def test_chain_edges_survive_mixed_hot_bucket(spark):
     """r11 (ADVICE): a hot LSH bucket that MIXES a genuine dup family
     with band-signature-collision docs (high shingle overlap, below
