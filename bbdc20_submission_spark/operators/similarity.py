@@ -253,6 +253,8 @@ def embedding_near_dups(
     n_planes: int = 12,
     dim: int = 64,
     n_bands: int = 1,
+    bucket_cap: int = 1024,
+    bounded_probe_rounds: int = 4,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via banded LSH bucket
     self-join + exact verify — the embedding-space analog of MinHash
@@ -267,7 +269,32 @@ def embedding_near_dups(
     precision at 1 regardless. The join stays a (band, signature) hash
     equi-join — no cross product at any scale; band duplicates are
     collapsed by the final distinct on the narrow (id, id, sim)
-    projection, so vectors are never shuffled twice."""
+    projection, so vectors are never shuffled twice.
+
+    ``bucket_cap`` (r12): the signature space is only ``2^n_planes``
+    buckets per band, so bucket occupancy — and with it the self-join
+    candidate volume, ~``n^2 * n_bands / 2^n_planes`` — grows with the
+    corpus no matter how clean the data is; a mass-duplicated family
+    concentrates it further. Buckets past the cap are sub-split with
+    the same bounded machinery as the text/hamming dedup paths: one
+    bucket-salted sub per row on the index side, up to
+    ``bounded_probe_rounds`` round-salted subs on the probe side
+    (pair retention ~``1-(1-rounds/m)^k`` over k shared bands), plus
+    COSINE-VERIFIED chain edges linking consecutive subs' min/max-id
+    members so a capped dup family stays one connected component. At
+    the certified SFs every bucket is far below the cap (sf0.1: ~8
+    members vs 1024), so the plan and output are unchanged there. The
+    structural fix for occupancy growth on CLEAN corpora is more
+    planes (selectivity doubles per plane; keep
+    ``n_planes ~ log2(n / target_occupancy)``) with more bands to
+    hold recall — the cap is the safety bound for the skewed tail,
+    not a substitute for sizing the signature."""
+    from bbdc20_submission_spark.operators.dedup import (
+        _apply_sub_buckets,
+        _hot_buckets,
+        _multi_sub_buckets,
+    )
+
     sigs = F.array(
         *[
             lsh_bucket_signature(vec_col, dim, n_planes, seed=7 + b)
@@ -286,22 +313,77 @@ def embedding_near_dups(
             F.posexplode(sigs).alias("_band", "_sig"),
         )
     )
-    a = tagged.select(
-        F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "_band", "_sig"
+    cols = ["_band", "_sig"]
+    hot = _hot_buckets(tagged, cols, bucket_cap)
+    idx = _apply_sub_buckets(
+        tagged, hot, cols, "_id", bucket_cap, salt_cols=("_band", "_sig")
     )
-    b = tagged.select(
-        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "_band", "_sig"
+    prb = _multi_sub_buckets(
+        tagged,
+        hot,
+        cols,
+        "_id",
+        bucket_cap,
+        bounded_probe_rounds,
+        salt_cols=("_band", "_sig"),
     )
-    return (
-        a.join(b, ["_band", "_sig"])
+    a = idx.select(
+        F.col("_id").alias("id_a"),
+        F.col("_v").alias("_va"),
+        *cols,
+        "sub_bucket",
+    )
+    b = prb.select(
+        F.col("_id").alias("id_b"),
+        F.col("_v").alias("_vb"),
+        *cols,
+        "sub_bucket",
+    )
+    pairs = (
+        a.join(b, [*cols, "sub_bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("_sim", cosine(F.col("_va"), F.col("_vb")))
         # filter on the UNROUNDED cosine (matches a `WHERE cos >= t`
         # oracle at the threshold boundary), round only for output
         .filter(F.col("_sim") >= threshold)
         .select("id_a", "id_b", F.round("_sim", 6).alias("cosine_sim"))
-        .distinct()
     )
+    # chain edges across a hot bucket's subs (empty dim -> no-op; see
+    # hamming_near_pairs for the scheme) — verified at the SAME cosine
+    # threshold, so only true pairs are added and the output contract
+    # holds
+    reps = (
+        idx.join(F.broadcast(hot.select(*cols)), cols)
+        .groupBy(*cols, "sub_bucket")
+        .agg(
+            F.min(F.struct("_id", "_v")).alias("_lo"),
+            F.max(F.struct("_id", "_v")).alias("_hi"),
+        )
+    )
+    w = Window.partitionBy(*cols).orderBy("sub_bucket")
+    chain = (
+        reps.withColumn("_plo", F.lag("_lo").over(w))
+        .withColumn("_phi", F.lag("_hi").over(w))
+        .filter(F.col("_plo").isNotNull())
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("_plo").alias("x"), F.col("_lo").alias("y")),
+                    F.struct(F.col("_plo").alias("x"), F.col("_hi").alias("y")),
+                    F.struct(F.col("_phi").alias("x"), F.col("_lo").alias("y")),
+                    F.struct(F.col("_phi").alias("x"), F.col("_hi").alias("y")),
+                )
+            ).alias("_e")
+        )
+        .select(
+            F.least("_e.x._id", "_e.y._id").alias("id_a"),
+            F.greatest("_e.x._id", "_e.y._id").alias("id_b"),
+            cosine(F.col("_e.x._v"), F.col("_e.y._v")).alias("_sim"),
+        )
+        .filter((F.col("id_a") != F.col("id_b")) & (F.col("_sim") >= threshold))
+        .select("id_a", "id_b", F.round("_sim", 6).alias("cosine_sim"))
+    )
+    return pairs.unionByName(chain).distinct()
 
 
 def random_projection(

@@ -98,6 +98,46 @@ def test_embedding_near_dups_planted(spark):
     assert recall >= 0.7, f"near-dup recall {recall}"
 
 
+def test_embedding_near_dups_capped_family_bounded_and_connected(spark):
+    """r12: a mass-duplicated embedding family far above bucket_cap
+    must (a) not regenerate the quadratic within-bucket self-join —
+    emitted pair count stays well under C(n,2) — (b) remain ONE
+    connected component via the cosine-verified chain edges, and
+    (c) emit only true pairs (>= threshold), so far-away vectors
+    never appear."""
+    rng = random.Random(9)
+    fam_v = [float(x) for x in [rng.gauss(0, 1) for _ in range(DIM)]]
+    n_fam = 600
+    rows = [(i, fam_v, 0) for i in range(n_fam)]
+    # unrelated far vectors: i.i.d. gaussians, cosine to anything ~0
+    for k in range(20):
+        rows.append(
+            (5000 + k, [float(rng.gauss(0, 1)) for _ in range(DIM)], 1)
+        )
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = embedding_near_dups(
+        df, threshold=0.98, n_planes=6, dim=DIM, n_bands=2, bucket_cap=16
+    ).collect()
+    pairs = [(r["id_a"], r["id_b"]) for r in out]
+    assert all(a < n_fam and b < n_fam for a, b in pairs)
+    # bounded: the quadratic family join would emit C(600,2) = 179,700
+    # pairs; the capped plan keeps ~(rounds+1)/m of them plus chains
+    assert 0 < len(pairs) < 0.35 * (n_fam * (n_fam - 1) / 2), len(pairs)
+    parent = list(range(n_fam))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    assert len({find(i) for i in range(n_fam)}) == 1
+
+
 def test_ivf_topk_recall(spark):
     from bbdc20_submission_spark.operators.clustering import ivf_topk
 
