@@ -732,6 +732,8 @@ def main() -> None:
 
     if "refine" in SECTIONS:
         for f in REFINE_FACTORS:
+            if not _want("semantic_dedup_refine_k16"):
+                continue
             d = replicate_embeddings(spark, f)
             spark.read.parquet(os.path.join(d, "embeddings.parquet")).count()
             t = _measure(lambda: _sem_refine(spark, d))
@@ -1215,7 +1217,8 @@ def main() -> None:
         " AUTOMATIC: hamming_near_pairs defaults to exact_hot_buckets="
         "None, which estimates the hot candidate volume from the"
         " hot-bucket dim (one broadcast-sized agg) and degrades to the"
-        " bounded O(n*cap) plan with a warning past ~1e9 pair evals —"
+        " bounded O(n*cap*rounds) plan with a warning past ~1e9 pair"
+        " evals —"
         " the d9_auto_guard row above is that default's wall on this"
         " ladder (identical to d9 at 1x/16x where no bucket is hot;"
         " bounded at 64x). Auto-guard verified pairs found per factor: "

@@ -81,6 +81,61 @@ def test_media_near_dups_finds_perturbed_copies(spark):
         assert pair in out and out[pair] <= 8, (pair, out.get(pair))
 
 
+def test_media_near_dups_forced_hot_bounded_and_connected(spark):
+    """r12 (VERDICT #4): at a FORCED-HOT configuration — one asset
+    mass-duplicated far past bucket_cap, media_near_dups' bounded
+    default — the emitted pair count must stay well under the
+    quadratic C(n,2) while the dup family stays ONE connected
+    component (the keep-one-blob-per-family contract), and far-away
+    blobs never pair in."""
+    from bbdc20_submission_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        media_near_dups,
+    )
+
+    # m = ceil(600/8) = 75 subs per hot bucket: expected kept fraction
+    # ~1-(1-4/75)^3 ~ 15% of C(n,2) (4 probe rounds, 3 independent
+    # band trials) plus chain edges — the 35% bound has >2x margin
+    # while the quadratic plan would emit 100%
+    n_fam = 600
+    asset = bytes(((j * 37) % 256) for j in range(96))
+    rows = [
+        (i, "image", "image/png", 64, 48, None, asset) for i in range(n_fam)
+    ]
+    for k in range(5):
+        # unrelated blobs: different byte patterns -> distant dHash
+        other = bytes(((j * (41 + 8 * k) + k) % 256) for j in range(96))
+        rows.append((9000 + k, "image", "image/png", 64, 48, None, other))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = media_near_dups(media, max_hamming=4, bucket_cap=8).collect()
+    pairs = [(r["id_a"], r["id_b"]) for r in out]
+    # ground truth from the fingerprints themselves: every emitted
+    # pair must be within budget (no sampling artifact ever
+    # fabricates a pair)
+    from bbdc20_submission_spark.operators.multimodal import (
+        perceptual_hash,
+    )
+
+    fps = {r["_id"]: r["_fp"] & ((1 << 64) - 1)
+           for r in perceptual_hash(media).collect()}
+    assert pairs and all(
+        bin(fps[a] ^ fps[b]).count("1") <= 4 for a, b in pairs
+    )
+    assert len(pairs) < 0.35 * (n_fam * (n_fam - 1) / 2), len(pairs)
+    pairs = [(a, b) for a, b in pairs if a < n_fam and b < n_fam]
+    parent = list(range(n_fam))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    assert len({find(i) for i in range(n_fam)}) == 1
+
+
 def test_perceptual_hash_taps_variants(spark):
     """taps controls bit width: taps points -> taps-1 bits (r5 advice:
     non-65 taps used to raise a numpy shape mismatch or silently
