@@ -26,6 +26,7 @@ def _cap_buckets(
     bucket_cols: list[str],
     id_col: str,
     cap: int,
+    salt_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Bound LSH bucket self-join fanout: buckets above ``cap`` members
     are split into ceil(n/cap) deterministic sub-buckets (hash of the
@@ -43,9 +44,16 @@ def _cap_buckets(
     Implemented as a partial-aggregated bucket count filtered to the
     over-cap buckets and broadcast back — on a healthy corpus that dim
     is empty, so the hot path costs one broadcast of nothing instead
-    of a per-row window sort."""
+    of a per-row window sort.
+
+    ``salt_cols``: forwarded to :func:`_apply_sub_buckets` — pass the
+    bucket key on MULTI-band schemes so each band samples pairs
+    independently (r12); single-band callers (cell pruning on
+    ``cluster``) gain nothing from it and stay unsalted."""
     hot = _hot_buckets(banded, bucket_cols, cap)
-    return _apply_sub_buckets(banded, hot, bucket_cols, id_col, cap)
+    return _apply_sub_buckets(
+        banded, hot, bucket_cols, id_col, cap, salt_cols=salt_cols
+    )
 
 
 def _hot_buckets(frame: DataFrame, bucket_cols: list[str], cap: int) -> DataFrame:
@@ -437,7 +445,15 @@ def minhash_lsh_candidates(
         ).alias("bb"),
     ).select("_id", "bb.band", "bb.bucket")
     hot = _hot_buckets(banded, ["band", "bucket"], bucket_cap)
-    banded = _apply_sub_buckets(banded, hot, ["band", "bucket"], "_id", bucket_cap)
+    # r12: bucket-salted assignment — without the salt an id lands in
+    # the same sub in every band, so a pair split apart in one band is
+    # split apart in all of them; salting makes each band an
+    # independent ~1/m trial (retention 1-(1-1/m)^k over k shared
+    # bands). No-op when the hot dim is empty (every certified SF).
+    banded = _apply_sub_buckets(
+        banded, hot, ["band", "bucket"], "_id", bucket_cap,
+        salt_cols=("band", "bucket"),
+    )
     left = banded.withColumnRenamed("_id", "id_a")
     right = banded.withColumnRenamed("_id", "id_b")
     pairs = (
@@ -955,7 +971,10 @@ def hamming_near_pairs(
                 )
             ).alias("bb"),
         ).select("_id", "_fp", "bb.band", "bb.slice")
-        banded = _cap_buckets(banded, ["band", "slice"], "_id", bucket_cap)
+        banded = _cap_buckets(
+            banded, ["band", "slice"], "_id", bucket_cap,
+            salt_cols=("band", "slice"),
+        )
         left = banded.select(
             F.col("_id").alias("id_a"), F.col("_fp").alias("fp_a"),
             "band", "slice", "sub_bucket",

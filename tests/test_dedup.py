@@ -74,14 +74,26 @@ def test_simhash_bands_guard(spark):
 
 def test_hot_bucket_cap_bounds_pair_count(spark):
     """A degenerate corpus (every doc identical) must not go quadratic:
-    with bucket_cap=c the candidate count is O(n*c), not O(n^2)."""
+    with bucket_cap=c and b bands the candidate count is O(n*c*b),
+    not O(n^2). (r12: the sub assignment is salted per band, so each
+    band samples an INDEPENDENT ~1/m of the family's pairs — the
+    distinct union across bands is ~b/m of all pairs, where the
+    unsalted form's bands all re-sampled the SAME 1/m. Per-band join
+    cost is unchanged; the bound scales with bands.)"""
     n, cap = 2000, 64
     rows = [(i, "the same boilerplate text repeated verbatim " * 8) for i in range(n)]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
-    cands = minhash_lsh_candidates(docs, num_hashes=16, bands=4, bucket_cap=cap)
+    bands = 4
+    cands = minhash_lsh_candidates(
+        docs, num_hashes=16, bands=bands, bucket_cap=cap
+    )
     pairs = [(r["id_a"], r["id_b"]) for r in cands.collect()]
     n_pairs = len(pairs)
-    assert 0 < n_pairs <= n * cap, f"{n_pairs} pairs for n={n}, cap={cap}"
+    quadratic = n * (n - 1) / 2
+    assert 0 < n_pairs <= n * cap * bands, (
+        f"{n_pairs} pairs for n={n}, cap={cap}, bands={bands}"
+    )
+    assert n_pairs < 0.2 * quadratic, (n_pairs, quadratic)
     # every doc still lands in some pair (clustering stays connected
     # enough to mark all copies as duplicates of something)
     ids = {i for p in pairs for i in p}
@@ -935,6 +947,73 @@ def test_hamming_legacy_bands_rejects_exactness_claim(spark):
         ).count()
         > 0
     )
+
+
+def test_sub_bucket_helpers_semantics(spark):
+    """r12: direct pins on the bounded-plan primitives — (a) rows in
+    NON-hot buckets get exactly one sub (0 for the single-assignment
+    form, a single row for the multi-round form), so certified-SF
+    plans carry zero extra rows; (b) hot-bucket subs stay inside
+    [0, ceil(n/cap)); (c) the salted single assignment agrees between
+    two frames tagged against the same hot dim (the index/probe
+    consistency the self-join relies on); (d) salting by the bucket
+    key decorrelates a hot id's sub across bands."""
+    from bbdc20_submission_spark.operators.dedup import (
+        _apply_sub_buckets,
+        _hot_buckets,
+        _multi_sub_buckets,
+    )
+
+    rows = [(i, 0 if i < 100 else 1 + i % 6) for i in range(130)]
+    frame = spark.createDataFrame(rows, "_id long, bucket long")
+    banded = frame.select("_id", "bucket").withColumn(
+        "band", F.explode(F.array(F.lit(0), F.lit(1)))
+    )
+    hot = _hot_buckets(banded, ["band", "bucket"], 8)
+    assert {(r["band"], r["bucket"]) for r in hot.collect()} == {
+        (0, 0), (1, 0)
+    }
+    m = -(-100 // 8)  # ceil
+    one = _apply_sub_buckets(
+        banded, hot, ["band", "bucket"], "_id", 8, salt_cols=("band", "bucket")
+    ).collect()
+    for r in one:
+        if r["bucket"] == 0:
+            assert 0 <= r["sub_bucket"] < m
+        else:
+            assert r["sub_bucket"] == 0
+    # (c) deterministic across frames
+    two = _apply_sub_buckets(
+        banded, hot, ["band", "bucket"], "_id", 8, salt_cols=("band", "bucket")
+    ).collect()
+    assert {(r["_id"], r["band"], r["sub_bucket"]) for r in one} == {
+        (r["_id"], r["band"], r["sub_bucket"]) for r in two
+    }
+    # (d) the same hot id maps to DIFFERENT subs in at least one band
+    # pair for some id (probability of full agreement across 100 ids
+    # and 2 bands is ~(1/m)^... astronomically small)
+    per_id = {}
+    for r in one:
+        if r["bucket"] == 0:
+            per_id.setdefault(r["_id"], []).append(r["sub_bucket"])
+    assert any(len(set(v)) > 1 for v in per_id.values())
+    multi = _multi_sub_buckets(
+        banded, hot, ["band", "bucket"], "_id", 8, 4,
+        salt_cols=("band", "bucket"),
+    ).collect()
+    cold = [r for r in multi if r["bucket"] != 0]
+    assert len(cold) == sum(1 for r in banded.collect() if r["bucket"] != 0)
+    assert all(r["sub_bucket"] == 0 for r in cold)
+    hot_subs = {}
+    for r in multi:
+        if r["bucket"] == 0:
+            assert 0 <= r["sub_bucket"] < m
+            hot_subs.setdefault((r["_id"], r["band"]), set()).add(
+                r["sub_bucket"]
+            )
+    # up to 4 distinct subs per (id, band); at least 2 for most
+    assert all(1 <= len(s) <= 4 for s in hot_subs.values())
+    assert sum(len(s) for s in hot_subs.values()) > 1.5 * len(hot_subs)
 
 
 def test_hamming_bounded_plan_connects_capped_family(spark):

@@ -119,11 +119,17 @@ def test_d12_small_regime_plan_is_broadcast_label_join(spark, sf_dir):
 
 def test_s3_candidates_are_equi_join_no_cross_product(spark, sf_dir):
     """Banded sign-LSH self-join must be a hash equi-join on
-    (band, signature) — never a cartesian/BNLJ."""
+    (band, signature) — never a cartesian/BNLJ. r12: the hot-bucket
+    cap joins a broadcast-sized dim onto both sides — that dim (and
+    the chain-edge rep agg) must ride BroadcastHashJoins only, never
+    demote the vector frame into an extra SortMergeJoin."""
     df = registry.QUERIES["s3_embedding_near_dups"](spark, sf_dir)
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # exactly ONE SortMergeJoin: the (band, sig, sub) candidate
+    # self-join. The hot dim attaches via broadcast on both sides.
+    assert plan.count("SortMergeJoin") <= 1, plan
 
 
 def test_simhash_hamming_filter_precedes_distinct(spark, sf_dir):
