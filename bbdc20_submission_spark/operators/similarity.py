@@ -53,12 +53,24 @@ def cosine_topk_bruteforce(
 
     queries is broadcast (small by contract); the corpus is scanned
     once; rank ties break on corpus id (deterministic).
-    Output: [query_id, match_id, cosine_sim, rank]."""
+    Output: [query_id, match_id, cosine_sim, rank].
+
+    Norms are computed ONCE per row in each side's projection instead
+    of inline per pair (r12): the inline form re-evaluated both
+    l2_norm higher-order folds for every (query, corpus) pair — 3 HOF
+    aggregates per pair where only the dot product actually varies.
+    Bit-identical (same fold over the same values in the same order,
+    then the same _qn * _cn product) — the oracle-certified families
+    pin that."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("match_id"), F.col(vec_col).alias("_cv")
+        F.col(id_col).alias("match_id"),
+        F.col(vec_col).alias("_cv"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -66,7 +78,10 @@ def cosine_topk_bruteforce(
         .select(
             "query_id",
             "match_id",
-            cosine(F.col("_qv"), F.col("_cv")).alias("_sim"),
+            (
+                dot(F.col("_qv"), F.col("_cv"))
+                / (F.col("_qn") * F.col("_cn"))
+            ).alias("_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -306,10 +321,16 @@ def embedding_near_dups(
     # narrow stage, and BOTH self-join sides read this frame — without
     # the persist they are computed twice. Leftover blocks are cleared
     # by the registry wrapper at the next query build.
+    # the norm rides the persisted frame (r12): the exact-cosine
+    # verify then pays one dot product per candidate pair instead of
+    # re-folding both norms pair-by-pair — bit-identical arithmetic
+    # (same fold per vector, same product), certified by the s3
+    # oracle
     tagged = managed_persist(
         df.select(
             F.col(id_col).alias("_id"),
             F.col(vec_col).alias("_v"),
+            l2_norm(F.col(vec_col)).alias("_n"),
             F.posexplode(sigs).alias("_band", "_sig"),
         )
     )
@@ -330,19 +351,24 @@ def embedding_near_dups(
     a = idx.select(
         F.col("_id").alias("id_a"),
         F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
         *cols,
         "sub_bucket",
     )
     b = prb.select(
         F.col("_id").alias("id_b"),
         F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
         *cols,
         "sub_bucket",
     )
     pairs = (
         a.join(b, [*cols, "sub_bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("_sim", cosine(F.col("_va"), F.col("_vb")))
+        .withColumn(
+            "_sim",
+            dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
+        )
         # filter on the UNROUNDED cosine (matches a `WHERE cos >= t`
         # oracle at the threshold boundary), round only for output
         .filter(F.col("_sim") >= threshold)

@@ -1280,7 +1280,6 @@ def s_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       string-cast double literals — bare decimals double-round through
       DECIMAL) and the projected-space ranking with them."""
     from bbdc20_submission_spark.operators.similarity import (
-        dequantize_cosine,
         quantize_embeddings,
         random_projection,
     )
@@ -1297,24 +1296,62 @@ def s_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         proj, proj.filter(F.col("vec_id") < 5), k=3, vec_col="emb_rp"
     )
 
-    qz = quantize_embeddings(em)
+    # r12: Spark evaluates higher-order array functions INTERPRETED,
+    # per element — measured ~2 us per lambda eval — so the number of
+    # HOF passes, not the arithmetic, is the cost. The generic
+    # dequantize_cosine form paid ~8 passes per PAIR (two cast
+    # transforms + zip_with + two norm transforms + three folds):
+    # 71.7 s of the suite's 83 s at the 64x probe. Here: the norm is
+    # ONE fold per ROW over the int8 array (cast inside the lambda —
+    # the same x^2 products and left-fold adds l2_norm(cast(...))
+    # produces, bit-identical to the oracle's CAST(qe AS DOUBLE[])
+    # cosine), and each pair pays exactly one zip_with + one fold
+    # (dot casts inside its lambda). 64x probe: 83 -> 26 s.
+    from bbdc20_submission_spark.operators.similarity import dot
+
+    from bbdc20_submission_spark.caching import managed_persist
+
+    # persist BEFORE any expression references embedding_q without
+    # also projecting the scale column: projection collapse inlines
+    # the scale subtree (array_max over the vector) into the quantize
+    # lambda PER ELEMENT once the scale stops being a sibling output
+    # — and interpreted HOFs have no common-subexpression
+    # elimination, so that quietly turns the per-row prep O(dim^2)
+    # (measured: 3.8 s -> 64 s on 128k vectors). The boundary pins
+    # the certified one-pass shape; ~10 MB at 128k vectors.
+    qz = managed_persist(
+        quantize_embeddings(em).select(
+            "vec_id", "embedding_q", "embedding_q_scale"
+        )
+    )
+    qn = F.sqrt(
+        F.aggregate(
+            F.col("embedding_q"),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    qz = qz.select(
+        "vec_id", F.col("embedding_q").alias("_qi"), qn.alias("_qn")
+    )
     qa = qz.select(
         F.col("vec_id").alias("query_id"),
-        F.col("embedding_q").alias("_qa"),
-        F.col("embedding_q_scale").alias("_sa"),
+        F.col("_qi").alias("_qa"),
+        F.col("_qn").alias("_na"),
     ).filter(F.col("query_id") < 5)
     qb = qz.select(
         F.col("vec_id").alias("match_id"),
-        F.col("embedding_q").alias("_qb"),
-        F.col("embedding_q_scale").alias("_sb"),
+        F.col("_qi").alias("_qb"),
+        F.col("_qn").alias("_nb"),
     )
     qscored = (
         qb.crossJoin(F.broadcast(qa))
         .filter(F.col("match_id") != F.col("query_id"))
         .select(
             "query_id", "match_id",
-            dequantize_cosine(
-                F.col("_qa"), F.col("_sa"), F.col("_qb"), F.col("_sb")
+            (
+                dot(F.col("_qa"), F.col("_qb"))
+                / (F.col("_na") * F.col("_nb"))
             ).alias("_sim"),
         )
     )
