@@ -462,12 +462,14 @@ def minhash_lsh_candidates(
         .select("id_a", "id_b")
     )
     # Chain edges across a hot bucket's subs: sub-splitting compares
-    # pairs only WITHIN a sub, and the sub assignment hashes the id
-    # identically in every band, so without these a capped dup family
-    # (the boilerplate corpus _cap_buckets exists for) falls apart
-    # into ceil(n/cap) disconnected cliques — downstream clustering
-    # would then keep ~n/cap representatives of one family instead of
-    # one. Each sub contributes TWO representatives (its min- and
+    # pairs only WITHIN a sub, and although the r12 salt makes each
+    # band's split independent, WITHIN any one band a capped dup
+    # family is still partitioned into ceil(n/cap) disconnected subs —
+    # chains repair connectivity per band, so without them the family
+    # (the boilerplate corpus _cap_buckets exists for) only reconnects
+    # if the ~1/m cross-sub sampling of SOME band happens to link
+    # every fragment — downstream clustering would otherwise keep
+    # multiple representatives of one family instead of one. Each sub contributes TWO representatives (its min- and
     # max-id members) and consecutive subs are linked through all
     # four rep-pair edges (+4(m-1) edges per hot bucket); chain edges
     # ride the same downstream jaccard verify as every candidate, so
@@ -796,6 +798,43 @@ def _block_slices(n_blocks: int) -> list[tuple[int, int]]:
     return slices
 
 
+def _flip_masks(w: int, r: int) -> list[int]:
+    """All XOR masks of weight <= r over a w-bit block (r in 1..2 —
+    weight-3 fanout is C(21,3) ~ 1330/block, never cost-effective)."""
+    masks = [0]
+    if r >= 1:
+        masks += [1 << j for j in range(w)]
+    if r >= 2:
+        masks += [
+            (1 << i) | (1 << j) for i in range(w) for j in range(i + 1, w)
+        ]
+    return masks
+
+
+def _probe_flips_auto(n: int, max_hamming: int) -> int:
+    """Pick the multi-index block-split radius r (probe flips per
+    block) minimizing estimated cost for an n-doc corpus: probe rows
+    ``n * sum(phi_b)`` plus expected i.i.d. candidate volume
+    ``n^2 * sum(phi_b / 2^w_b)`` — wider blocks (higher r, fewer
+    blocks) trade linear probe fanout for EXPONENTIALLY better bucket
+    selectivity, so r=2 wins past a few hundred thousand docs at
+    budget 8 while r=1 wins at every certified SF. The choice is a
+    pure plan decision: every candidate is verified against the exact
+    hamming distance, so output is identical for any r."""
+    import math as _math
+
+    best_r, best_cost = 1, None
+    for r in (1, 2):
+        s = max_hamming // (r + 1) + 1
+        cost = 0.0
+        for _, w in _block_slices(s):
+            phi = sum(_math.comb(w, j) for j in range(r + 1))
+            cost += n * phi + n * n * phi / 2.0**w
+        if best_cost is None or cost < best_cost:
+            best_r, best_cost = r, cost
+    return best_r
+
+
 def simhash_near_dups(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -807,6 +846,7 @@ def simhash_near_dups(
     exact_hot_buckets: bool | None = None,
     exact_pair_budget: int = 1_000_000_000,
     bounded_probe_rounds: int = 4,
+    probe_flips: int | str = 1,
 ) -> DataFrame:
     """SimHash near-dup pairs with guaranteed recall via multi-index
     Hamming search (the HmSearch/multi-index-hashing family): split
@@ -862,6 +902,7 @@ def simhash_near_dups(
         exact_hot_buckets=exact_hot_buckets,
         exact_pair_budget=exact_pair_budget,
         bounded_probe_rounds=bounded_probe_rounds,
+        probe_flips=probe_flips,
     )
 
 
@@ -873,6 +914,7 @@ def hamming_near_pairs(
     exact_hot_buckets: bool | None = None,
     exact_pair_budget: int = 1_000_000_000,
     bounded_probe_rounds: int = 4,
+    probe_flips: int | str = 1,
 ) -> DataFrame:
     """All pairs of a ``[_id, _fp]`` fingerprint frame within the
     hamming budget — the candidate-join core of ``simhash_near_dups``
@@ -937,11 +979,42 @@ def hamming_near_pairs(
     on a 32-core executor wave — past that the quadratic term
     dominates wall and a bounded plan (or the MinHash-LSH family,
     whose bucket-key entropy is arbitrary — d8 measured 16359/16384
-    at the same 64x probe) is the right tool."""
+    at the same 64x probe) is the right tool.
+
+    ``probe_flips`` (r13): the block-split radius r. The pigeonhole
+    generalizes — with ``s = max_hamming // (r+1) + 1`` blocks, a
+    within-budget pair has SOME block differing in at most r bits, so
+    probing each block value plus all its weight-<=r flips keeps
+    recall 1 while blocks get (r+1)/2 times WIDER: at budget 8, r=1
+    means 5 blocks of ~13 bits (occupancy ~n/2^13 — hot past ~10k
+    docs) while r=2 means 3 blocks of ~21 bits (occupancy flat out to
+    ~2M docs) at a probe fanout of ~232 rows/doc/band instead of ~14.
+    Because every candidate is verified against the exact distance,
+    r is a pure PLAN choice — output is bit-identical for any r.
+    ``"auto"`` counts the (cheap, 2-long-column) frame once at plan
+    time and picks argmin of ``n*sum(phi_b) + n^2*sum(phi_b/2^w_b)``
+    over r in {1, 2} (:func:`_probe_flips_auto`) — small corpora keep
+    r=1 (identical certified plans), large corpora buy back the
+    sub-cap occupancy hump the r12 media ladder measured at 19.3x.
+    Ints fix the radius with no plan-time job. Incompatible with the
+    legacy ``bands`` scheme (raises unless 1)."""
     if bands is not None and bands <= max_hamming:
         raise ValueError(
             f"bands={bands} <= max_hamming={max_hamming} breaks the "
             "pigeonhole recall guarantee; use bands > max_hamming"
+        )
+    if bands is not None and probe_flips != 1:
+        raise ValueError(
+            "probe_flips is a multi-index block-split knob; the legacy "
+            "banded scheme (bands=...) probes exact values only — use "
+            "bands=None for radius probing"
+        )
+    if probe_flips == "auto":
+        probe_flips = _probe_flips_auto(fp.count(), max_hamming)
+    if probe_flips not in (1, 2):
+        raise ValueError(
+            f"probe_flips={probe_flips!r}: need 1, 2, or 'auto' "
+            "(weight-3 probe fanout is never cost-effective)"
         )
     if bands is not None and exact_hot_buckets is True:
         raise ValueError(
@@ -985,10 +1058,10 @@ def hamming_near_pairs(
         )
         joined = left.join(right, ["band", "slice", "sub_bucket"])
     else:
-        slices = _block_slices(max_hamming // 2 + 1)
+        slices = _block_slices(max_hamming // (probe_flips + 1) + 1)
         # SQL-string expression build (one JVM parse, no per-literal
         # py4j tax). Index side: s exact block values; probe side:
-        # each block value plus its w one-bit flips.
+        # each block value plus its weight-<=probe_flips flips.
         def slice_sql(o: int, w: int) -> str:
             return f"(shiftright(_fp, {o}) & {(1 << w) - 1})"
 
@@ -999,7 +1072,7 @@ def hamming_near_pairs(
         probe_sql = "array(%s)" % ",".join(
             f"named_struct('band', {b}, 'slice', ({slice_sql(o, w)} ^ {flip}))"
             for b, (o, w) in enumerate(slices)
-            for flip in [0] + [1 << j for j in range(w)]
+            for flip in _flip_masks(w, probe_flips)
         )
         index = fp.select(
             "_id", "_fp", F.explode(F.expr(idx_sql)).alias("bb")
@@ -1027,10 +1100,13 @@ def hamming_near_pairs(
             # stops a 100 TB caller from silently entering the
             # quadratic region (r10's 155+ s at the 64x octave).
             hot_rows = hot.collect()
+            import math as _math
+
             w_max = max(w for _, w in slices)
-            est_pairs = sum(r["_bn"] * r["_bn"] for r in hot_rows) * (
-                w_max + 1
+            phi_max = sum(
+                _math.comb(w_max, j) for j in range(probe_flips + 1)
             )
+            est_pairs = sum(r["_bn"] * r["_bn"] for r in hot_rows) * phi_max
             hot = fp.sparkSession.createDataFrame(hot_rows, hot.schema)
             use_exact = est_pairs <= exact_pair_budget
             if not use_exact:

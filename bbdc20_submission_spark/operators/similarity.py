@@ -260,16 +260,55 @@ def dequantize_cosine(qa: Column, sa: Column, qb: Column, sb: Column) -> Column:
     )
 
 
+def auto_lsh_signature(
+    n: int,
+    threshold: float,
+    base_planes: int,
+    base_bands: int,
+    target_occupancy: int = 8,
+    max_bands: int = 32,
+) -> tuple[int, int]:
+    """Size a sign-LSH signature for a corpus of ``n`` vectors:
+    planes grow to ``log2(n / target_occupancy)`` (expected bucket
+    occupancy is ``n / 2^planes`` on i.i.d. data, so the self-join
+    candidate volume ~``bands * n^2 / 2^planes`` stays ~linear in n
+    at fixed occupancy), and bands grow to hold the BASE config's
+    per-pair recall at the threshold angle: with per-plane agreement
+    p = 1 - acos(threshold)/pi, recall is 1-(1-p^planes)^bands, so
+    bands = ceil(log(1-R0)/log(1-p^planes)) restores the base R0.
+    Returns (planes, bands); never shrinks below the base config.
+    This is the r12 `s3_planes_scaled` sizing (14 planes x 8 bands at
+    128k vectors, planted recall 8/8, 4.3x wall at 64x where the
+    fixed 8-plane config read 52.2x — SCALING.md) expressed as a rule."""
+    planes = max(
+        base_planes, math.ceil(math.log2(max(n, 1) / max(target_occupancy, 1)))
+    )
+    if planes == base_planes:
+        return base_planes, base_bands
+    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    r0 = 1.0 - (1.0 - p**base_planes) ** base_bands
+    per_band = 1.0 - p**planes
+    if r0 >= 1.0 or per_band <= 0.0:
+        bands = base_bands
+    elif per_band >= 1.0:
+        bands = max_bands
+    else:
+        bands = math.ceil(math.log(1.0 - r0) / math.log(per_band))
+    return planes, min(max(bands, base_bands), max_bands)
+
+
 def embedding_near_dups(
     df: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 12,
+    n_planes: int | str = 12,
     dim: int = 64,
     n_bands: int = 1,
-    bucket_cap: int = 1024,
+    bucket_cap: int | None = 1024,
     bounded_probe_rounds: int = 4,
+    candidate_pair_budget: int = 50_000_000,
+    target_occupancy: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via banded LSH bucket
     self-join + exact verify — the embedding-space analog of MinHash
@@ -298,18 +337,44 @@ def embedding_near_dups(
     COSINE-VERIFIED chain edges linking consecutive subs' min/max-id
     members so a capped dup family stays one connected component. At
     the certified SFs every bucket is far below the cap (sf0.1: ~8
-    members vs 1024), so the plan and output are unchanged there. The
-    structural fix for occupancy growth on CLEAN corpora is more
-    planes (selectivity doubles per plane; keep
-    ``n_planes ~ log2(n / target_occupancy)``) with more bands to
-    hold recall — the cap is the safety bound for the skewed tail,
-    not a substitute for sizing the signature."""
+    members vs 1024), so the plan and output are unchanged there.
+    ``bucket_cap=None`` (r13) disables the capping machinery entirely
+    — the exact banded self-join regardless of cost, for callers where
+    every individual pair matters.
+
+    Plan-time guard (r13, the hamming auto-guard pattern): with a cap
+    set, the per-bucket occupancy histogram is aggregated ONCE over
+    the persisted signature frame (both join sides re-read that frame
+    anyway, and the collected hot dim REPLACES the three plan-side
+    recomputations of the hot agg). From it the operator derives the
+    EXACT candidate volume ``sum(bn^2)`` and warns when it exceeds
+    ``candidate_pair_budget`` — each candidate eval is a dim-wide
+    interpreted fold (~dim multiply-adds), so the default 5e7 budget
+    is ~minutes of single-node work; this is the sub-cap occupancy
+    hump the r12 64x ladder measured at 52.2x for an undersized
+    8-plane signature. It also warns whenever ANY bucket exceeds the
+    cap, because the bounded sub-split changes pair recall there
+    (connectivity still repaired by the verified chain edges).
+
+    ``n_planes="auto"`` (r13): size the signature at plan time from
+    ``n = df.count()`` via :func:`auto_lsh_signature` — planes to
+    ``log2(n / target_occupancy)`` and bands re-derived to hold the
+    base (``12 x n_bands``) config's recall at the threshold angle.
+    The structural fix for occupancy growth on CLEAN corpora (the cap
+    is the safety bound for the skewed tail, not a substitute for
+    sizing the signature); auto-sizing changes candidate RECALL
+    bounds, never precision (the exact cosine verify filters every
+    candidate), and leaves the certified small-SF configs unchanged
+    (n below 2^12 * target keeps the base signature)."""
     from bbdc20_submission_spark.operators.dedup import (
         _apply_sub_buckets,
-        _hot_buckets,
         _multi_sub_buckets,
     )
 
+    if n_planes == "auto":
+        n_planes, n_bands = auto_lsh_signature(
+            df.count(), threshold, 12, n_bands, target_occupancy
+        )
     sigs = F.array(
         *[
             lsh_bucket_signature(vec_col, dim, n_planes, seed=7 + b)
@@ -335,35 +400,89 @@ def embedding_near_dups(
         )
     )
     cols = ["_band", "_sig"]
-    hot = _hot_buckets(tagged, cols, bucket_cap)
-    idx = _apply_sub_buckets(
-        tagged, hot, cols, "_id", bucket_cap, salt_cols=("_band", "_sig")
-    )
-    prb = _multi_sub_buckets(
-        tagged,
-        hot,
-        cols,
-        "_id",
-        bucket_cap,
-        bounded_probe_rounds,
-        salt_cols=("_band", "_sig"),
-    )
+    hot_rows: list = []
+    if bucket_cap is not None:
+        # ONE occupancy agg over the persisted frame both join sides
+        # re-read anyway: exact candidate volume sum(bn^2) for the
+        # budget warning, plus the hot dim collected ONCE and replayed
+        # as a local relation (replacing three plan-side recomputations
+        # of the hot agg). Bounded: the hot dim holds at most
+        # n_bands * n / cap rows.
+        occ = tagged.groupBy(*cols).agg(F.count(F.lit(1)).alias("_bn"))
+        est_pairs = int(
+            occ.agg(F.sum(F.col("_bn") * F.col("_bn")).alias("_v")).first()[
+                "_v"
+            ]
+            or 0
+        )
+        hot_rows = occ.filter(F.col("_bn") > bucket_cap).collect()
+        if est_pairs > candidate_pair_budget:
+            import warnings
+
+            warnings.warn(
+                "embedding_near_dups: exact candidate volume "
+                f"~{est_pairs:.2e} pair evals (each a {dim}-wide "
+                "interpreted fold) exceeds candidate_pair_budget="
+                f"{candidate_pair_budget:.0e} — the {n_planes}-plane "
+                "signature is undersized for this corpus (expected "
+                "occupancy ~n/2^planes per band). Pass n_planes='auto' "
+                "to size planes to log2(n/target_occupancy) with bands "
+                "re-derived to hold recall, or raise n_planes manually; "
+                "bucket_cap bounds the worst-case skewed tail but does "
+                "not remove the sub-cap occupancy term.",
+                UserWarning,
+                stacklevel=2,
+            )
+        if hot_rows:
+            import warnings
+
+            warnings.warn(
+                f"embedding_near_dups: {len(hot_rows)} bucket(s) exceed "
+                f"bucket_cap={bucket_cap} — the bounded sub-split plan "
+                "engages there (pair recall ~1-(1-rounds/m)^bands within "
+                "those buckets; family connectivity preserved via "
+                "cosine-verified chain edges). Pass bucket_cap=None for "
+                "the exact self-join regardless of cost.",
+                UserWarning,
+                stacklevel=2,
+            )
+    if not hot_rows:
+        # no hot buckets (or capping disabled): the capped plan would
+        # assign sub_bucket=0 everywhere and the chain stages are
+        # no-ops over zero rows — build the plain banded self-join
+        # instead (identical output, two fewer broadcast joins and no
+        # window stage at every certified SF)
+        idx = prb = tagged
+        join_keys = cols
+    else:
+        hot = df.sparkSession.createDataFrame(hot_rows, occ.schema)
+        idx = _apply_sub_buckets(
+            tagged, hot, cols, "_id", bucket_cap, salt_cols=("_band", "_sig")
+        )
+        prb = _multi_sub_buckets(
+            tagged,
+            hot,
+            cols,
+            "_id",
+            bucket_cap,
+            bounded_probe_rounds,
+            salt_cols=("_band", "_sig"),
+        )
+        join_keys = [*cols, "sub_bucket"]
     a = idx.select(
         F.col("_id").alias("id_a"),
         F.col("_v").alias("_va"),
         F.col("_n").alias("_na"),
-        *cols,
-        "sub_bucket",
+        *join_keys,
     )
     b = prb.select(
         F.col("_id").alias("id_b"),
         F.col("_v").alias("_vb"),
         F.col("_n").alias("_nb"),
-        *cols,
-        "sub_bucket",
+        *join_keys,
     )
     pairs = (
-        a.join(b, [*cols, "sub_bucket"])
+        a.join(b, join_keys)
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "_sim",
@@ -374,10 +493,12 @@ def embedding_near_dups(
         .filter(F.col("_sim") >= threshold)
         .select("id_a", "id_b", F.round("_sim", 6).alias("cosine_sim"))
     )
-    # chain edges across a hot bucket's subs (empty dim -> no-op; see
-    # hamming_near_pairs for the scheme) — verified at the SAME cosine
-    # threshold, so only true pairs are added and the output contract
-    # holds
+    if not hot_rows:
+        return pairs.distinct()
+    # chain edges across a hot bucket's subs (hot known non-empty at
+    # plan time; see hamming_near_pairs for the scheme) — verified at
+    # the SAME cosine threshold, so only true pairs are added and the
+    # output contract holds
     reps = (
         idx.join(F.broadcast(hot.select(*cols)), cols)
         .groupBy(*cols, "sub_bucket")

@@ -29,6 +29,15 @@ from bbdc20_submission_spark.sources.harness import load_table
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
+# Sessions whose brand_margin temp function THIS module registered
+# (weakly referenced so a stopped session doesn't pin memory). A
+# catalog functionExists() check is NOT a substitute: a same-name
+# function registered elsewhere would be silently used where
+# CREATE OR REPLACE used to overwrite it (r12 advice).
+import weakref
+
+_BRAND_MARGIN_SESSIONS: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
+
 
 # ---------------------------------------------------------------- §2.2 scalar
 
@@ -849,15 +858,17 @@ def sq_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inlined by Catalyst into the plan — the battery's sql_udf family
     # calls it; the oracle carries the inlined formula (DuckDB macros
     # can't ride a single oracle statement). Registered once per
-    # session: CREATE OR REPLACE on an existing temp function logs a
-    # replace WARN, which was the only warning in the bench tail (r11
-    # verdict #7) — the definition is a constant, so skipping the
-    # re-registration is behavior-identical.
-    if not spark.catalog.functionExists("brand_margin"):
+    # session — tracked by a module-level WeakSet rather than catalog
+    # existence (r12 advice: a pre-existing same-name function from
+    # elsewhere must be OVERWRITTEN, not silently reused), while still
+    # avoiding the re-registration replace WARN that was the only
+    # warning in the r11 bench tail.
+    if spark not in _BRAND_MARGIN_SESSIONS:
         spark.sql(
             "CREATE OR REPLACE TEMPORARY FUNCTION brand_margin(p DOUBLE)"
             " RETURNS DOUBLE RETURN round(p * 0.1, 6)"
         )
+        _BRAND_MARGIN_SESSIONS.add(spark)
     return spark.sql(
         """
         SELECT 'scalar_agg' AS pattern, p_partkey AS id, p_name AS label,

@@ -138,6 +138,78 @@ def test_embedding_near_dups_capped_family_bounded_and_connected(spark):
     assert len({find(i) for i in range(n_fam)}) == 1
 
 
+def test_embedding_near_dups_exact_optout_matches_unsalted(spark):
+    """r13 (advice): ``bucket_cap=None`` restores the exact banded
+    self-join — on the capped-family corpus it must emit the FULL
+    quadratic family pair set (every same-bucket pair survives the
+    cosine verify), strictly a superset of the bounded plan's."""
+    rng = random.Random(9)
+    fam_v = [float(x) for x in [rng.gauss(0, 1) for _ in range(DIM)]]
+    n_fam = 80
+    rows = [(i, fam_v, 0) for i in range(n_fam)]
+    for k in range(10):
+        rows.append(
+            (5000 + k, [float(rng.gauss(0, 1)) for _ in range(DIM)], 1)
+        )
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    exact = embedding_near_dups(
+        df, threshold=0.98, n_planes=6, dim=DIM, n_bands=2, bucket_cap=None
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in exact}
+    assert len(pairs) == n_fam * (n_fam - 1) // 2
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")  # hot-bucket warning must NOT fire
+        bounded = embedding_near_dups(
+            df, threshold=0.98, n_planes=6, dim=DIM, n_bands=2,
+            bucket_cap=n_fam + 1,
+        ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in bounded} == pairs
+
+
+def test_embedding_near_dups_budget_warning_fires(spark):
+    """r13: the plan-time exact candidate-volume estimate warns past
+    candidate_pair_budget even when NO bucket exceeds the cap — the
+    sub-cap occupancy hump the r12 64x ladder measured."""
+    import warnings as _w
+
+    rows = [
+        (i, [float((i * 31 + j * 7) % 13 - 6) for j in range(DIM)])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        embedding_near_dups(
+            df, threshold=0.999, n_planes=2, dim=DIM,
+            candidate_pair_budget=100,
+        )
+    msgs = [str(c.message) for c in caught if c.category is UserWarning]
+    assert any("candidate_pair_budget" in m for m in msgs), msgs
+
+
+def test_auto_lsh_signature_sizing():
+    """The auto rule: small corpora keep the base signature; large
+    corpora grow planes to log2(n/occupancy) with bands re-derived to
+    hold the base recall (never fewer bands, never > max_bands)."""
+    from bbdc20_submission_spark.operators.similarity import (
+        auto_lsh_signature,
+    )
+
+    assert auto_lsh_signature(2_000, 0.95, 12, 1) == (12, 1)
+    p, b = auto_lsh_signature(128_000, 0.9998, 12, 1, target_occupancy=8)
+    assert p == 14 and b >= 2  # the r12 s3_planes_scaled shape
+    # recall actually holds: 1-(1-q^p)^b >= base 1-(1-q^12)^1
+    q = 1.0 - math.acos(0.9998) / math.pi
+    assert 1 - (1 - q**p) ** b >= 1 - (1 - q**12) ** 1
+    # monotone: 100x more vectors -> more planes, bands bounded
+    p2, b2 = auto_lsh_signature(12_800_000, 0.9998, 12, 1)
+    assert p2 > p and b2 <= 32
+
+
 def test_ivf_topk_recall(spark):
     from bbdc20_submission_spark.operators.clustering import ivf_topk
 
