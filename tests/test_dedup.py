@@ -294,6 +294,74 @@ def test_hamming_near_pairs_pigeonhole_recall(spark):
     assert all(v <= 13 for v in out.values())
 
 
+def test_hamming_probe_flips_r2_bit_identical(spark):
+    """r13: the radius-2 block split (probe_flips=2 — 3 wider blocks
+    probed with all weight-<=2 flips) must emit EXACTLY the same
+    (pair, distance) set as the default radius-1 split: the pigeonhole
+    generalizes (some block differs in <= r bits when s = h//(r+1)+1)
+    and the exact-distance verify makes r a pure plan choice."""
+    import random
+
+    from bbdc20_submission_spark.operators.dedup import hamming_near_pairs
+
+    def signed(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    rng = random.Random(11)
+    rows = []
+    nid = 0
+    # planted pairs at every distance 0..10 (budget 8 -> the 9/10
+    # rows must NOT appear), plus random background fingerprints
+    for h in range(11):
+        for _ in range(4):
+            base = rng.getrandbits(64)
+            flipped = base
+            for pos in rng.sample(range(64), h):
+                flipped ^= 1 << pos
+            rows += [(nid, signed(base)), (nid + 1, signed(flipped))]
+            nid += 2
+    for _ in range(60):
+        rows.append((nid, signed(rng.getrandbits(64))))
+        nid += 1
+    df = spark.createDataFrame(rows, "_id long, _fp long")
+    r1 = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_near_pairs(df, max_hamming=8, probe_flips=1).collect()
+    }
+    r2 = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_near_pairs(df, max_hamming=8, probe_flips=2).collect()
+    }
+    assert r1 == r2 and len(r1) >= 4 * 9
+    assert all(v <= 8 for v in r1.values())
+
+
+def test_probe_flips_auto_picks_by_scale():
+    """The plan-time cost model keeps r=1 for small corpora (certified
+    plans unchanged) and flips to r=2 where the occupancy term
+    dominates (the r12 media-ladder hump regime)."""
+    from bbdc20_submission_spark.operators.dedup import _probe_flips_auto
+
+    assert _probe_flips_auto(10_000, 8) == 1
+    assert _probe_flips_auto(800_000, 8) == 2
+    # at budget 4 the r=1 split already has ~21-bit blocks — r=2's
+    # 32-bit split never pays at any realistic n
+    assert _probe_flips_auto(800_000, 4) == 1
+    assert _probe_flips_auto(3_000_000, 4) == 1
+
+
+def test_hamming_probe_flips_validation(spark):
+    import pytest
+
+    from bbdc20_submission_spark.operators.dedup import hamming_near_pairs
+
+    df = spark.createDataFrame([(0, 1), (1, 2)], "_id long, _fp long")
+    with pytest.raises(ValueError, match="probe_flips"):
+        hamming_near_pairs(df, max_hamming=8, probe_flips=3)
+    with pytest.raises(ValueError, match="banded"):
+        hamming_near_pairs(df, max_hamming=8, bands=12, probe_flips=2)
+
+
 def test_hamming_near_pairs_recall_exact_in_hot_buckets(spark):
     """The multi-index must stay recall-1 when buckets exceed the cap
     (the r10 64x probe found 31% of true pairs silently dropped before
