@@ -511,7 +511,7 @@ def ivf_topk(
     no union/distinct shuffle of wide vectors anywhere."""
     from pyspark.sql import Window
 
-    from bbdc20_submission_spark.operators.similarity import cosine
+    from bbdc20_submission_spark.operators.similarity import dot, l2_norm
 
     if model is None:
         model = fit_quantizer(
@@ -520,10 +520,16 @@ def ivf_topk(
         )
 
     # corpus: single-cell assignment, one narrow pass; the vector
-    # rides along — no self-join back to ids
+    # rides along — no self-join back to ids. The l2 norm folds ONCE
+    # per corpus row here (r13 HOF-pass sweep): the inline cosine()
+    # form re-ran both norm folds per candidate PAIR — 6 interpreted
+    # HOF passes/pair where only the dot varies. Bit-identical (same
+    # fold, same _qn * _cn product — the r12 bruteforce precedent).
     c = _with_cluster(
         corpus.select(
-            F.col(id_col).alias("match_id"), F.col(vec_col).alias("_cv")
+            F.col(id_col).alias("match_id"),
+            F.col(vec_col).alias("_cv"),
+            l2_norm(F.col(vec_col)).alias("_cn"),
         ),
         model.centers,
         "_cv",
@@ -544,13 +550,19 @@ def ivf_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
         F.explode(probes).alias("cluster"),
     )
     scored = (
         c.join(F.broadcast(q), "cluster")
         .filter(F.col("match_id") != F.col("query_id"))
         .select(
-            "query_id", "match_id", cosine(F.col("_qv"), F.col("_cv")).alias("_sim")
+            "query_id",
+            "match_id",
+            (
+                dot(F.col("_qv"), F.col("_cv"))
+                / (F.col("_qn") * F.col("_cn"))
+            ).alias("_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -671,7 +671,14 @@ def simhash64(tokens: Column) -> Column:
 
     Expressed as 64 aggregate-sums over bit tests — JVM-side; for very
     wide use cases, a pandas UDF batching into numpy would also work,
-    but this form keeps whole-stage codegen."""
+    but this form keeps whole-stage codegen.
+
+    PASS-COUNT caveat (r13 HOF audit): the 64 folds each re-evaluate
+    the token-hash transform (interpreted HOFs share no subtrees), so
+    this column form pays 128 array passes — and 64x the xxhash work —
+    per row. It exists for column-level composition/tests; every
+    package path uses :func:`simhash_df` (explode + bit-sliced packed
+    counters: tokens hash ONCE, map-side partial agg) instead."""
     h = F.transform(tokens, lambda x: F.xxhash64(x))
     bits = [
         F.when(

@@ -176,9 +176,17 @@ def cosine_topk_lsh(
     join (the corpus side, which dominates at scale, is untouched;
     this is why multi-probe beats adding tables when queries are few)."""
     sig = lsh_bucket_signature(vec_col, dim, n_planes)
+    # norms fold ONCE per row on each side of the join (r13 HOF-pass
+    # sweep): the inline cosine() re-ran both l2_norm folds for every
+    # candidate PAIR — 6 interpreted HOF passes per pair where only
+    # the dot product varies. Bit-identical (same fold over the same
+    # values, then the same _qn * _cn product — the r12
+    # cosine_topk_bruteforce precedent); per-row projections below a
+    # join are never re-inlined above it.
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
         sig.alias("_sig0"),
     )
     if multiprobe:
@@ -190,19 +198,27 @@ def cosine_topk_lsh(
             ],
         )
         q = q.select(
-            "query_id", "_qv", F.explode(probes).alias("_bucket")
+            "query_id", "_qv", "_qn", F.explode(probes).alias("_bucket")
         )
     else:
         q = q.withColumnRenamed("_sig0", "_bucket")
     c = corpus.select(
         F.col(id_col).alias("match_id"),
         F.col(vec_col).alias("_cv"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
         sig.alias("_bucket"),
     )
     scored = (
         c.join(F.broadcast(q), "_bucket")
         .filter(F.col("match_id") != F.col("query_id"))
-        .select("query_id", "match_id", cosine(F.col("_qv"), F.col("_cv")).alias("_sim"))
+        .select(
+            "query_id",
+            "match_id",
+            (
+                dot(F.col("_qv"), F.col("_cv"))
+                / (F.col("_qn") * F.col("_cn"))
+            ).alias("_sim"),
+        )
     )
     if multiprobe:
         # a pair found via several probed buckets scores identically —
@@ -234,18 +250,46 @@ def quantize_embeddings(
     to) — at 100 TB of embeddings the working set for ANN search is
     usually memory-bound, and int8 dot products lose ~0.1% cosine
     accuracy on unit-norm-ish vectors (bounded by 1/254 per component).
-    Pure array expressions, narrow, no shuffle."""
+    Pure array expressions, narrow, no shuffle.
+
+    The abs-max rides its OWN projected column (r13): inlined, the
+    CASE WHEN scale evaluates the array_max fold twice per row (both
+    the condition and the value arm — interpreted HOFs have no CSE);
+    as a column referenced twice by the scale expression, Catalyst's
+    CollapseProject keeps it a real once-per-row Project (it only
+    inlines non-cheap producers referenced at most once). Same values
+    bit-for-bit.
+
+    The column is also the structural guard against the r12 O(dim^2)
+    trap: previously a caller select that dropped the scale left its
+    only reference inside the quantize lambda — projection collapse
+    then inlined the whole abs-max subtree there and the per-ELEMENT
+    evaluation made row prep O(dim^2) with no physical-plan tell
+    (measured 3.8 -> 64 s on 128k vectors). Now collapse can at worst
+    inline the cheap CASE over the amax ATTRIBUTE into the lambda;
+    the fold itself stays a once-per-row Project because the CASE
+    references it twice (pinned by
+    tests/test_plan_quality.py::test_quantize_amax_folds_once_per_row)."""
     v = F.col(vec_col)
-    amax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    amax_col = f"{out_col}_amax"
+    amax = F.col(amax_col)
     scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
-    return df.withColumn(f"{out_col}_scale", scale).withColumn(
-        out_col,
-        F.transform(
-            v,
-            lambda x: F.round(x.cast("double") / F.col(f"{out_col}_scale")).cast(
-                "tinyint"
+    return (
+        df.withColumn(
+            amax_col,
+            F.array_max(F.transform(v, lambda x: F.abs(x.cast("double")))),
+        )
+        .withColumn(f"{out_col}_scale", scale)
+        .withColumn(
+            out_col,
+            F.transform(
+                v,
+                lambda x: F.round(
+                    x.cast("double") / F.col(f"{out_col}_scale")
+                ).cast("tinyint"),
             ),
-        ),
+        )
+        .drop(amax_col)
     )
 
 

@@ -298,3 +298,49 @@ def test_corpus_diff_never_shuffles_text(spark, sf_dir):
         assert all(
             "text#" not in l and "_t#" not in l for l in input_lines
         ), node
+
+
+def test_quantize_amax_folds_once_per_row(spark):
+    """r13 regression pin for the r12 HOF finding (interpreted HOFs,
+    no CSE, projection collapse re-inlining projected-away siblings
+    into lambdas — O(dim^2) row prep with no physical-plan tell):
+    quantize_embeddings computes the abs-max as its OWN projected
+    column, so even a caller that projects the scale away must keep
+    exactly ONE array_max fold per ROW in the optimized plan, and the
+    quantize lambda itself must never contain the fold."""
+    from bbdc20_submission_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    df = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") + i).cast("float") for i in range(8)]).alias(
+            "embedding"
+        ),
+    )
+    for cols in (["vec_id", "embedding_q"],
+                 ["vec_id", "embedding_q", "embedding_q_scale"]):
+        plan = (
+            quantize_embeddings(df)
+            .select(*cols)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        # one fold per row, in its own Project — the r12 bad shape
+        # inlined it into the quantize lambda (2 evals per ELEMENT)
+        assert plan.count("array_max") == 1, plan
+        lam = plan[plan.index("round(") : plan.index("as tinyint")]
+        assert "array_max" not in lam, plan
+
+
+def test_quantized_topk_pair_scoring_is_two_hof_passes(spark, sf_dir):
+    """The s_topk quantized family's pair scoring must stay exactly
+    one zip_with + one aggregate per pair (the r12 fix): norms and
+    scales fold per ROW behind the persist boundary, so the optimized
+    plan above the InMemoryRelation must contain zero array_max and
+    only the dot product's HOFs in the pair projection."""
+    df = registry.QUERIES["s_topk_suite"](spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    above_cache = plan.split("InMemoryRelation")[0]
+    assert "array_max" not in above_cache, above_cache
