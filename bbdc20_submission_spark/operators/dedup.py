@@ -122,7 +122,19 @@ def _multi_sub_buckets(
     and total cost stays O(n * cap * rounds), never quadratic.
     ``array_distinct`` collapses rounds that hash to the same sub, so
     rows in NON-hot buckets (m=1) replicate exactly once and the
-    certified small-SF plans carry zero extra rows."""
+    certified small-SF plans carry zero extra rows.
+
+    Deliberately NOT exact-exploded when ``m <= rounds`` (r13,
+    measured): sampling ~1-(1-1/m)^rounds of each band's cross-sub
+    pairs is a FEATURE in the all-hot low-entropy regime — true
+    near-dup pairs match in many bands (k high) and survive
+    ~1-(1-rho)^k, while background pairs within the hamming budget
+    match in few bands and are mostly sampled away BEFORE the
+    expensive exact verify. The d9 64x probe pinned this: the exact
+    plan (every bucket m=3, full probe coverage) pays 524 s pushing
+    ~6.6e6 background candidates through the jaccard verify for the
+    SAME 16382/16382 within-budget recall the sampled plan gets in
+    132 s."""
     m = F.when(
         F.col("_bn").isNotNull(),
         F.ceil(F.col("_bn") / F.lit(cap)).cast("long"),
@@ -854,6 +866,7 @@ def simhash_near_dups(
     exact_pair_budget: int = 1_000_000_000,
     bounded_probe_rounds: int = 4,
     probe_flips: int | str = 1,
+    approx_n: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs with guaranteed recall via multi-index
     Hamming search (the HmSearch/multi-index-hashing family): split
@@ -910,6 +923,7 @@ def simhash_near_dups(
         exact_pair_budget=exact_pair_budget,
         bounded_probe_rounds=bounded_probe_rounds,
         probe_flips=probe_flips,
+        approx_n=approx_n,
     )
 
 
@@ -922,6 +936,7 @@ def hamming_near_pairs(
     exact_pair_budget: int = 1_000_000_000,
     bounded_probe_rounds: int = 4,
     probe_flips: int | str = 1,
+    approx_n: int | None = None,
 ) -> DataFrame:
     """All pairs of a ``[_id, _fp]`` fingerprint frame within the
     hamming budget — the candidate-join core of ``simhash_near_dups``
@@ -1004,7 +1019,13 @@ def hamming_near_pairs(
     r=1 (identical certified plans), large corpora buy back the
     sub-cap occupancy hump the r12 media ladder measured at 19.3x.
     Ints fix the radius with no plan-time job. Incompatible with the
-    legacy ``bands`` scheme (raises unless 1)."""
+    legacy ``bands`` scheme (raises unless 1).
+
+    ``approx_n``: row-count hint for the auto pick (parquet footer
+    counts, or a count the caller already materialized) — the cost
+    model only needs the ORDER of n, so any approximation within a
+    small factor is fine and the plan-time count job is skipped
+    entirely (the s4/semdedup auto-k pattern)."""
     if bands is not None and bands <= max_hamming:
         raise ValueError(
             f"bands={bands} <= max_hamming={max_hamming} breaks the "
@@ -1017,7 +1038,9 @@ def hamming_near_pairs(
             "bands=None for radius probing"
         )
     if probe_flips == "auto":
-        probe_flips = _probe_flips_auto(fp.count(), max_hamming)
+        probe_flips = _probe_flips_auto(
+            approx_n if approx_n is not None else fp.count(), max_hamming
+        )
     if probe_flips not in (1, 2):
         raise ValueError(
             f"probe_flips={probe_flips!r}: need 1, 2, or 'auto' "
@@ -1212,9 +1235,24 @@ def hamming_near_pairs(
             M2 = np.uint64(0x3333333333333333)
             M4 = np.uint64(0x0F0F0F0F0F0F0F0F)
             H01 = np.uint64(0x0101010101010101)
+            C1, C2, C4, C56 = (
+                np.uint64(1), np.uint64(2), np.uint64(4), np.uint64(56),
+            )
+            THR = np.uint64(thr)
             out_a: list = []
             out_b: list = []
             out_h: list = []
+            # Blocked SWAR popcount with PREALLOCATED buffers and
+            # in-place ufuncs (r13): the expression form allocated ~9
+            # fresh 34 MB temporaries per block, so with 32 executor
+            # threads the kernel was MEMORY-BANDWIDTH-bound (plus
+            # allocator/huge-page churn) — measured 2.5-3.7x slower
+            # than this form at identical pair counts. 256x4096 blocks
+            # (8 MB) keep the working set near-cache-resident; outputs
+            # are bit-identical (exact integer popcounts either way).
+            BA, BB = 256, 4096
+            xbuf = np.empty((BA, BB), dtype=np.uint64)
+            tbuf = np.empty((BA, BB), dtype=np.uint64)
             for _, g in pdf.groupby(["band", "slice", "sub_bucket"], sort=False):
                 ia = g["_side"].to_numpy() == 0
                 if not ia.any() or ia.all():
@@ -1225,16 +1263,28 @@ def hamming_near_pairs(
                 ).view(np.uint64)
                 fa, ids_a = fps[ia], ids[ia]
                 fb, ids_b = fps[~ia], ids[~ia]
-                BA, BB = 256, 16384
                 for s in range(0, len(fa), BA):
                     fa_s, ia_s = fa[s : s + BA], ids_a[s : s + BA]
+                    na = len(fa_s)
                     for t in range(0, len(fb), BB):
-                        x = fa_s[:, None] ^ fb[None, t : t + BB]
-                        x = x - ((x >> np.uint64(1)) & M1)
-                        x = (x & M2) + ((x >> np.uint64(2)) & M2)
-                        x = (x + (x >> np.uint64(4))) & M4
-                        h = ((x * H01) >> np.uint64(56)).astype(np.int64)
-                        mask = (h <= thr) & (
+                        fb_t = fb[t : t + BB]
+                        nb = len(fb_t)
+                        x = xbuf[:na, :nb]
+                        tmp = tbuf[:na, :nb]
+                        np.bitwise_xor(fa_s[:, None], fb_t[None, :], out=x)
+                        np.right_shift(x, C1, out=tmp)
+                        np.bitwise_and(tmp, M1, out=tmp)
+                        np.subtract(x, tmp, out=x)
+                        np.right_shift(x, C2, out=tmp)
+                        np.bitwise_and(tmp, M2, out=tmp)
+                        np.bitwise_and(x, M2, out=x)
+                        np.add(x, tmp, out=x)
+                        np.right_shift(x, C4, out=tmp)
+                        np.add(x, tmp, out=x)
+                        np.bitwise_and(x, M4, out=x)
+                        np.multiply(x, H01, out=x)
+                        np.right_shift(x, C56, out=x)
+                        mask = (x <= THR) & (
                             ia_s[:, None] < ids_b[None, t : t + BB]
                         )
                         ii, jj = np.nonzero(mask)
@@ -1245,7 +1295,7 @@ def hamming_near_pairs(
                             # loose budget admits millions of pairs
                             out_a.append(ia_s[ii])
                             out_b.append(ids_b[t : t + BB][jj])
-                            out_h.append(h[ii, jj])
+                            out_h.append(x[ii, jj].astype(np.int64))
             if out_a:
                 yield pd.DataFrame(
                     {

@@ -219,6 +219,7 @@ def media_near_dups(
     exact_pair_budget: int = 1_000_000_000,
     bounded_probe_rounds: int = 4,
     probe_flips: int | str = "auto",
+    approx_n: int | None = None,
 ) -> DataFrame:
     """Near-duplicate media detection: perceptual dHash, then the
     multi-index Hamming candidate join (pigeonhole recall 1 over the
@@ -253,7 +254,8 @@ def media_near_dups(
     so auto-sizing the split from the plan-time blob count is safe by
     construction. The count rides the persisted fingerprint frame the
     join needs anyway, so the only extra cost is materializing it at
-    build instead of first use."""
+    build instead of first use — or pass ``approx_n`` (e.g. a parquet
+    footer row count) and the plan-time job disappears entirely."""
     from bbdc20_submission_spark.caching import managed_persist
     from bbdc20_submission_spark.operators.dedup import hamming_near_pairs
 
@@ -266,4 +268,5 @@ def media_near_dups(
         exact_pair_budget=exact_pair_budget,
         bounded_probe_rounds=bounded_probe_rounds,
         probe_flips=probe_flips,
+        approx_n=approx_n,
     )

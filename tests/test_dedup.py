@@ -294,6 +294,57 @@ def test_hamming_near_pairs_pigeonhole_recall(spark):
     assert all(v <= 13 for v in out.values())
 
 
+def test_chain_edges_adversarial_collision_majority(spark):
+    """r13 (VERDICT #5): the residual chain-edge caveat, pushed to its
+    adversarial shape — family members are <5% of a hot bucket whose
+    id EXTREMES are almost all collision docs (so most chain links
+    anchor on collision reps and fail the verify). Connectivity must
+    then come from the other two repairs: full probe explosion when
+    m <= rounds, and ~rounds/m round-salted sampling per band when
+    m is large (P(edge) ~ 1-(1-rounds/m)^k per cross-sub pair — a
+    family of F members stays one component w.h.p. once
+    P(edge) > 2 ln(F)/F, the random-graph connectivity threshold;
+    here F=60, m~8, k up to 4 bands -> P(edge) ~ 0.9). Deterministic
+    (fixed hashes), so this pins the outcome, not a probability."""
+    family_text = " ".join(f"tok{j}" for j in range(40))
+    rows = []
+    # 60 family ids interleaved INSIDE the collision id range so sub
+    # min/max are collision docs with overwhelming odds
+    fam_ids = [1000 + 25 * i for i in range(60)]
+    for i in fam_ids:
+        rows.append((i, family_text))
+    col_ids = [i for i in range(1000, 2500) if i not in set(fam_ids)]
+    for i in col_ids:
+        suffix = " ".join(f"uniq{i}_{j}" for j in range(20))
+        rows.append((i, family_text + " " + suffix))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cands = minhash_lsh_candidates(
+        docs, num_hashes=16, bands=4, bucket_cap=200
+    )
+    cand_pairs = [(r["id_a"], r["id_b"]) for r in cands.collect()]
+    fam = set(fam_ids)
+    # the adversarial mix must actually occur
+    assert any((a in fam) != (b in fam) for a, b in cand_pairs)
+    verified = jaccard_pairs(
+        docs, cands, shingle_k=3, min_jaccard=0.95
+    ).filter(F.col("jaccard") >= 0.95)
+    pairs = [(r["id_a"], r["id_b"]) for r in verified.collect()]
+    assert all(a in fam and b in fam for a, b in pairs)
+    idx = {d: k for k, d in enumerate(sorted(fam))}
+    parent = list(range(len(fam)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(idx[a])] = find(idx[b])
+    n_components = len({find(i) for i in range(len(fam))})
+    assert n_components == 1, f"family split into {n_components} components"
+
+
 def test_hamming_probe_flips_r2_bit_identical(spark):
     """r13: the radius-2 block split (probe_flips=2 — 3 wider blocks
     probed with all weight-<=2 flips) must emit EXACTLY the same
