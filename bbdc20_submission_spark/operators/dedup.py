@@ -830,16 +830,32 @@ def _flip_masks(w: int, r: int) -> list[int]:
     return masks
 
 
+# Measured cost ratio (r13, 32-thread local probes): one exploded
+# probe ROW — expression build + exchange + Arrow + kernel traversal —
+# costs ~1.5 us, one SWAR pair EVAL in the preallocated kernel ~20 ns.
+# The first auto model weighted them equally and picked r=2 for media
+# at 800k blobs, where the measured wall was r1 194 s vs r2 >15 min
+# per rep: the 718x probe-row fanout utterly dominated the candidate
+# savings. With this weight the crossover moves where the measurement
+# says it is (~6M blobs at budget 8).
+_PROBE_ROW_COST = 80
+
+
 def _probe_flips_auto(n: int, max_hamming: int) -> int:
     """Pick the multi-index block-split radius r (probe flips per
-    block) minimizing estimated cost for an n-doc corpus: probe rows
-    ``n * sum(phi_b)`` plus expected i.i.d. candidate volume
-    ``n^2 * sum(phi_b / 2^w_b)`` — wider blocks (higher r, fewer
-    blocks) trade linear probe fanout for EXPONENTIALLY better bucket
-    selectivity, so r=2 wins past a few hundred thousand docs at
-    budget 8 while r=1 wins at every certified SF. The choice is a
-    pure plan decision: every candidate is verified against the exact
-    hamming distance, so output is identical for any r."""
+    block) minimizing estimated cost for an n-doc corpus:
+    ``_PROBE_ROW_COST * n * sum(phi_b)`` (probe explosion, exchange-
+    weighted) plus expected i.i.d. candidate volume
+    ``n^2 * sum(phi_b / 2^w_b)`` (SWAR pair evals) — wider blocks
+    (higher r, fewer blocks) trade linear probe fanout for
+    EXPONENTIALLY better bucket selectivity. Calibrated against the
+    measured media ladder: r=1 everywhere below ~6M docs at budget 8
+    (certified plans identical); r=2 is the far-tail configuration.
+    The choice is a pure plan decision: every candidate is verified
+    against the exact hamming distance, so output is identical for
+    any r. Note the model intentionally ignores downstream
+    verification (e.g. d9's jaccard stage): for verify-dominated
+    compositions the split is cost-irrelevant and callers pin r=1."""
     import math as _math
 
     best_r, best_cost = 1, None
@@ -848,7 +864,7 @@ def _probe_flips_auto(n: int, max_hamming: int) -> int:
         cost = 0.0
         for _, w in _block_slices(s):
             phi = sum(_math.comb(w, j) for j in range(r + 1))
-            cost += n * phi + n * n * phi / 2.0**w
+            cost += _PROBE_ROW_COST * n * phi + n * n * phi / 2.0**w
         if best_cost is None or cost < best_cost:
             best_r, best_cost = r, cost
     return best_r

@@ -388,13 +388,17 @@ def test_hamming_probe_flips_r2_bit_identical(spark):
 
 
 def test_probe_flips_auto_picks_by_scale():
-    """The plan-time cost model keeps r=1 for small corpora (certified
-    plans unchanged) and flips to r=2 where the occupancy term
-    dominates (the r12 media-ladder hump regime)."""
+    """The plan-time cost model keeps r=1 for every measured regime —
+    including media 16x (800k blobs), where the uncalibrated model's
+    r=2 pick measured r1 194 s vs r2 >15 min/rep — and flips to r=2
+    only in the far tail where the quadratic occupancy term really
+    outweighs the exchange-weighted probe fanout."""
     from bbdc20_submission_spark.operators.dedup import _probe_flips_auto
 
     assert _probe_flips_auto(10_000, 8) == 1
-    assert _probe_flips_auto(800_000, 8) == 2
+    assert _probe_flips_auto(800_000, 8) == 1  # the measured pin
+    assert _probe_flips_auto(3_200_000, 8) == 1  # 64x media ladder
+    assert _probe_flips_auto(20_000_000, 8) == 2  # far tail
     # at budget 4 the r=1 split already has ~21-bit blocks — r=2's
     # 32-bit split never pays at any realistic n
     assert _probe_flips_auto(800_000, 4) == 1
