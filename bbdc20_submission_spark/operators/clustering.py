@@ -29,6 +29,8 @@ in scan order, like any sample-based fit on a fixed input).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -83,33 +85,105 @@ class CentroidQuantizer:
             return cls(np.asarray(json.load(fh)["centers"], dtype=np.float64))
 
 
+# Driver-fit thread budget: this numpy's OpenBLAS is built with
+# MAX_THREADS=2 (measured — OPENBLAS_NUM_THREADS can't raise it), so
+# the O(iters * n * k * dim) Lloyd/argmin dgemms and the k sequential
+# k-means++ distance sweeps run near-serial unless WE parallelize the
+# row-chunk loops. Chunks are disjoint (independent outputs, per-chunk
+# buffers), numpy releases the GIL inside ufuncs/dgemm, and a row's
+# own operand order never changes — so threading is BIT-IDENTICAL.
+_FIT_THREADS = max(1, int(os.environ.get("SPARK_GRAFT_FIT_THREADS", "16")))
+
+
+def _run_chunked(work, n: int, step: int) -> None:
+    """Run ``work(lo, hi, slot)`` over row chunks, threaded when the
+    input is big enough to amortize pool overhead. ``slot`` indexes a
+    caller-preallocated per-thread scratch buffer (chunks are issued
+    round-robin, so chunk i always uses slot i % threads and at most
+    ``_FIT_THREADS`` slots are ever live concurrently)."""
+    chunks = [(lo, min(lo + step, n)) for lo in range(0, n, step)]
+    if len(chunks) == 1 or n < (1 << 15):
+        for i, (lo, hi) in enumerate(chunks):
+            work(lo, hi, i % _FIT_THREADS)
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    workers = min(_FIT_THREADS, len(chunks))
+    with ThreadPoolExecutor(workers) as ex:
+        # one task per SLOT, each walking every (workers)-th chunk:
+        # two tasks never share a scratch slot, so per-slot buffers
+        # are race-free by construction
+        def run_slot(s):
+            for i in range(s, len(chunks), workers):
+                lo, hi = chunks[i]
+                work(lo, hi, s)
+
+        list(ex.map(run_slot, range(workers)))
+
+
 def _argmin_rows(X: np.ndarray, centers: np.ndarray) -> np.ndarray:
     """Row-chunked nearest-centroid argmin (ties → lowest index).
     ``‖x−c‖² = ‖x‖² − 2x·c + ‖c‖²`` and the ``‖x‖²`` term is constant
-    per row, so it drops out of the argmin. Chunking bounds the
-    distance block at ~16M doubles for any k·sample combination."""
+    per row, so it drops out of the argmin. Chunking bounds each
+    distance block at ~2M doubles for any k·sample combination and
+    feeds the driver-fit thread pool (see ``_FIT_THREADS``)."""
     k = centers.shape[0]
     c2 = (centers * centers).sum(axis=1)
-    step = max(1, (1 << 24) // max(k, 1))
+    step = max(1, (1 << 21) // max(k, 1))
     out = np.empty(X.shape[0], dtype=np.int64)
-    for lo in range(0, X.shape[0], step):
-        d = X[lo : lo + step] @ centers.T
+
+    def work(lo, hi, _slot):
+        d = X[lo:hi] @ centers.T
         d *= -2.0
         d += c2[None, :]
-        out[lo : lo + step] = np.argmin(d, axis=1)
+        out[lo:hi] = np.argmin(d, axis=1)
+
+    _run_chunked(work, X.shape[0], step)
+    return out
+
+
+def _dist2_to_center(
+    X: np.ndarray, c: np.ndarray, bufs: np.ndarray, out: np.ndarray
+) -> np.ndarray:
+    """``((X - c)**2).sum(axis=1)`` with preallocated PER-THREAD
+    buffers, row-chunked and threaded — BIT-IDENTICAL values (same
+    per-row operand order; row chunking never changes a row's own
+    summation, and chunks write disjoint ``out`` slices), but without
+    the three n x dim temporaries the expression form allocates. At
+    auto-k scale (k ~ hundreds-to-thousands of sequential k-means++
+    steps over a capped sample) the expression form moved
+    ~130 MB x 3 x k through the allocator — the same memory-bandwidth
+    wall as the r13 hamming-kernel finding, measured 50 s at
+    (n=160k, k=533) for what is ~1e10 flops; threading then buys back
+    the 2-thread OpenBLAS build's idle cores."""
+    step = bufs.shape[1]
+
+    def work(lo, hi, slot):
+        b = bufs[slot][: hi - lo]
+        np.subtract(X[lo:hi], c[None, :], out=b)
+        np.multiply(b, b, out=b)
+        b.sum(axis=1, out=out[lo:hi])
+
+    _run_chunked(work, X.shape[0], step)
     return out
 
 
 def _kmeanspp_init(X: np.ndarray, k: int, rng: np.random.RandomState) -> np.ndarray:
     """Seeded k-means++ seeding (Arthur & Vassilvitskii 2007): each
     next center is sampled ∝ squared distance to the nearest chosen
-    one. O(k·n·dim) on the in-memory sample — negligible next to the
-    Lloyd sweeps, and far more robust to the merged/split-cluster
-    local optima plain random init falls into at small k."""
+    one. O(k·n·dim) on the in-memory sample, evaluated through the
+    preallocated chunked kernel (:func:`_dist2_to_center`) so the
+    sequential k steps stay compute- rather than allocator-bound;
+    far more robust to the merged/split-cluster local optima plain
+    random init falls into at small k."""
     n = X.shape[0]
-    centers = np.empty((k, X.shape[1]), dtype=np.float64)
+    dim = X.shape[1]
+    centers = np.empty((k, dim), dtype=np.float64)
     centers[0] = X[rng.randint(n)]
-    d2 = ((X - centers[0]) ** 2).sum(axis=1)
+    rows = max(1, (1 << 18) // max(dim, 1))
+    bufs = np.empty((_FIT_THREADS, rows, dim))
+    nd = np.empty(n)
+    d2 = _dist2_to_center(X, centers[0], bufs, np.empty(n)).copy()
     for i in range(1, k):
         total = d2.sum()
         if total <= 0.0:  # all remaining points coincide with a center
@@ -117,7 +191,7 @@ def _kmeanspp_init(X: np.ndarray, k: int, rng: np.random.RandomState) -> np.ndar
             break
         probs = d2 / total
         centers[i] = X[rng.choice(n, p=probs)]
-        d2 = np.minimum(d2, ((X - centers[i]) ** 2).sum(axis=1))
+        np.minimum(d2, _dist2_to_center(X, centers[i], bufs, nd), out=d2)
     return centers
 
 
