@@ -585,7 +585,10 @@ def ivf_topk(
     no union/distinct shuffle of wide vectors anywhere."""
     from pyspark.sql import Window
 
-    from bbdc20_submission_spark.operators.similarity import dot, l2_norm
+    from bbdc20_submission_spark.operators.similarity import (
+        dot_sql,
+        l2_norm_sql,
+    )
 
     if model is None:
         model = fit_quantizer(
@@ -600,10 +603,10 @@ def ivf_topk(
     # HOF passes/pair where only the dot varies. Bit-identical (same
     # fold, same _qn * _cn product — the r12 bruteforce precedent).
     c = _with_cluster(
-        corpus.select(
-            F.col(id_col).alias("match_id"),
-            F.col(vec_col).alias("_cv"),
-            l2_norm(F.col(vec_col)).alias("_cn"),
+        corpus.selectExpr(
+            f"`{id_col}` AS match_id",
+            f"`{vec_col}` AS _cv",
+            f"{l2_norm_sql(f'`{vec_col}`')} AS _cn",
         ),
         model.centers,
         "_cv",
@@ -624,19 +627,16 @@ def ivf_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
-        l2_norm(F.col(vec_col)).alias("_qn"),
+        F.expr(l2_norm_sql(f"`{vec_col}`")).alias("_qn"),
         F.explode(probes).alias("cluster"),
     )
     scored = (
         c.join(F.broadcast(q), "cluster")
         .filter(F.col("match_id") != F.col("query_id"))
-        .select(
+        .selectExpr(
             "query_id",
             "match_id",
-            (
-                dot(F.col("_qv"), F.col("_cv"))
-                / (F.col("_qn") * F.col("_cn"))
-            ).alias("_sim"),
+            f"{dot_sql('_qv', '_cv')} / (_qn * _cn) AS _sim",
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -303,16 +303,27 @@ def minhash_signatures_df(
         "_id",
         F.explode(shingles_from_tokens(F.col("_toks"), shingle_k)).alias("_sh"),
     )
+    # slot columns ride selectExpr strings (r13 build sweep): the
+    # Column form assembled ~8 py4j calls per slot, twice per
+    # incremental-ingest build; parsed SQL is sameSemantics-identical
+    # (conv/substring/md5 and xxhash64 parse to the same expressions)
     if portable:
-        slots = portable_minhash_md5s(F.col("_sh"), num_hashes)
-        hashed = shingled.select(
-            "_id", *[c.alias(f"h{s}") for s, c in enumerate(slots)]
-        )
+        slot_sqls = []
+        for q in range((num_hashes + 3) // 4):
+            m = f"md5(concat_ws(':', _sh, {q}))"
+            for r in range(4):
+                if len(slot_sqls) == num_hashes:
+                    break
+                slot_sqls.append(
+                    f"CAST(conv(substring({m}, {1 + 8 * r}, 8), 16, 10) "
+                    f"AS BIGINT) AS h{len(slot_sqls)}"
+                )
+        hashed = shingled.selectExpr("_id", *slot_sqls)
     else:
-        hashed = shingled.select(
+        hashed = shingled.selectExpr(
             "_id",
             *[
-                F.xxhash64("_sh", F.lit(s)).alias(f"h{s}")
+                f"xxhash64(_sh, {s}) AS h{s}"
                 for s in range(num_hashes)
             ],
         )
@@ -342,18 +353,16 @@ def minhash_signatures_from_sets(
     are dropped (the explode form never emitted them; a NULL signature
     would co-bucket all short docs). Output: [_id, h0..h{n-1}].
 
-    NOTE the ``seed=seed`` closure: a two-parameter lambda would be
-    read by ``F.transform`` as (element, index) and silently hash with
-    the array INDEX as the seed."""
-
-    def _sig(seed: int):
-        return F.array_min(
-            F.transform("_shingles", lambda h: F.xxhash64(h, F.lit(seed)))
-        ).alias(f"h{seed}")
-
-    return sets.filter(F.size("_shingles") > 0).select(
-        F.col("_sid").alias("_id"),
-        *[_sig(s) for s in range(num_hashes)],
+    The seed rides as a second xxhash64 ARGUMENT (an int literal), not
+    a lambda closure — the expressions are parsed SQL strings (r13
+    build sweep: the Python-lambda form cost ~30 ms of py4j traffic
+    per slot; sameSemantics-identical)."""
+    return sets.filter(F.size("_shingles") > 0).selectExpr(
+        "_sid AS _id",
+        *[
+            f"array_min(transform(_shingles, h -> xxhash64(h, {s}))) AS h{s}"
+            for s in range(num_hashes)
+        ],
     )
 
 
@@ -434,28 +443,23 @@ def minhash_lsh_candidates(
         if sets is not None
         else minhash_signatures_df(df, id_col, text_col, shingle_k, num_hashes)
     )
-    banded = sig.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col(f"h{b * rows_per_band + r}")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("_id", "bb.band", "bb.bucket")
+    # ONE parsed SQL expression (r13 build sweep): the per-band
+    # struct/xxhash Column assembly cost ~40+ py4j round trips per
+    # build; sameSemantics-identical (xxhash64 default seed 42 both
+    # ways)
+    structs = ",".join(
+        "named_struct('band', %d, 'bucket', xxhash64(concat_ws(',', %s)))"
+        % (
+            b,
+            ",".join(
+                f"h{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    banded = sig.selectExpr(
+        "_id", f"explode(array({structs})) AS bb"
+    ).selectExpr("_id", "bb.band", "bb.bucket")
     hot = _hot_buckets(banded, ["band", "bucket"], bucket_cap)
     # r12: bucket-salted assignment — without the salt an id lands in
     # the same sub in every band, so a pair split apart in one band is

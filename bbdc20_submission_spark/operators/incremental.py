@@ -82,28 +82,23 @@ def _banded(index: DataFrame, num_hashes: int, bands: int) -> DataFrame:
             "signature columns and lower recall"
         )
     rows_per_band = num_hashes // bands
-    return index.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col(f"h{b * rows_per_band + r}")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("_id", "bb.band", "bb.bucket")
+    # ONE parsed SQL expression (r13 build sweep): the per-band
+    # struct/lit/xxhash Column assembly cost ~40+ py4j round trips per
+    # call and _dedup_batch bands three frames per batch; the string
+    # is sameSemantics-identical (xxhash64's default seed 42 both ways)
+    structs = ",".join(
+        "named_struct('band', %d, 'bucket', xxhash64(concat_ws(',', %s)))"
+        % (
+            b,
+            ",".join(
+                f"h{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    return index.selectExpr(
+        "_id", f"explode(array({structs})) AS bb"
+    ).selectExpr("_id", "bb.band", "bb.bucket")
 
 
 def incremental_dedup(
@@ -116,11 +111,21 @@ def incremental_dedup(
     bands: int = 4,
     min_jaccard: float = 0.5,
     portable: bool = False,
+    batch_index: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Dedup ``new_docs`` against ``index`` (from
     :func:`build_dedup_index`, same shingle/signature params) AND
     within itself. Returns ``(kept_new_docs, updated_index)`` where
     the updated index covers the historical corpus plus the survivors.
+
+    ``batch_index``: a pre-built, ALREADY-MATERIALIZED
+    ``build_dedup_index(new_docs)`` frame (same params/mode) — pass it
+    when the caller overlapped the history- and batch-index builds as
+    concurrent jobs (guide §2.6 back-fill; the two builds are
+    independent, so running them serially leaves the cluster idle
+    through each one's straggler tail). Skips the internal build +
+    checkpoint; decisions are identical because the frame is the same
+    computation.
 
     Order of elimination (cheapest first): exact-vs-index anti-join,
     exact-within-batch (keep lowest id), near-vs-index (band-bucket
@@ -136,7 +141,7 @@ def incremental_dedup(
     so the emitted decisions depend only on text."""
     kept, appended = _dedup_batch(
         new_docs, index, id_col, text_col, shingle_k, num_hashes,
-        bands, min_jaccard, portable=portable,
+        bands, min_jaccard, portable=portable, batch_index=batch_index,
     )
     return kept, index.unionByName(appended)
 
@@ -151,21 +156,23 @@ def _dedup_batch(
     bands: int,
     min_jaccard: float,
     portable: bool = False,
+    batch_index: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Core of :func:`incremental_dedup`: returns ``(kept_new_docs,
     appended_index_rows)`` — the survivors plus exactly their index
     rows, sliced from the ALREADY-COMPUTED batch index (checkpointed
-    below), so no caller pays a second md5 + MinHash pass to persist
-    the updated index."""
-    batch_index = build_dedup_index(
-        new_docs, id_col, text_col, shingle_k, num_hashes,
-        portable=portable,
-    )
-    # one row per batch doc, a few dozen bytes each; consumed by the
-    # exact filter, the banding, the estimate join, AND the appended
-    # slice — materialize once instead of re-running the signature
-    # aggregation per consumer
-    batch_index = batch_index.localCheckpoint()
+    below unless the caller pre-built it), so no caller pays a second
+    md5 + MinHash pass to persist the updated index."""
+    if batch_index is None:
+        batch_index = build_dedup_index(
+            new_docs, id_col, text_col, shingle_k, num_hashes,
+            portable=portable,
+        )
+        # one row per batch doc, a few dozen bytes each; consumed by
+        # the exact filter, the banding, the estimate join, AND the
+        # appended slice — materialize once instead of re-running the
+        # signature aggregation per consumer
+        batch_index = batch_index.localCheckpoint()
 
     # 1. exact vs index (hash-only anti-join)
     fresh = batch_index.join(
@@ -185,30 +192,35 @@ def _dedup_batch(
         .select("_new", "_old")
         .distinct()
     )
+    # selectExpr strings (r13 build sweep): the 2*num_hashes aliased
+    # renames plus the agreement sum cost ~150 py4j round trips as
+    # Column ops; integer adds are exact, so dropping Python sum()'s
+    # leading 0 literal changes no value
     est = (
         cand.join(
-            fresh.select(
-                F.col("_id").alias("_new"),
-                *[F.col(f"h{s}").alias(f"a{s}") for s in range(num_hashes)],
+            fresh.selectExpr(
+                "_id AS _new",
+                *[f"h{s} AS a{s}" for s in range(num_hashes)],
             ),
             "_new",
         )
         .join(
-            index.select(
-                F.col("_id").alias("_old"),
-                *[F.col(f"h{s}").alias(f"b{s}") for s in range(num_hashes)],
+            index.selectExpr(
+                "_id AS _old",
+                *[f"h{s} AS b{s}" for s in range(num_hashes)],
             ),
             "_old",
         )
-        .select(
+        .selectExpr(
             "_new",
-            (
-                sum(
-                    F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
+            "(%s) / %rD AS _est_j"
+            % (
+                " + ".join(
+                    f"(CASE WHEN a{s} = b{s} THEN 1 ELSE 0 END)"
                     for s in range(num_hashes)
-                )
-                / F.lit(float(num_hashes))
-            ).alias("_est_j"),
+                ),
+                float(num_hashes),
+            ),
         )
     )
     near_old = est.filter(F.col("_est_j") >= min_jaccard).select("_new").distinct()

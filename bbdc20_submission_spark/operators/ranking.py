@@ -164,11 +164,19 @@ def bm25_score_multi(
     k1: float = 1.2,
     b: float = 0.75,
     corpus_stats: tuple[int, float] | None = None,
+    union_tokens: Sequence[str] | None = None,
 ) -> DataFrame:
     """Okapi BM25 of every document against EVERY query in a query
     dim: [query_id_col, id_col, score]. The multi-query retrieval
     shape (batch scoring for eval sets, decontamination probes,
     query-targeted corpus slicing at scale).
+
+    ``union_tokens``: the distinct union of all query tokens, when the
+    caller already knows it (a literal query dim) — skips the
+    plan-time distinct+collect job over the query frame (r13; the dim
+    is tiny, but the job's fixed cost is paid per score build). Must
+    equal the true union: a superset merely weakens the scan filter,
+    but a MISSING token silently drops its contribution.
 
     Scale shape: corpus tokens are semi-joined against the broadcast
     union of all query tokens BEFORE any aggregation, so the explode
@@ -191,8 +199,12 @@ def bm25_score_multi(
     # join build, exactly like the single-query operator. The
     # per-(query, token) pairs still ride a broadcast join for the
     # scoring fan-out.
-    union_toks = sorted(
-        r["_tok"] for r in qtok.select("_tok").distinct().collect()
+    union_toks = (
+        sorted(set(union_tokens))
+        if union_tokens is not None
+        else sorted(
+            r["_tok"] for r in qtok.select("_tok").distinct().collect()
+        )
     )
     if not union_toks:
         raise ValueError("bm25_score_multi needs at least one query token")

@@ -19,6 +19,32 @@ from pyspark.sql import functions as F
 from bbdc20_submission_spark.caching import managed_persist
 
 
+def dot_sql(a_sql: str, b_sql: str) -> str:
+    """SQL text of :func:`dot` over two array-SQL fragments.
+
+    The r13 build-cost form: every Python-lambda HOF costs ~20-40 ms
+    of py4j round trips to assemble (measured — `_create_lambda` is
+    2-4 JVM calls per lambda plus per-literal traffic), while a SQL
+    string is ONE parse call. `sameSemantics` against the Column form
+    is True (verified), so plans, codegen, and certified values are
+    identical — only driver build time changes."""
+    return (
+        f"aggregate(zip_with({a_sql}, {b_sql}, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def l2_norm_sql(a_sql: str) -> str:
+    """SQL text of :func:`l2_norm` over an array-SQL fragment (see
+    :func:`dot_sql` for why the string form exists)."""
+    return (
+        f"sqrt(aggregate(transform({a_sql}, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        "0.0D, (acc, v) -> acc + v))"
+    )
+
+
 def dot(a: Column, b: Column) -> Column:
     """Elementwise product + sum, in double precision."""
     return F.aggregate(
@@ -61,27 +87,25 @@ def cosine_topk_bruteforce(
     aggregates per pair where only the dot product actually varies.
     Bit-identical (same fold over the same values in the same order,
     then the same _qn * _cn product) — the oracle-certified families
-    pin that."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qv"),
-        l2_norm(F.col(vec_col)).alias("_qn"),
+    pin that. Expressions ride SQL strings (r13 build sweep,
+    `sameSemantics`-identical to the Column forms — see dot_sql)."""
+    q = queries.selectExpr(
+        f"`{id_col}` AS query_id",
+        f"`{vec_col}` AS _qv",
+        f"{l2_norm_sql(f'`{vec_col}`')} AS _qn",
     )
-    c = corpus.select(
-        F.col(id_col).alias("match_id"),
-        F.col(vec_col).alias("_cv"),
-        l2_norm(F.col(vec_col)).alias("_cn"),
+    c = corpus.selectExpr(
+        f"`{id_col}` AS match_id",
+        f"`{vec_col}` AS _cv",
+        f"{l2_norm_sql(f'`{vec_col}`')} AS _cn",
     )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("match_id") != F.col("query_id"))
-        .select(
+        .selectExpr(
             "query_id",
             "match_id",
-            (
-                dot(F.col("_qv"), F.col("_cv"))
-                / (F.col("_qn") * F.col("_cn"))
-            ).alias("_sim"),
+            f"{dot_sql('_qv', '_cv')} / (_qn * _cn) AS _sim",
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -186,7 +210,7 @@ def cosine_topk_lsh(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
-        l2_norm(F.col(vec_col)).alias("_qn"),
+        F.expr(l2_norm_sql(f"`{vec_col}`")).alias("_qn"),
         sig.alias("_sig0"),
     )
     if multiprobe:
@@ -205,19 +229,16 @@ def cosine_topk_lsh(
     c = corpus.select(
         F.col(id_col).alias("match_id"),
         F.col(vec_col).alias("_cv"),
-        l2_norm(F.col(vec_col)).alias("_cn"),
+        F.expr(l2_norm_sql(f"`{vec_col}`")).alias("_cn"),
         sig.alias("_bucket"),
     )
     scored = (
         c.join(F.broadcast(q), "_bucket")
         .filter(F.col("match_id") != F.col("query_id"))
-        .select(
+        .selectExpr(
             "query_id",
             "match_id",
-            (
-                dot(F.col("_qv"), F.col("_cv"))
-                / (F.col("_qn") * F.col("_cn"))
-            ).alias("_sim"),
+            f"{dot_sql('_qv', '_cv')} / (_qn * _cn) AS _sim",
         )
     )
     if multiprobe:
@@ -270,23 +291,31 @@ def quantize_embeddings(
     the fold itself stays a once-per-row Project because the CASE
     references it twice (pinned by
     tests/test_plan_quality.py::test_quantize_amax_folds_once_per_row)."""
-    v = F.col(vec_col)
     amax_col = f"{out_col}_amax"
-    amax = F.col(amax_col)
-    scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
+    # SQL-string forms (r13 build sweep): sameSemantics-identical to
+    # the previous Column/lambda trees — the amax still rides its own
+    # projected column, referenced twice by the CASE, so the collapse
+    # guard documented above is structurally unchanged.
     return (
         df.withColumn(
             amax_col,
-            F.array_max(F.transform(v, lambda x: F.abs(x.cast("double")))),
+            F.expr(
+                f"array_max(transform(`{vec_col}`, "
+                "x -> abs(CAST(x AS DOUBLE))))"
+            ),
         )
-        .withColumn(f"{out_col}_scale", scale)
+        .withColumn(
+            f"{out_col}_scale",
+            F.expr(
+                f"CASE WHEN `{amax_col}` > 0 THEN `{amax_col}` / 127.0D "
+                "ELSE 1.0D END"
+            ),
+        )
         .withColumn(
             out_col,
-            F.transform(
-                v,
-                lambda x: F.round(
-                    x.cast("double") / F.col(f"{out_col}_scale")
-                ).cast("tinyint"),
+            F.expr(
+                f"transform(`{vec_col}`, x -> CAST(round("
+                f"CAST(x AS DOUBLE) / `{out_col}_scale`) AS TINYINT))"
             ),
         )
         .drop(amax_col)
@@ -439,7 +468,7 @@ def embedding_near_dups(
         df.select(
             F.col(id_col).alias("_id"),
             F.col(vec_col).alias("_v"),
-            l2_norm(F.col(vec_col)).alias("_n"),
+            F.expr(l2_norm_sql(f"`{vec_col}`")).alias("_n"),
             F.posexplode(sigs).alias("_band", "_sig"),
         )
     )
@@ -453,13 +482,21 @@ def embedding_near_dups(
         # of the hot agg). Bounded: the hot dim holds at most
         # n_bands * n / cap rows.
         occ = tagged.groupBy(*cols).agg(F.count(F.lit(1)).alias("_bn"))
-        est_pairs = int(
-            occ.agg(F.sum(F.col("_bn") * F.col("_bn")).alias("_v")).first()[
-                "_v"
-            ]
-            or 0
-        )
-        hot_rows = occ.filter(F.col("_bn") > bucket_cap).collect()
+        # ONE guard job (r13): the candidate-volume scalar and the hot
+        # dim come out of a single aggregate — collect_list skips
+        # nulls, so the filtered struct list IS the hot dim (bounded:
+        # at most n_bands * n / cap entries). The previous two-action
+        # form paid a second full pass over the occupancy agg.
+        guard = occ.agg(
+            F.sum(F.col("_bn") * F.col("_bn")).alias("_v"),
+            F.collect_list(
+                F.when(
+                    F.col("_bn") > bucket_cap, F.struct(*cols, "_bn")
+                )
+            ).alias("_hot"),
+        ).first()
+        est_pairs = int(guard["_v"] or 0)
+        hot_rows = list(guard["_hot"])
         if est_pairs > candidate_pair_budget:
             import warnings
 
@@ -530,7 +567,7 @@ def embedding_near_dups(
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "_sim",
-            dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
+            F.expr(f"{dot_sql('_va', '_vb')} / (_na * _nb)"),
         )
         # filter on the UNROUNDED cosine (matches a `WHERE cos >= t`
         # oracle at the threshold boundary), round only for output
@@ -739,28 +776,29 @@ def pq_encode(
     assignment path), so encoding 100 TB is a map over splits with no
     side input and no shuffle. Ties break to the lowest code
     (array_position returns the first match)."""
-    v = F.col(vec_col).cast("array<double>")
+    # ONE generated SQL expression (r13 build sweep): the previous
+    # Column/lambda form assembled m * ksub aggregate(zip_with(...))
+    # trees with per-literal py4j traffic — ~1 s of driver build time
+    # at m=4, ksub=16 — while the parsed string is sameSemantics-
+    # identical (same slice/zip_with/fold trees, same double literals
+    # via repr round-trip).
+    from bbdc20_submission_spark.operators.clustering import (
+        _sql_double_array,
+    )
+
+    v_sql = f"CAST(`{vec_col}` AS array<double>)"
     dsub, codes = pq.dsub, []
     for b in range(pq.m):
-        sub = F.slice(v, b * dsub + 1, dsub)
-        dists = F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        sub,
-                        F.array(*[F.lit(float(x)) for x in c]),
-                        lambda x, y: (x - y) * (x - y),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, val: acc + val,
-                )
-                for c in pq.codebooks[b]
-            ]
+        sub = f"slice({v_sql}, {b * dsub + 1}, {dsub})"
+        dists = "array(%s)" % ",".join(
+            f"aggregate(zip_with({sub}, {_sql_double_array(c)}, "
+            "(x, y) -> (x - y) * (x - y)), 0.0D, (acc, val) -> acc + val)"
+            for c in pq.codebooks[b].tolist()
         )
         codes.append(
-            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+            f"CAST(array_position({dists}, array_min({dists})) - 1 AS INT)"
         )
-    return df.withColumn(out_col, F.array(*codes))
+    return df.withColumn(out_col, F.expr("array(%s)" % ",".join(codes)))
 
 
 def pq_topk_adc(
@@ -801,18 +839,12 @@ def pq_topk_adc(
     qdf = spark.createDataFrame(
         qrows, "query_id long, _table array<array<double>>"
     )
-    scored = codes.crossJoin(F.broadcast(qdf)).select(
+    scored = codes.crossJoin(F.broadcast(qdf)).selectExpr(
         "query_id",
-        F.col(id_col),
-        F.aggregate(
-            F.zip_with(
-                F.col(code_col),
-                F.col("_table"),
-                lambda c, t: F.element_at(t, c + 1),
-            ),
-            F.lit(0.0),
-            lambda acc, val: acc + val,
-        ).alias("adc_dist"),
+        f"`{id_col}`",
+        f"aggregate(zip_with(`{code_col}`, _table, "
+        "(c, t) -> element_at(t, c + 1)), 0.0D, "
+        "(acc, val) -> acc + val) AS adc_dist",
     )
     w = Window.partitionBy("query_id").orderBy("adc_dist", F.col(id_col))
     return (
@@ -842,18 +874,19 @@ def ivfpq_encode(
     splits with no shuffle."""
     from bbdc20_submission_spark.operators.clustering import _with_cluster
 
+    from bbdc20_submission_spark.operators.clustering import (
+        _sql_double_array,
+    )
+
     centers = model.centers
     out = _with_cluster(df, centers, vec_col, out_col=cell_col)
-    centers_lit = F.array(
-        *[
-            F.array(*[F.lit(float(x)) for x in c])
-            for c in centers.tolist()
-        ]
+    centers_sql = "array(%s)" % ",".join(
+        _sql_double_array(c) for c in centers.tolist()
     )
-    residual = F.zip_with(
-        F.col(vec_col).cast("array<double>"),
-        F.element_at(centers_lit, (F.col(cell_col) + 1).cast("int")),
-        lambda x, c: x - c,
+    residual = F.expr(
+        f"zip_with(CAST(`{vec_col}` AS array<double>), "
+        f"element_at({centers_sql}, CAST(`{cell_col}` + 1 AS INT)), "
+        "(x, c) -> x - c)"
     )
     out = out.withColumn("_res", residual)
     out = pq_encode(out, pq, vec_col="_res", out_col=code_col)
@@ -903,18 +936,12 @@ def ivfpq_topk(
     qdf = spark.createDataFrame(
         qrows, f"query_id long, {cell_col} long, _table array<array<double>>"
     )
-    scored = index.join(F.broadcast(qdf), cell_col).select(
+    scored = index.join(F.broadcast(qdf), cell_col).selectExpr(
         "query_id",
-        F.col(id_col),
-        F.aggregate(
-            F.zip_with(
-                F.col(code_col),
-                F.col("_table"),
-                lambda c, t: F.element_at(t, c + 1),
-            ),
-            F.lit(0.0),
-            lambda acc, val: acc + val,
-        ).alias("adc_dist"),
+        f"`{id_col}`",
+        f"aggregate(zip_with(`{code_col}`, _table, "
+        "(c, t) -> element_at(t, c + 1)), 0.0D, "
+        "(acc, val) -> acc + val) AS adc_dist",
     )
     w = Window.partitionBy("query_id").orderBy("adc_dist", F.col(id_col))
     return (

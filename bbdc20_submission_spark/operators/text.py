@@ -51,6 +51,12 @@ def ws_tokens(text: Column | str) -> Column:
     return F.split(t, " ")
 
 
+def _ws_tokens_sql(text_col: str) -> str:
+    """SQL fragment of :func:`ws_tokens` over a plain column name —
+    sameSemantics-identical (both parse to split(col, ' ', -1))."""
+    return f"split(`{text_col}`, ' ')"
+
+
 def regex_tokens(text: Column | str, pattern: str = TOKEN_PATTERN) -> Column:
     """BPE-ish regex tokenization -> array<string> (letter runs, digit
     runs, single symbols)."""
@@ -63,8 +69,18 @@ def token_count(text: Column | str, mode: str = "ws") -> Column:
     return F.size(ws_tokens(text) if mode == "ws" else regex_tokens(text))
 
 
-def stopword_hits(tokens: Column, vocabulary: Sequence[str]) -> Column:
-    """Number of tokens that are in ``vocabulary`` (with repeats)."""
+def stopword_hits(tokens: Column | str, vocabulary: Sequence[str]) -> Column:
+    """Number of tokens that are in ``vocabulary`` (with repeats).
+
+    ``tokens`` may be a SQL fragment (str) — the r13 build-sweep form:
+    the vocab literal array plus the filter lambda cost ~N+30 py4j
+    round trips per call as Columns (language_id pays it per language)
+    vs one parse; sameSemantics-identical."""
+    if isinstance(tokens, str):
+        vocab_sql = "array(%s)" % ",".join(f"'{w}'" for w in vocabulary)
+        return F.expr(
+            f"size(filter({tokens}, x -> array_contains({vocab_sql}, x)))"
+        )
     vocab = F.array(*[F.lit(w) for w in vocabulary])
     return F.size(F.filter(tokens, lambda x: F.array_contains(vocab, x)))
 
@@ -89,7 +105,7 @@ def raw_text_stats(text_col: str = "text") -> dict[str, Column]:
     digits = n_chars - F.length(F.translate(t, "0123456789", ""))
     spaces = n_chars - F.length(F.translate(t, " ", ""))
     punct = n_chars - alpha - digits - spaces
-    sw = stopword_hits(toks, STOPWORDS["en"])
+    sw = stopword_hits(_ws_tokens_sql(text_col), STOPWORDS["en"])
     # n_chars is 0 for the empty document — routine in web corpora;
     # under Spark 4's default ANSI mode a bare division would ABORT
     # the whole job with DIVIDE_BY_ZERO, so empty docs get 0.0 ratios
@@ -153,9 +169,9 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
     """Heuristic language ID: per-language stopword hit counts, argmax
     with ties -> alphabetically first language (deterministic)."""
-    toks = ws_tokens(F.col(text_col))
+    toks_sql = _ws_tokens_sql(text_col)
     scored = df.select(
-        "*", *[stopword_hits(toks, ws).alias(f"_hits_{lang}") for lang, ws in sorted(STOPWORDS.items())]
+        "*", *[stopword_hits(toks_sql, ws).alias(f"_hits_{lang}") for lang, ws in sorted(STOPWORDS.items())]
     )
     langs = sorted(STOPWORDS)
     hits = F.array(*[F.col(f"_hits_{lang}") for lang in langs])
@@ -181,7 +197,7 @@ def rolling_fingerprint(
 
 
 def portable_fingerprint(
-    tokens: Column, base: int = 257, mod: int = 1_000_000_007
+    tokens: Column | str, base: int = 257, mod: int = 1_000_000_007
 ) -> Column:
     """Rolling fingerprint with an engine-portable token hash: the
     first 8 hex chars of md5(token) as an integer, folded into
@@ -190,6 +206,14 @@ def portable_fingerprint(
     fingerprint oracle-checkable cross-engine. Same polynomial shape
     and cost profile as ``rolling_fingerprint`` (md5 is ~3x slower
     than xxhash64 per token — still a narrow JVM-side map)."""
+    if isinstance(tokens, str):
+        # SQL-fragment form (r13 build sweep): one parse instead of
+        # the two-lambda py4j assembly; sameSemantics-identical
+        return F.expr(
+            f"aggregate({tokens}, CAST(0 AS BIGINT), (acc, x) -> "
+            f"(acc * {base} + pmod(CAST(conv(substring(md5(x), 1, 8), "
+            f"16, 10) AS BIGINT), {mod})) % {mod})"
+        )
     return F.aggregate(
         tokens,
         F.lit(0).cast("long"),
@@ -385,18 +409,19 @@ def classifier_quality_score(
         raise ValueError(
             f"weights has {len(weights)} entries, expected n_features={n_features}"
         )
-    W = F.array(*[F.lit(float(w)) for w in weights])
-    toks = ws_tokens(F.col(text_col))
-
-    def _w(x: Column) -> Column:
-        h = F.pmod(
-            portable_md5_prefix64(x),
-            F.lit(n_features),
-        )
-        return F.element_at(W, (h + 1).cast("int"))
-
-    z = F.aggregate(toks, F.lit(0.0), lambda acc, x: acc + _w(x)) / F.size(toks)
-    return df.withColumn(out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
+    # ONE parsed SQL expression (r13 build sweep): the literal weight
+    # array alone cost n_features py4j round trips per build (~0.3 s
+    # at 256), plus the fold lambda; sameSemantics-identical.
+    w_sql = "array(%s)" % ",".join(f"{float(w)!r}D" for w in weights)
+    toks_sql = _ws_tokens_sql(text_col)
+    z_sql = (
+        f"aggregate({toks_sql}, 0.0D, (acc, x) -> acc + element_at({w_sql}, "
+        "CAST(pmod(CAST(conv(substring(md5(x), 1, 8), 16, 10) AS BIGINT), "
+        f"{n_features}) + 1 AS INT))) / size({toks_sql})"
+    )
+    return df.withColumn(
+        out_col, F.expr(f"1.0D / (1.0D + exp(-({z_sql})))")
+    )
 
 
 def bigram_lm_scores(

@@ -78,6 +78,23 @@ def _plant_offset(
         ).collect()[0]["m"]
     return int(m) + 1
 
+# Shared SQL-string fragments for the embedding suites (r13 build
+# sweep: Python-lambda HOFs cost ~20-40 ms of py4j traffic each to
+# assemble; these parsed strings are sameSemantics-identical).
+_V_DBL_SQL = "transform(embedding, x -> CAST(x AS DOUBLE))"
+_WS_TOKENS_TEXT_SQL = "split(text, ' ')"
+
+
+def _twin_sql(c1: float, c2: float) -> str:
+    """SQL for the planted near-twin arithmetic
+    ``zip_with(v, reverse(v), (x, y) -> x*c1 + y*c2)`` over the
+    double-cast embedding — the same formula the oracles derive."""
+    return (
+        f"zip_with({_V_DBL_SQL}, reverse({_V_DBL_SQL}), "
+        f"(x, y) -> x * {c1!r}D + y * {c2!r}D)"
+    )
+
+
 # Shared DuckDB CTE chain: exact 3-word-shingle Jaccard over ALL pairs
 # (brute force — the oracle-side ground truth the banded Spark paths
 # are certified against; quadratic, so oracle-only, never the engine).
@@ -396,9 +413,25 @@ def d7_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the computed index frame feeds three consumers inside the flow
     # (exact anti-join, banding, estimate join) — checkpoint so the
     # history signature build runs once, as it would when the index
-    # is read from storage (the production shape)
-    idx = build_dedup_index(hist, portable=True).localCheckpoint()
-    kept, updated = incremental_dedup(batch, idx, portable=True)
+    # is read from storage (the production shape). The history and
+    # batch index builds are INDEPENDENT, so their materializations
+    # run as two concurrent driver-submitted jobs (guide §2.6: each
+    # build's straggler tail back-fills with the other's tasks) —
+    # serially they were the two largest barriers of the d7 build
+    # chain. Identical frames either way.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as ex:
+        f_idx = ex.submit(
+            lambda: build_dedup_index(hist, portable=True).localCheckpoint()
+        )
+        f_bidx = ex.submit(
+            lambda: build_dedup_index(batch, portable=True).localCheckpoint()
+        )
+        idx, bidx = f_idx.result(), f_bidx.result()
+    kept, updated = incremental_dedup(
+        batch, idx, portable=True, batch_index=bidx
+    )
     nb = F.lit(None).cast("long")
     nj = F.lit(None).cast("double")
     kept_rows = kept.select(
@@ -1111,7 +1144,7 @@ def d5_token_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("text", F.lit(TOKEN_PATTERN), 0))
         .cast("long")
         .alias("bpe_tokens"),
-        portable_fingerprint(ws_tokens("text")).alias("fingerprint"),
+        portable_fingerprint(_WS_TOKENS_TEXT_SQL).alias("fingerprint"),
     )
     docs = d.select(
         "doc_id",
@@ -1312,7 +1345,7 @@ def s_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # produces, bit-identical to the oracle's CAST(qe AS DOUBLE[])
     # cosine), and each pair pays exactly one zip_with + one fold
     # (dot casts inside its lambda). 64x probe: 83 -> 26 s.
-    from bbdc20_submission_spark.operators.similarity import dot
+    from bbdc20_submission_spark.operators.similarity import dot_sql
 
     from bbdc20_submission_spark.caching import managed_persist
 
@@ -1329,15 +1362,13 @@ def s_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "embedding_q", "embedding_q_scale"
         )
     )
-    qn = F.sqrt(
-        F.aggregate(
-            F.col("embedding_q"),
-            F.lit(0.0),
-            lambda acc, x: acc + x.cast("double") * x.cast("double"),
-        )
-    )
-    qz = qz.select(
-        "vec_id", F.col("embedding_q").alias("_qi"), qn.alias("_qn")
+    # the norm's one-fold-per-row shape is unchanged; the expression
+    # rides a SQL string (r13 build sweep, sameSemantics-identical)
+    qz = qz.selectExpr(
+        "vec_id",
+        "embedding_q AS _qi",
+        "sqrt(aggregate(embedding_q, 0.0D, "
+        "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS _qn",
     )
     qa = qz.select(
         F.col("vec_id").alias("query_id"),
@@ -1352,12 +1383,10 @@ def s_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     qscored = (
         qb.crossJoin(F.broadcast(qa))
         .filter(F.col("match_id") != F.col("query_id"))
-        .select(
-            "query_id", "match_id",
-            (
-                dot(F.col("_qa"), F.col("_qb"))
-                / (F.col("_na") * F.col("_nb"))
-            ).alias("_sim"),
+        .selectExpr(
+            "query_id",
+            "match_id",
+            f"{dot_sql('_qa', '_qb')} / (_na * _nb) AS _sim",
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1429,13 +1458,10 @@ def s3_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     angle ~7e-6; verified deterministically at every test SF)."""
     off = _plant_offset(spark, sf_dir)
     em = load_table(spark, "embeddings", sf_dir)
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    base = em.select("vec_id", v.alias("embedding"))
+    base = em.select("vec_id", F.expr(_V_DBL_SQL).alias("embedding"))
     planted = em.filter(F.col("vec_id") < 8).select(
         (F.col("vec_id") + F.lit(off)).alias("vec_id"),
-        F.zip_with(v, F.reverse(v), lambda x, y: x * 0.98 + y * 0.02).alias(
-            "embedding"
-        ),
+        F.expr(_twin_sql(0.98, 0.02)).alias("embedding"),
     )
     aug = base.unionByName(planted)
     return embedding_near_dups(aug, threshold=0.9, n_planes=8, dim=64, n_bands=4)
@@ -1499,13 +1525,10 @@ def s4_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     THRESH = 0.95
     off = _plant_offset(spark, sf_dir)
     em = load_table(spark, "embeddings", sf_dir)
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    base = em.select("vec_id", v.alias("embedding"))
+    base = em.select("vec_id", F.expr(_V_DBL_SQL).alias("embedding"))
     planted = em.filter(F.col("vec_id") < 8).select(
         (F.col("vec_id") + F.lit(off)).alias("vec_id"),
-        F.zip_with(v, F.reverse(v), lambda x, y: x * 0.995 + y * 0.005).alias(
-            "embedding"
-        ),
+        F.expr(_twin_sql(0.995, 0.005)).alias("embedding"),
     )
     aug = base.unionByName(planted)
     n_hint = table_row_count("embeddings", sf_dir)
@@ -1593,14 +1616,13 @@ def s5_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     off = _plant_offset(spark, sf_dir)
     em = load_table(spark, "embeddings", sf_dir)
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    base = em.select("vec_id", v.alias("embedding"))
+    base = em.select("vec_id", F.expr(_V_DBL_SQL).alias("embedding"))
     q = base.filter(F.col("vec_id") < 5)
     twins = q.select(
         (F.col("vec_id") + F.lit(off)).alias("vec_id"),
-        F.zip_with(
-            F.col("embedding"), F.reverse("embedding"),
-            lambda x, y: x * 0.995 + y * 0.005,
+        F.expr(
+            "zip_with(embedding, reverse(embedding), "
+            "(x, y) -> x * 0.995D + y * 0.005D)"
         ).alias("embedding"),
     )
     corpus = base.unionByName(twins)
@@ -1959,7 +1981,17 @@ def r_ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "query_id int, tokens array<string>",
     )
-    runs = bm25_score_multi(d, qd, corpus_stats=stats)
+    runs = bm25_score_multi(
+        d,
+        qd,
+        corpus_stats=stats,
+        # literal query dim -> the union token set is known here;
+        # passing it skips the distinct+collect plan-time job (r13)
+        union_tokens=[
+            "data", "fast", "query", "spark", "table", "row", "scan",
+            "merge", "sort", "hash", "batch", "window",
+        ],
+    )
     # graded qrels as a ZERO-shuffle narrow map: for a fixed query dim
     # the per-query intersect size is a literal array_intersect per
     # query, stacked — no explode, no join, no aggregation (the shape
