@@ -1606,20 +1606,27 @@ def _excise_flagged(
     membership set was cached the same plan arose implicitly from
     Catalyst's size estimate; caching hides the estimate, so the
     hint pins it."""
-    from pyspark.sql import Window
-
-    flagged = flagged.withColumn("_e", F.col("_s") + F.lit(L - 1))
-    w = Window.partitionBy(id_col).orderBy("_s")
-    prev_end = F.max("_e").over(w.rowsBetween(Window.unboundedPreceding, -1))
-    new_island = F.when(
-        prev_end.isNull() | (F.col("_s") > prev_end + 1), F.lit(1)
-    ).otherwise(F.lit(0))
+    # window SQL strings (r13 build sweep): the Column/Window form cost
+    # ~0.2 s of py4j per call and this tail runs three times per d5
+    # build. The nested-window form (max-over-window inside the
+    # island-sum's operand) resolves to the same two Window operators
+    # the analyzer extracted before — one Sort+Exchange either way,
+    # identical values.
+    over_prev = (
+        f"OVER (PARTITION BY `{id_col}` ORDER BY _s "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+    )
+    over_cum = (
+        f"OVER (PARTITION BY `{id_col}` ORDER BY _s "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
     islands = (
-        flagged.withColumn(
-            "_isl",
-            F.sum(new_island).over(
-                w.rowsBetween(Window.unboundedPreceding, 0)
-            ),
+        flagged.selectExpr("*", f"_s + {L - 1} AS _e")
+        .selectExpr("*", f"max(_e) {over_prev} AS _prev")
+        .selectExpr(
+            "*",
+            "sum(CASE WHEN _prev IS NULL OR _s > _prev + 1 THEN 1 "
+            f"ELSE 0 END) {over_cum} AS _isl",
         )
         .groupBy(id_col, "_isl")
         .agg(F.min("_s").alias("s"), F.max("_e").alias("e"))
