@@ -58,6 +58,15 @@ def get_spark(app_name: str = "bbdc20_submission_spark") -> SparkSession:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let the planner pick shuffled-hash join when its size checks
+        # pass (guide-recommended baseline; sort-merge remains the
+        # fallback). A/B'd on the full 50-query bench this round —
+        # see OPTIMIZATION_r13.md; env knob so either side of the A/B
+        # is reproducible.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         # legacy events.ts layout (TIMESTAMP NANOS) reads as long;
         # harmless for the µs layouts — set here so sessions we own
