@@ -44,26 +44,35 @@ def chunk_by_tokens(
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("need 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
-    toks = ws_tokens(text_col)
-    n = F.size(toks)
     # chunk starts: 0, stride, 2*stride, ... < n (the reference
-    # get_windows convention, utils.py:10-16)
-    n_chunks = F.greatest(F.ceil(n / F.lit(stride)), F.lit(1))
-    out = df.select(
-        F.col(id_col),
-        F.col(text_col).alias("_text"),
-        toks.alias("_toks"),
-        *[F.col(c) for c in keep_cols],
-        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("long"))).alias("chunk_id"),
+    # get_windows convention, utils.py:10-16). r13: the chunk SLICES
+    # are produced by ONE generator expression evaluated once per
+    # DOCUMENT (posexplode of transform(sequence, slice)). The earlier
+    # explode(sequence)-then-slice form left split(text) in the
+    # Project above the Generate, re-tokenizing the full document once
+    # per CHUNK row (O(tokens * chunks) character work, no plan tell
+    # beyond the duplicated split in the formatted plan). posexplode's
+    # pos column reproduces chunk_id exactly (sequence order).
+    chunks_sql = (
+        f"transform(sequence(0, CAST(greatest(ceil(size(`_toks`) "
+        f"/ {float(stride)!r}D), 1) - 1 AS BIGINT)), "
+        f"i -> slice(`_toks`, CAST(i * {stride} + 1 AS INT), {chunk_tokens}))"
     )
-    chunk = F.slice(
-        F.col("_toks"), (F.col("chunk_id") * stride + 1).cast("int"), chunk_tokens
+    base = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        ws_tokens(text_col).alias("_toks"),
+    )
+    out = base.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        F.posexplode(F.expr(chunks_sql)).alias("chunk_id", "_chunk"),
     )
     return out.select(
         id_col,
         F.col("chunk_id").cast("long").alias("chunk_id"),
-        F.concat_ws(" ", chunk).alias("chunk_text"),
-        F.size(chunk).cast("long").alias("n_tokens"),
+        F.concat_ws(" ", F.col("_chunk")).alias("chunk_text"),
+        F.size(F.col("_chunk")).cast("long").alias("n_tokens"),
         *keep_cols,
     )
 

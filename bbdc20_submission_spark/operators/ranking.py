@@ -33,15 +33,28 @@ from pyspark.sql import functions as F
 from bbdc20_submission_spark.operators.text import ws_tokens
 
 
+def _exploded_tokens(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """[_id, _dl, _tok] — one row per token. The doc length and the
+    token array are computed in a projection BELOW the explode, so the
+    tokenizer runs once per DOCUMENT. The previous single-select form
+    (size(split) next to explode(split)) left the Generate over the
+    raw text and re-evaluated size(split(text)) in the Project above
+    it — once per TOKEN row, O(tokens^2) character work per document
+    with no plan-level shuffle tell."""
+    return docs.select(
+        F.col(id_col).alias("_id"),
+        F.size(ws_tokens(text_col)).alias("_dl"),
+        ws_tokens(text_col).alias("_tk"),
+    ).select("_id", "_dl", F.explode("_tk").alias("_tok"))
+
+
 def _doc_terms(
     docs: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
     """[id, token, tf (count in doc), dl (doc token length)]."""
-    toks = docs.select(
-        F.col(id_col).alias("_id"),
-        F.size(ws_tokens(text_col)).alias("_dl"),
-        F.explode(ws_tokens(text_col)).alias("_tok"),
-    )
+    toks = _exploded_tokens(docs, id_col, text_col)
     return toks.groupBy("_id", "_tok").agg(
         F.count(F.lit(1)).alias("_tf"), F.first("_dl").alias("_dl")
     )
@@ -126,11 +139,9 @@ def bm25_score(
     n_docs, avg_dl = corpus_stats or bm25_corpus_stats(docs, text_col)
 
     q_arr = F.array(*[F.lit(t) for t in qset])
-    toks = docs.select(
-        F.col(id_col).alias("_id"),
-        F.size(ws_tokens(text_col)).alias("_dl"),
-        F.explode(ws_tokens(text_col)).alias("_tok"),
-    ).filter(F.array_contains(q_arr, F.col("_tok")))
+    toks = _exploded_tokens(docs, id_col, text_col).filter(
+        F.array_contains(q_arr, F.col("_tok"))
+    )
     terms = toks.groupBy("_id", "_tok").agg(
         F.count(F.lit(1)).alias("_tf"), F.first("_dl").alias("_dl")
     )
@@ -211,11 +222,9 @@ def bm25_score_multi(
     n_docs, avg_dl = corpus_stats or bm25_corpus_stats(docs, text_col)
 
     q_arr = F.array(*[F.lit(t) for t in union_toks])
-    toks = docs.select(
-        F.col(id_col).alias("_id"),
-        F.size(ws_tokens(text_col)).alias("_dl"),
-        F.explode(ws_tokens(text_col)).alias("_tok"),
-    ).filter(F.array_contains(q_arr, F.col("_tok")))
+    toks = _exploded_tokens(docs, id_col, text_col).filter(
+        F.array_contains(q_arr, F.col("_tok"))
+    )
     terms = toks.groupBy("_id", "_tok").agg(
         F.count(F.lit(1)).alias("_tf"), F.first("_dl").alias("_dl")
     )

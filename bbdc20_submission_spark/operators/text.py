@@ -85,14 +85,28 @@ def stopword_hits(tokens: Column | str, vocabulary: Sequence[str]) -> Column:
     return F.size(F.filter(tokens, lambda x: F.array_contains(vocab, x)))
 
 
-def raw_text_stats(text_col: str = "text") -> dict[str, Column]:
+def raw_text_stats(
+    text_col: str = "text",
+    toks: Column | None = None,
+    sw: Column | None = None,
+) -> dict[str, Column]:
     """Unrounded stat expressions keyed by name. The single source of
     truth for both ``text_stats`` (which rounds for display) and
     ``quality_score`` (which must combine UNROUNDED ratios so the
     composite is rounded exactly once, matching single-rounding
-    oracles)."""
+    oracles).
+
+    ``toks``/``sw`` (r13): references to an already-materialized token
+    array / stopword-hit count. The default (build them inline from
+    ``text_col``) re-evaluates split(text) once per OCCURRENCE in the
+    consumer's projection — HOF-bearing Projects run fully interpreted
+    with no codegen and no subexpression elimination, so the collapsed
+    d2 projection paid ~9 split passes + 3 stopword filter passes per
+    row. Callers that project the array/count once (multi-referenced
+    aliases block CollapseProject from re-inlining them) get each pass
+    exactly once."""
     t = F.col(text_col)
-    toks = ws_tokens(t)
+    toks = ws_tokens(t) if toks is None else toks
     n_chars = F.length(t)
     n_tokens = F.size(toks)
     # char-class counts via translate (delete the class, diff the
@@ -105,7 +119,8 @@ def raw_text_stats(text_col: str = "text") -> dict[str, Column]:
     digits = n_chars - F.length(F.translate(t, "0123456789", ""))
     spaces = n_chars - F.length(F.translate(t, " ", ""))
     punct = n_chars - alpha - digits - spaces
-    sw = stopword_hits(_ws_tokens_sql(text_col), STOPWORDS["en"])
+    if sw is None:
+        sw = stopword_hits(_ws_tokens_sql(text_col), STOPWORDS["en"])
     # n_chars is 0 for the empty document — routine in web corpora;
     # under Spark 4's default ANSI mode a bare division would ABORT
     # the whole job with DIVIDE_BY_ZERO, so empty docs get 0.0 ratios
@@ -137,21 +152,43 @@ def _quality_expr(raw: dict[str, Column]) -> Column:
     )
 
 
-def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Quality-scoring feature block: lengths, token stats, character-
-    class ratios, stopword ratio. One narrow projection. Ratio columns
-    are rounded to 6 decimals for output; use ``raw_text_stats`` when
-    composing further arithmetic on them."""
-    raw = raw_text_stats(text_col)
-    return df.select(
-        "*",
+def _stats_select(
+    df: DataFrame, text_col: str, with_quality: bool
+) -> DataFrame:
+    """Shared body of ``text_stats``/``quality_score`` (r13): the token
+    array and the stopword-hit count are projected ONCE below the stat
+    projection and referenced by name. Both temp aliases are referenced
+    more than once by their consumers, which blocks CollapseProject
+    from re-inlining them — without that, the collapsed projection
+    re-evaluated split(text) at every occurrence (interpreted, no CSE:
+    HOF-bearing Projects never enter whole-stage codegen). The final
+    projection is HOF-free, so it DOES codegen and its duplicated
+    translate() subtrees are subexpression-eliminated. Output
+    expressions are unchanged — bit-identical stats/quality."""
+    tk, swc = "__qs_toks", "__qs_sw"
+    s1 = df.select("*", F.expr(_ws_tokens_sql(text_col)).alias(tk))
+    s2 = s1.select("*", stopword_hits(f"`{tk}`", STOPWORDS["en"]).alias(swc))
+    raw = raw_text_stats(text_col, toks=F.col(tk), sw=F.col(swc))
+    out_cols = [F.col(c) for c in df.columns] + [
         raw["n_chars"].cast("long").alias("stat_n_chars"),
         raw["n_tokens"].cast("long").alias("stat_n_tokens"),
         F.round(raw["avg_token_len"], 6).alias("stat_avg_token_len"),
         F.round(raw["punct_ratio"], 6).alias("stat_punct_ratio"),
         F.round(raw["digit_ratio"], 6).alias("stat_digit_ratio"),
         F.round(raw["stopword_ratio"], 6).alias("stat_stopword_ratio"),
-    )
+    ]
+    if with_quality:
+        out_cols.append(F.round(_quality_expr(raw), 6).alias("quality"))
+    return s2.select(*out_cols)
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring feature block: lengths, token stats, character-
+    class ratios, stopword ratio. One narrow map (two collapsed-proof
+    projections; tokens materialized once). Ratio columns are rounded
+    to 6 decimals for output; use ``raw_text_stats`` when composing
+    further arithmetic on them."""
+    return _stats_select(df, text_col, with_quality=False)
 
 
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -161,23 +198,29 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     and rounds exactly once at the end, so it matches a single-rounding
     oracle formula bit-for-bit (the rounded stat_* display columns are
     not inputs to the score)."""
-    stats = text_stats(df, text_col)
-    raw = raw_text_stats(text_col)
-    return stats.withColumn("quality", F.round(_quality_expr(raw), 6))
+    return _stats_select(df, text_col, with_quality=True)
 
 
 def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
     """Heuristic language ID: per-language stopword hit counts, argmax
-    with ties -> alphabetically first language (deterministic)."""
-    toks_sql = _ws_tokens_sql(text_col)
-    scored = df.select(
-        "*", *[stopword_hits(toks_sql, ws).alias(f"_hits_{lang}") for lang, ws in sorted(STOPWORDS.items())]
+    with ties -> alphabetically first language (deterministic).
+
+    r13: the token array is projected once below the per-language hit
+    counts (multi-referenced alias -> no CollapseProject re-inline);
+    the old form inlined split(text) into all five interpreted filter
+    lambdas — five tokenizations per row."""
+    tk = "__lid_toks"
+    base = df.select("*", F.expr(_ws_tokens_sql(text_col)).alias(tk))
+    scored = base.select(
+        "*", *[stopword_hits(f"`{tk}`", ws).alias(f"_hits_{lang}") for lang, ws in sorted(STOPWORDS.items())]
     )
     langs = sorted(STOPWORDS)
     hits = F.array(*[F.col(f"_hits_{lang}") for lang in langs])
     lang_arr = F.array(*[F.lit(lang) for lang in langs])
     best = lang_arr.getItem(F.array_position(hits, F.array_max(hits)) - 1)
-    return scored.withColumn(out_col, best).drop(*[f"_hits_{lang}" for lang in langs])
+    return scored.withColumn(out_col, best).drop(
+        tk, *[f"_hits_{lang}" for lang in langs]
+    )
 
 
 def rolling_fingerprint(
@@ -411,16 +454,21 @@ def classifier_quality_score(
         )
     # ONE parsed SQL expression (r13 build sweep): the literal weight
     # array alone cost n_features py4j round trips per build (~0.3 s
-    # at 256), plus the fold lambda; sameSemantics-identical.
+    # at 256), plus the fold lambda; sameSemantics-identical. The
+    # token array is projected once below the score (two references —
+    # the fold and the size — block CollapseProject, so the old form's
+    # TWO split(text) evaluations per row become one).
     w_sql = "array(%s)" % ",".join(f"{float(w)!r}D" for w in weights)
-    toks_sql = _ws_tokens_sql(text_col)
+    tk = "__clf_toks"
+    base = df.select("*", F.expr(_ws_tokens_sql(text_col)).alias(tk))
     z_sql = (
-        f"aggregate({toks_sql}, 0.0D, (acc, x) -> acc + element_at({w_sql}, "
+        f"aggregate(`{tk}`, 0.0D, (acc, x) -> acc + element_at({w_sql}, "
         "CAST(pmod(CAST(conv(substring(md5(x), 1, 8), 16, 10) AS BIGINT), "
-        f"{n_features}) + 1 AS INT))) / size({toks_sql})"
+        f"{n_features}) + 1 AS INT))) / size(`{tk}`)"
     )
-    return df.withColumn(
-        out_col, F.expr(f"1.0D / (1.0D + exp(-({z_sql})))")
+    return base.select(
+        *[F.col(c) for c in df.columns],
+        F.expr(f"1.0D / (1.0D + exp(-({z_sql})))").alias(out_col),
     )
 
 

@@ -1138,13 +1138,19 @@ def d5_token_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, "documents", sf_dir)
+    # token array projected once (two references — size + the
+    # fingerprint fold — block CollapseProject): the single-select
+    # form re-split the text twice per row in an interpreted
+    # HOF-bearing Project (no codegen CSE)
     fp = d.select(
+        "doc_id", "text", F.expr(_WS_TOKENS_TEXT_SQL).alias("_fp_toks")
+    ).select(
         "doc_id",
-        F.size(ws_tokens("text")).cast("long").alias("ws_tokens"),
+        F.size("_fp_toks").cast("long").alias("ws_tokens"),
         F.size(F.regexp_extract_all("text", F.lit(TOKEN_PATTERN), 0))
         .cast("long")
         .alias("bpe_tokens"),
-        portable_fingerprint(_WS_TOKENS_TEXT_SQL).alias("fingerprint"),
+        portable_fingerprint("`_fp_toks`").alias("fingerprint"),
     )
     docs = d.select(
         "doc_id",
