@@ -84,7 +84,12 @@ def extract_features(
                 }
             )
 
-    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+    # ship only the two columns the batch fn reads — kind/mime/size
+    # metadata would otherwise ride the Arrow boundary per blob just
+    # to be dropped (same pruning compute_phash below already does)
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=FEATURE_SCHEMA
+    )
 
 
 def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
