@@ -263,19 +263,25 @@ def _dedup_batch(
         surv_docs, cands, id_col, text_col, shingle_k=shingle_k,
         min_jaccard=min_jaccard, sets=sets,
     ).filter(F.col("jaccard") >= min_jaccard)
-    reps = dedup_clusters(surv_docs, pairs, id_col).filter(
-        ~F.col("is_duplicate")
-    ).select(id_col)
-    kept = surv_docs.join(reps, id_col, "left_semi")
-    # kept is consumed twice by every caller (the survivor write/use
-    # AND the appended-index slice) — checkpoint so the LSH-verify-CC
-    # chain runs once. Eager by design: this operator's callers
-    # materialize both outputs immediately (batch: persist survivors +
-    # index; stream: two appends per micro-batch).
-    kept = kept.localCheckpoint()
-
+    # the id spine handed to dedup_clusters is the CHECKPOINTED fresh
+    # frame's ids (identical to surv_docs' id set by construction) —
+    # the cluster-label frame and everything derived from it then
+    # re-reads a materialized slice instead of re-running the
+    # new_docs scan + fresh semi-join under every reference. The
+    # expensive decisions (LSH verify + components) are all collapsed
+    # into dedup_clusters' one bounded edge job, so rep_ids is cheap
+    # by construction (checkpoint scan + broadcast label join on the
+    # driver path; checkpoint-backed CC labels above the edge bound)
+    # and the earlier eager `kept` checkpoint became pure overhead:
+    # both downstream consumers (the survivor frame and the
+    # appended-index slice) now hang off rep_ids directly (r14,
+    # guide §5 — one fewer full-text materialization per batch).
+    rep_ids = dedup_clusters(
+        fresh.select(F.col("_id").alias(id_col)), pairs, id_col
+    ).filter(~F.col("is_duplicate")).select(id_col)
+    kept = surv_docs.join(rep_ids, id_col, "left_semi")
     appended = batch_index.join(
-        kept.select(F.col(id_col).alias("_id")), "_id", "left_semi"
+        rep_ids.select(F.col(id_col).alias("_id")), "_id", "left_semi"
     )
     return kept, appended
 

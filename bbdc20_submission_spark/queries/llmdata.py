@@ -1152,21 +1152,34 @@ def d5_token_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bpe_tokens"),
         portable_fingerprint("`_fp_toks`").alias("fingerprint"),
     )
-    docs = d.select(
-        "doc_id",
-        F.when(
-            F.col("doc_id") % 7 == 0,
-            F.concat(F.lit(_BANNER + " "), F.col("text")),
+    # duplicate_span_stats runs ONE eager job at build time (its
+    # dup-hash guard count, which also populates the persisted dup
+    # set) — the only job of the whole d5 build. The other three
+    # families are pure plan assembly (driver-side py4j), independent
+    # of it, so run the span build in a worker thread and let its
+    # cluster job overlap the main thread's plan construction
+    # (guide §2.6). Identical frame either way.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(1) as _pool:
+        spans_future = _pool.submit(
+            duplicate_span_stats, d, span_tokens=8, min_count=2
         )
-        .otherwise(F.col("text"))
-        .alias("text"),
-    )
-    flagged = boilerplate_chunks(docs, chunk_tokens=16, min_docs=2)
-    stripped = strip_boilerplate(docs, flagged, chunk_tokens=16)
-    spans = duplicate_span_stats(d, span_tokens=8, min_count=2)
-    decon = decontaminate_spans(
-        d, d.filter(F.col("doc_id") % 11 == 3).select("text"), k=5
-    )
+        docs = d.select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit(_BANNER + " "), F.col("text")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        flagged = boilerplate_chunks(docs, chunk_tokens=16, min_docs=2)
+        stripped = strip_boilerplate(docs, flagged, chunk_tokens=16)
+        decon = decontaminate_spans(
+            d, d.filter(F.col("doc_id") % 11 == 3).select("text"), k=5
+        )
+        spans = spans_future.result()
     return (
         fp.join(
             stripped.select(
