@@ -1018,21 +1018,89 @@ def corpus_diff(
     # shuffles 8-byte ids (text column pruned at the scan) instead of
     # forcing the full text-hashing status frame to materialize as a
     # dedicated blocking job before the caller's own action runs
-    counts = (
-        old.select(F.col(id_col).alias("_id"), F.lit(True).alias("_o"))
-        .join(
-            new.select(F.col(id_col).alias("_id"), F.lit(True).alias("_n")),
-            "_id",
-            "full_outer",
+    def _guard_counts():
+        return (
+            old.select(F.col(id_col).alias("_id"), F.lit(True).alias("_o"))
+            .join(
+                new.select(
+                    F.col(id_col).alias("_id"), F.lit(True).alias("_n")
+                ),
+                "_id",
+                "full_outer",
+            )
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    F.when(
+                        F.col("_o").isNull() | F.col("_n").isNull(), 1
+                    ).otherwise(0)
+                ).alias("churn"),
+            )
+            .collect()[0]
         )
-        .agg(
-            F.count("*").alias("n"),
-            F.sum(
-                F.when(F.col("_o").isNull() | F.col("_n").isNull(), 1).otherwise(0)
-            ).alias("churn"),
+
+    def _rename_pairs(hint):
+        # churn-id sets are BROADCAST (8 bytes/id, small by this
+        # pass's contract — "the near-dup pass pays only for the
+        # churn"), so the text-carrying snapshots are filtered
+        # map-side: without the hint these left-semi joins plan as
+        # SortMergeJoins that shuffle the WHOLE corpus with its text
+        # by id — the one text exchange in the operator, and the
+        # first thing to blow up at 100 TB.
+        added = new.join(
+            hint(
+                st_p.filter(F.col("status") == "added").select(
+                    F.col("_id").alias(id_col)
+                )
+            ),
+            id_col,
+            "left_semi",
         )
-        .collect()[0]
-    )
+        removed = old.join(
+            hint(
+                st_p.filter(F.col("status") == "removed").select(
+                    F.col("_id").alias(id_col)
+                )
+            ),
+            id_col,
+            "left_semi",
+        )
+        # tagged union: ids are made side-disjoint for the LSH
+        # machinery by an odd/even encoding (2*id for removed,
+        # 2*id+1 for added), so a cross-version id collision cannot
+        # alias; decoded after verify
+        tagged = removed.select(
+            (F.col(id_col) * 2).alias("_did"), F.col(text_col).alias("_t")
+        ).unionByName(
+            added.select(
+                (F.col(id_col) * 2 + 1).alias("_did"),
+                F.col(text_col).alias("_t"),
+            )
+        )
+        sets = managed_persist(
+            hashed_shingle_sets(tagged, "_did", "_t", shingle_k)
+        )
+        cands = minhash_lsh_candidates(
+            tagged, "_did", "_t", shingle_k, num_hashes, bands, sets=sets
+        )
+        return jaccard_pairs(
+            tagged, cands, "_did", "_t", shingle_k=shingle_k,
+            min_jaccard=min_jaccard, sets=sets,
+        ).filter(F.col("jaccard") >= min_jaccard)
+
+    # The churn-guard action and the rename pass's (sizeable) plan
+    # assembly are independent until the hint decision, so run the
+    # guard job in a worker thread and OPTIMISTICALLY assemble the
+    # broadcast-hinted plan (the in-contract case) on the main thread
+    # (guide §2.6). Over the threshold the optimistic plan is simply
+    # dropped — the skip path returns base, and the rare
+    # match_renames='force' corner re-assembles hint-free.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(1) as _pool:
+        counts_future = _pool.submit(_guard_counts)
+        pairs = _rename_pairs(F.broadcast)
+        counts = counts_future.result()
     churn_frac = counts["churn"] / counts["n"] if counts["n"] else 0.0
     if churn_frac > max_churn_fraction:
         if match_renames != "force":
@@ -1047,56 +1115,10 @@ def corpus_diff(
                 stacklevel=2,
             )
             return base
-        hint = lambda d: d  # noqa: E731 — forced past the threshold:
-        # the churn-id sets may be corpus-sized, so let Spark plan a
-        # shuffle join rather than erroring on the broadcast limit
-    else:
-        hint = F.broadcast
-    # churn-id sets are BROADCAST (8 bytes/id, small by this pass's
-    # contract — "the near-dup pass pays only for the churn"), so the
-    # text-carrying snapshots are filtered map-side: without the hint
-    # these left-semi joins plan as SortMergeJoins that shuffle the
-    # WHOLE corpus with its text by id — the one text exchange in the
-    # operator, and the first thing to blow up at 100 TB.
-    added = new.join(
-        hint(
-            st_p.filter(F.col("status") == "added").select(
-                F.col("_id").alias(id_col)
-            )
-        ),
-        id_col,
-        "left_semi",
-    )
-    removed = old.join(
-        hint(
-            st_p.filter(F.col("status") == "removed").select(
-                F.col("_id").alias(id_col)
-            )
-        ),
-        id_col,
-        "left_semi",
-    )
-    # tagged union: ids are made side-disjoint for the LSH machinery
-    # by an odd/even encoding (2*id for removed, 2*id+1 for added), so
-    # a cross-version id collision cannot alias; decoded after verify
-    tagged = removed.select(
-        (F.col(id_col) * 2).alias("_did"), F.col(text_col).alias("_t")
-    ).unionByName(
-        added.select(
-            (F.col(id_col) * 2 + 1).alias("_did"),
-            F.col(text_col).alias("_t"),
-        )
-    )
-    sets = managed_persist(
-        hashed_shingle_sets(tagged, "_did", "_t", shingle_k)
-    )
-    cands = minhash_lsh_candidates(
-        tagged, "_did", "_t", shingle_k, num_hashes, bands, sets=sets
-    )
-    pairs = jaccard_pairs(
-        tagged, cands, "_did", "_t", shingle_k=shingle_k,
-        min_jaccard=min_jaccard, sets=sets,
-    ).filter(F.col("jaccard") >= min_jaccard)
+        # forced past the threshold: the churn-id sets may be
+        # corpus-sized, so let Spark plan a shuffle join rather than
+        # erroring on the broadcast limit
+        pairs = _rename_pairs(lambda d: d)
     # keep cross-side pairs only, oriented (removed old, added new)
     cross = pairs.select(
         F.when(F.col("id_a") % 2 == 1, F.col("id_a"))
