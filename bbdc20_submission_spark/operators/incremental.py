@@ -163,6 +163,21 @@ def _dedup_batch(
     rows, sliced from the ALREADY-COMPUTED batch index (checkpointed
     below unless the caller pre-built it), so no caller pays a second
     md5 + MinHash pass to persist the updated index."""
+    if batch_index is not None:
+        # r14 (advice): a pre-built frame produced with different
+        # num_hashes (or not an index at all) would yield silently
+        # wrong dedup decisions — catch param drift on the column set,
+        # the cheapest check that distinguishes every such mismatch
+        expected = {"_id", "content_hash", *(f"h{s}" for s in range(num_hashes))}
+        got = set(batch_index.columns)
+        if got != expected:
+            raise ValueError(
+                "incremental_dedup: batch_index columns do not match "
+                f"num_hashes={num_hashes} "
+                f"(missing {sorted(expected - got)}, "
+                f"unexpected {sorted(got - expected)}); it must be "
+                "build_dedup_index(new_docs) with the caller's params"
+            )
     if batch_index is None:
         batch_index = build_dedup_index(
             new_docs, id_col, text_col, shingle_k, num_hashes,
@@ -171,8 +186,10 @@ def _dedup_batch(
         # one row per batch doc, a few dozen bytes each; consumed by
         # the exact filter, the banding, the estimate join, AND the
         # appended slice — materialize once instead of re-running the
-        # signature aggregation per consumer
-        batch_index = batch_index.localCheckpoint()
+        # signature aggregation per consumer. Lazy (r14): the first
+        # consumer action (the edge collect) computes it as one of its
+        # own stages instead of a dedicated blocking job.
+        batch_index = batch_index.localCheckpoint(eager=False)
 
     # 1. exact vs index (hash-only anti-join)
     fresh = batch_index.join(
@@ -231,8 +248,13 @@ def _dedup_batch(
     # re-derives the keep/anti join chain above, and under AQE every
     # re-derived exchange is its own stage job — the flow's cost is
     # driver round-trips, not data (63 jobs / ~7.8 s at sf0.1 before,
-    # ~2/3 of it planning gaps)
-    fresh = fresh.localCheckpoint()
+    # ~2/3 of it planning gaps). LAZY (r14): eager=False keeps the
+    # lineage cut but defers materialization into the first consumer
+    # action — the within-batch edge collect below, which computes
+    # every fresh partition anyway (its candidate self-join shuffles
+    # all of fresh) — removing one dedicated blocking job from every
+    # batch's build.
+    fresh = fresh.localCheckpoint(eager=False)
 
     # 4. near-dup within the batch: exact-verified path on the text.
     # Candidates come from banding the BATCH INDEX signatures the
