@@ -14,6 +14,13 @@ the row's own id, so membership is a pure function of the data:
 
 Both are scale-shape: membership needs no global state, so they run
 identically on 500 rows or 100 TB of splits.
+
+r14: expression bodies are parsed SQL strings — the Column-by-Column
+assembly cost one py4j round trip per node (a sampler build was
+~30-60 round trips; d4 composes five samplers), the string form one
+parse per projection. Values are unchanged: the fragments parse to
+the same expressions the Column forms built (bucket formulas verified
+sameSemantics-identical; threshold arithmetic literal-for-literal).
 """
 
 from __future__ import annotations
@@ -22,6 +29,8 @@ from collections.abc import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from bbdc20_submission_spark.operators.text import sql_str_lit
 
 # hash-threshold resolution: fractions are quantized to 1/2^20
 _BUCKETS = 1 << 20
@@ -47,6 +56,27 @@ def portable_hash_bucket(id_col: Column, seed: int) -> Column:
     return F.pmod(h, F.lit(_BUCKETS))
 
 
+def _bucket_sql(id_col: str, seed: int, portable: bool) -> str:
+    """SQL fragment of ``_hash_bucket`` / ``portable_hash_bucket`` over
+    a plain column name — parses to the identical expressions."""
+    i = f"`{id_col}`"
+    if portable:
+        salt = sql_str_lit(f":{seed}")
+        return (
+            f"pmod(CAST(conv(substring(md5(concat(CAST({i} AS STRING), "
+            f"{salt})), 1, 8), 16, 10) AS BIGINT), {_BUCKETS})"
+        )
+    return f"pmod(xxhash64({i}, {seed}), {_BUCKETS})"
+
+
+def _map_sql(entries: Mapping, value_fmt) -> str:
+    """``map(k1, v1, ...)`` literal over sorted string keys."""
+    return "map(%s)" % ", ".join(
+        f"{sql_str_lit(k)}, {value_fmt(v)}"
+        for k, v in sorted(entries.items())
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,
@@ -67,19 +97,16 @@ def stratified_sample(
     PRNG nondeterminism. ``portable=True`` swaps xxhash64 for the
     md5-based ``portable_hash_bucket`` so the membership is
     reproducible OUTSIDE Spark too (audits, oracles)."""
-    bucket = portable_hash_bucket if portable else _hash_bucket
-    thresholds = F.create_map(
-        *[
-            x
-            for value, frac in sorted(fractions.items())
-            for x in (F.lit(value), F.lit(int(frac * _BUCKETS)))
-        ]
+    thr_map = _map_sql(
+        fractions, lambda frac: str(int(frac * _BUCKETS))
     )
-    thr = F.coalesce(
-        thresholds.getItem(F.col(strata_col)),
-        F.lit(int(default_fraction * _BUCKETS)),
+    thr = (
+        f"coalesce({thr_map}[`{strata_col}`], "
+        f"{int(default_fraction * _BUCKETS)})"
     )
-    return df.filter(bucket(F.col(id_col), seed) < thr)
+    return df.filter(
+        f"{_bucket_sql(id_col, seed, portable)} < {thr}"
+    )
 
 
 def reservoir_per_stratum(
@@ -103,12 +130,13 @@ def reservoir_per_stratum(
             "reservoir_per_stratum reserves the working column '_rk';"
             " rename it on the input frame"
         )
-    bucket = portable_hash_bucket if portable else _hash_bucket
-    w = Window.partitionBy(*strata_cols).orderBy(
-        bucket(F.col(id_col), seed), F.col(id_col)
+    parts = ", ".join(f"`{c}`" for c in strata_cols)
+    rk = (
+        f"row_number() OVER (PARTITION BY {parts} ORDER BY "
+        f"{_bucket_sql(id_col, seed, portable)} ASC, `{id_col}` ASC) AS _rk"
     )
     return (
-        df.withColumn("_rk", F.row_number().over(w))
+        df.selectExpr("*", rk)
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
@@ -142,7 +170,6 @@ def mixture_sample(
     filter; no shuffle of the corpus, no global sort, no state. The
     rate arithmetic stays in IEEE doubles with the weights as exact
     literals, so any engine derives bit-identical thresholds."""
-    bucket = portable_hash_bucket if portable else _hash_bucket
     if "_strata_d" in df.columns or "_thr" in df.columns:
         raise ValueError(
             "mixture_sample reserves the working columns '_strata_d'"
@@ -153,43 +180,32 @@ def mixture_sample(
     # would be a second full-corpus scan for a number the tiny counts
     # frame already holds
     total = counts.agg(F.sum("_n_s").alias("_n"))
-    wmap = F.create_map(
-        *[
-            x
-            for value, w in sorted(target_weights.items())
-            for x in (F.lit(value), F.lit(float(w)))
-        ]
-    )
-    dim = (
-        counts.crossJoin(F.broadcast(total))
-        .withColumn("_w", F.coalesce(wmap.getItem(F.col(strata_col)), F.lit(0.0)))
-        .withColumn(
-            # floor, not cast: Spark's double->long cast truncates but
-            # DuckDB's ROUNDS — an explicit floor is the form both
-            # engines agree on (thresholds are non-negative)
-            "_thr",
-            F.floor(
-                F.least(
-                    F.lit(_BUCKETS).cast("double"),
-                    F.lit(float(total_fraction))
-                    * F.col("_n").cast("double")
-                    * F.col("_w")
-                    / F.col("_n_s").cast("double")
-                    * F.lit(_BUCKETS),
-                )
-            ),
-        )
-        .select(strata_col, "_thr")
+    # D-suffixed literals parse directly as DOUBLE (a bare 0.6 would
+    # be DECIMAL), exactly the values F.lit(float(w)) carried
+    wmap = _map_sql(target_weights, lambda w: f"{float(w)!r}D")
+    # floor, not cast: Spark's double->long cast truncates but DuckDB's
+    # ROUNDS — an explicit floor is the form both engines agree on
+    # (thresholds are non-negative)
+    thr = (
+        f"floor(least(CAST({_BUCKETS} AS DOUBLE), "
+        f"{float(total_fraction)!r}D "
+        f"* CAST(_n AS DOUBLE) "
+        f"* coalesce({wmap}[`{strata_col}`], 0.0D) "
+        f"/ CAST(_n_s AS DOUBLE) * {_BUCKETS})) AS _thr"
     )
     # eqNullSafe, matching token_budget_sample: a NULL stratum is a
     # legitimate group and must take the unlisted-stratum weight-0
     # path (dropped by rate), not vanish by equi-join mechanics
-    d = dim.withColumnRenamed(strata_col, "_strata_d")
+    dim = counts.crossJoin(F.broadcast(total)).selectExpr(
+        f"`{strata_col}` AS _strata_d", thr
+    )
     return (
         df.join(
-            F.broadcast(d), F.col(strata_col).eqNullSafe(F.col("_strata_d"))
+            F.broadcast(dim), F.expr(f"`{strata_col}` <=> _strata_d")
         )
-        .filter(bucket(F.col(id_col), seed) < F.col("_thr"))
+        .filter(
+            f"{_bucket_sql(id_col, seed, portable)} < _thr"
+        )
         .select(*df.columns)
     )
 
@@ -218,19 +234,22 @@ def split_assign(
     if any(w < 0 for w in weights) or sum(weights) <= 0:
         raise ValueError("weights must be non-negative with a positive sum")
     total = float(sum(weights))
-    bucket = portable_hash_bucket if portable else _hash_bucket
-    b = bucket(F.col(id_col), seed)
+    b = _bucket_sql(id_col, seed, portable)
     # cumulative integer thresholds; the final edge is forced to
-    # _BUCKETS so rounding can never leave a bucket unassigned
+    # _BUCKETS so rounding can never leave a bucket unassigned. Edges
+    # ascend, so the flat CASE's first matching branch is the same
+    # split the nested when-chain picked.
     edges: list[int] = []
     acc = 0.0
     for w in weights[:-1]:
         acc += float(w) / total
         edges.append(int(acc * _BUCKETS))
-    expr = F.lit(names[-1])
-    for name, edge in zip(reversed(names[:-1]), reversed(edges)):
-        expr = F.when(b < edge, F.lit(name)).otherwise(expr)
-    return df.withColumn(out_col, expr)
+    branches = " ".join(
+        f"WHEN {b} < {edge} THEN {sql_str_lit(name)}"
+        for name, edge in zip(names[:-1], edges)
+    )
+    case = f"CASE {branches} ELSE {sql_str_lit(names[-1])} END"
+    return df.selectExpr("*", f"{case} AS `{out_col}`")
 
 
 def token_budget_sample(
@@ -271,7 +290,6 @@ def token_budget_sample(
     onto the corpus (no corpus shuffle for the keep/drop decision) and
     only the ~N_s/n_coarse docs of the straddling bucket pay a
     doc-level ordered window. The corpus text never shuffles."""
-    bucket = portable_hash_bucket if portable else _hash_bucket
     if _BUCKETS % n_coarse:
         raise ValueError(f"n_coarse={n_coarse} must divide {_BUCKETS}")
     clash = {"_fb", "_cb", "_t", "_cls", "_cum0", "_budget", "_cumd", "_ds",
@@ -281,73 +299,61 @@ def token_budget_sample(
             f"token_budget_sample reserves working columns {sorted(clash)};"
             " rename them on the input frame"
         )
-    fine = bucket(F.col(id_col), seed)
-    coarse = F.floor(fine / F.lit(_BUCKETS // n_coarse)).cast("long")
+    fine = _bucket_sql(id_col, seed, portable)
+    coarse = f"CAST(floor({fine} / {_BUCKETS // n_coarse}) AS BIGINT)"
 
     if isinstance(budgets, Mapping):
-        bmap = F.create_map(
-            *[
-                x
-                for value, n in sorted(budgets.items())
-                for x in (F.lit(value), F.lit(int(n)))
-            ]
-        )
-        budget = F.coalesce(bmap.getItem(F.col(strata_col)), F.lit(0))
+        bmap = _map_sql(budgets, lambda n: str(int(n)))
+        budget = f"coalesce({bmap}[`{strata_col}`], 0)"
     else:
-        budget = F.lit(int(budgets))
-    budget = budget.cast("double")
+        budget = str(int(budgets))
+    budget = f"CAST({budget} AS DOUBLE)"
 
     per = (
-        df.groupBy(F.col(strata_col), coarse.alias("_cb"))
+        df.groupBy(F.col(strata_col), F.expr(coarse).alias("_cb"))
         .agg(F.sum(F.col(tokens_col).cast("double")).alias("_t"))
     )
-    w = Window.partitionBy(strata_col).orderBy("_cb").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    cum0 = (
+        f"sum(_t) OVER (PARTITION BY `{strata_col}` ORDER BY _cb ASC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - _t AS _cum0"
     )
     dim = (
-        per.withColumn("_cum0", F.sum("_t").over(w) - F.col("_t"))
-        .withColumn("_budget", budget)
-        .withColumn(
-            "_cls",
-            F.when(F.col("_cum0") >= F.col("_budget"), F.lit(0))
-            .when(F.col("_cum0") + F.col("_t") < F.col("_budget"), F.lit(2))
-            .otherwise(F.lit(1)),
-        )
-        .filter(F.col("_cls") > 0)
-        .select(
-            F.col(strata_col).alias("_ds"),
-            F.col("_cb").alias("_dcb"),
-            "_cls",
+        per.selectExpr(f"`{strata_col}`", "_cb", "_t", cum0,
+                       f"{budget} AS _budget")
+        .selectExpr(
+            f"`{strata_col}` AS _ds",
+            "_cb AS _dcb",
+            "CASE WHEN _cum0 >= _budget THEN 0 "
+            "WHEN _cum0 + _t < _budget THEN 2 ELSE 1 END AS _cls",
             "_cum0",
             "_budget",
         )
+        .filter(F.col("_cls") > 0)
     )
 
     # null-safe equality on the stratum key: a NULL stratum is a
     # stratum like any other (groupBy and the window already treat it
     # as one group; a plain equi-join would silently drop its rows)
     tagged = (
-        df.withColumn("_fb", fine)
-        .withColumn("_cb", coarse)
+        df.selectExpr("*", f"{fine} AS _fb", f"{coarse} AS _cb")
         .join(
             F.broadcast(dim),
-            F.col(strata_col).eqNullSafe(F.col("_ds"))
-            & (F.col("_cb") == F.col("_dcb")),
+            F.expr(f"(`{strata_col}` <=> _ds) AND (_cb = _dcb)"),
         )
         .drop("_ds", "_dcb")
     )
     full = tagged.filter(F.col("_cls") == 2)
-    w2 = Window.partitionBy(strata_col, "_cb").orderBy(
-        F.col("_fb").asc(), F.col(id_col).asc()
-    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cumd = (
+        f"sum(CAST(`{tokens_col}` AS DOUBLE)) OVER ("
+        f"PARTITION BY `{strata_col}`, _cb "
+        f"ORDER BY _fb ASC, `{id_col}` ASC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+        f"- CAST(`{tokens_col}` AS DOUBLE) AS _cumd"
+    )
     part = (
         tagged.filter(F.col("_cls") == 1)
-        .withColumn(
-            "_cumd",
-            F.sum(F.col(tokens_col).cast("double")).over(w2)
-            - F.col(tokens_col).cast("double"),
-        )
-        .filter(F.col("_cum0") + F.col("_cumd") < F.col("_budget"))
+        .selectExpr("*", cumd)
+        .filter("_cum0 + _cumd < _budget")
         .drop("_cumd")
     )
     return full.unionByName(part).select(*df.columns)

@@ -57,6 +57,15 @@ def _ws_tokens_sql(text_col: str) -> str:
     return f"split(`{text_col}`, ' ')"
 
 
+def sql_str_lit(value: str) -> str:
+    """``value`` as a safely quoted SQL string literal. Every operator
+    that interpolates caller-supplied strings into a parsed-SQL
+    fragment MUST route through this (r14, advice item: a vocabulary
+    word like "don't" would otherwise break the parse — or worse,
+    silently change the expression)."""
+    return "'%s'" % value.replace("\\", "\\\\").replace("'", "\\'")
+
+
 def regex_tokens(text: Column | str, pattern: str = TOKEN_PATTERN) -> Column:
     """BPE-ish regex tokenization -> array<string> (letter runs, digit
     runs, single symbols)."""
@@ -77,7 +86,7 @@ def stopword_hits(tokens: Column | str, vocabulary: Sequence[str]) -> Column:
     round trips per call as Columns (language_id pays it per language)
     vs one parse; sameSemantics-identical."""
     if isinstance(tokens, str):
-        vocab_sql = "array(%s)" % ",".join(f"'{w}'" for w in vocabulary)
+        vocab_sql = "array(%s)" % ",".join(sql_str_lit(w) for w in vocabulary)
         return F.expr(
             f"size(filter({tokens}, x -> array_contains({vocab_sql}, x)))"
         )
@@ -215,11 +224,13 @@ def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred
         "*", *[stopword_hits(f"`{tk}`", ws).alias(f"_hits_{lang}") for lang, ws in sorted(STOPWORDS.items())]
     )
     langs = sorted(STOPWORDS)
-    hits = F.array(*[F.col(f"_hits_{lang}") for lang in langs])
-    lang_arr = F.array(*[F.lit(lang) for lang in langs])
-    best = lang_arr.getItem(F.array_position(hits, F.array_max(hits)) - 1)
-    return scored.withColumn(out_col, best).drop(
-        tk, *[f"_hits_{lang}" for lang in langs]
+    # one parsed argmax projection (r14): the Column form built two
+    # literal arrays + extract element-by-element (~15 py4j calls)
+    hits = "array(%s)" % ", ".join(f"_hits_{lang}" for lang in langs)
+    lang_arr = "array(%s)" % ", ".join(sql_str_lit(lang) for lang in langs)
+    best = f"{lang_arr}[array_position({hits}, array_max({hits})) - 1]"
+    return scored.selectExpr(
+        *[f"`{c}`" for c in df.columns], f"{best} AS `{out_col}`"
     )
 
 
@@ -506,10 +517,11 @@ def bigram_lm_scores(
     bigram extraction guards single-token docs (no descending-
     ``sequence`` trap) and every arithmetic step is reproducible in
     DuckDB (see the d4 oracle)."""
-    toks = ws_tokens(F.col(text_col))
-    base = df.select(F.col(id_col), toks.alias("_t"))
+    base = df.selectExpr(
+        f"`{id_col}`", f"{_ws_tokens_sql(text_col)} AS _t"
+    )
     uni = (
-        base.select(F.explode("_t").alias("_w1"))
+        base.selectExpr("explode(_t) AS _w1")
         .groupBy("_w1")
         .agg(F.count("*").alias("_c1"))
     )
@@ -518,43 +530,36 @@ def bigram_lm_scores(
     # over sequence(1, size) — never empty, so no descending-sequence
     # trap — with the final (w2 IS NULL) element filtered out; a
     # single-token doc yields zero bigrams with no CASE-branch type
-    # coercion issues.
+    # coercion issues. inline() explodes the struct array straight to
+    # (_w1, _w2) columns — one projection instead of explode + unpack.
     pair_expr = (
         "filter(transform(sequence(1, size(_t)), i -> "
-        "struct(element_at(_t, i) AS w1, "
+        "struct(element_at(_t, i) AS _w1, "
         "CASE WHEN i < size(_t) THEN element_at(_t, CAST(i + 1 AS INT)) "
-        "ELSE CAST(NULL AS STRING) END AS w2)), s -> s.w2 IS NOT NULL)"
+        "ELSE CAST(NULL AS STRING) END AS _w2)), s -> s._w2 IS NOT NULL)"
     )
-    doc_bi = base.select(
-        F.col(id_col), F.explode(F.expr(pair_expr)).alias("_p")
-    ).select(
-        F.col(id_col),
-        F.col("_p.w1").alias("_w1"),
-        F.col("_p.w2").alias("_w2"),
-    )
+    doc_bi = base.selectExpr(f"`{id_col}`", f"inline({pair_expr})")
     bi = doc_bi.groupBy("_w1", "_w2").agg(F.count("*").alias("_c2"))
-    k = F.lit(float(add_k))
+    k = float(add_k)
     scored = (
         doc_bi.join(uni, "_w1")
         .join(bi, ["_w1", "_w2"])  # fit-on-self: always matches
         .crossJoin(F.broadcast(vocab))
-        .select(
-            F.col(id_col),
-            F.log((F.col("_c2") + k) / (F.col("_c1") + k * F.col("_V"))).alias(
-                "_s"
-            ),
+        .selectExpr(
+            f"`{id_col}`",
+            f"ln((_c2 + {k!r}D) / (_c1 + {k!r}D * _V)) AS _s",
         )
     )
     agg = scored.groupBy(id_col).agg(
         F.count("*").alias("_n"), F.round(F.avg("_s"), 6).alias("_lp")
     )
     return (
-        df.select(id_col)
+        df.selectExpr(f"`{id_col}`")
         .join(agg, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_bigrams"),
-            F.coalesce(F.col("_lp"), F.lit(0.0)).alias("lm_logp"),
+        .selectExpr(
+            f"`{id_col}`",
+            "CAST(coalesce(_n, 0) AS BIGINT) AS n_bigrams",
+            "coalesce(_lp, 0.0D) AS lm_logp",
         )
     )
 
