@@ -18,7 +18,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from bbdc20_submission_spark.caching import managed_persist
-from bbdc20_submission_spark.operators.text import ws_tokens
+from bbdc20_submission_spark.operators.text import _ws_tokens_sql, ws_tokens
 
 
 def _cap_buckets(
@@ -86,21 +86,17 @@ def _apply_sub_buckets(
     band-correlated recall loss. Salting by the bucket key makes each
     band an independent trial, so a bounded multi-band scheme retains
     ``1-(1-1/m)^k`` of pairs matching in k bands instead of ``1/m``."""
+    # one parsed projection (r14): the when/pmod/ceil Column assembly
+    # cost ~12 py4j round trips per call
+    hash_args = ", ".join(f"`{c}`" for c in (id_col, *salt_cols))
     sub = (
-        F.when(
-            F.col("_bn").isNotNull(),
-            F.pmod(
-                F.xxhash64(id_col, *salt_cols),
-                F.ceil(F.col("_bn") / F.lit(cap)).cast("long"),
-            ),
-        )
-        .otherwise(F.lit(0))
-        .cast("long")
+        "CAST(CASE WHEN _bn IS NOT NULL THEN "
+        f"pmod(xxhash64({hash_args}), "
+        f"CAST(ceil(_bn / {cap}) AS BIGINT)) "
+        "ELSE 0 END AS BIGINT) AS sub_bucket"
     )
-    return (
-        frame.join(F.broadcast(hot), bucket_cols, "left")
-        .withColumn("sub_bucket", sub)
-        .drop("_bn")
+    return frame.join(F.broadcast(hot), bucket_cols, "left").selectExpr(
+        *[f"`{c}`" for c in frame.columns], sub
     )
 
 
@@ -357,7 +353,7 @@ def minhash_signatures_from_sets(
     a lambda closure — the expressions are parsed SQL strings (r13
     build sweep: the Python-lambda form cost ~30 ms of py4j traffic
     per slot; sameSemantics-identical)."""
-    return sets.filter(F.size("_shingles") > 0).selectExpr(
+    return sets.filter("size(_shingles) > 0").selectExpr(
         "_sid AS _id",
         *[
             f"array_min(transform(_shingles, h -> xxhash64(h, {s}))) AS h{s}"
@@ -457,9 +453,9 @@ def minhash_lsh_candidates(
         )
         for b in range(bands)
     )
-    banded = sig.selectExpr(
-        "_id", f"explode(array({structs})) AS bb"
-    ).selectExpr("_id", "bb.band", "bb.bucket")
+    # inline() explodes the struct array straight to (band, bucket)
+    # columns — one projection instead of explode + unpack (r14)
+    banded = sig.selectExpr("_id", f"inline(array({structs}))")
     hot = _hot_buckets(banded, ["band", "bucket"], bucket_cap)
     # r12: bucket-salted assignment — without the salt an id lands in
     # the same sub in every band, so a pair split apart in one band is
@@ -474,7 +470,7 @@ def minhash_lsh_candidates(
     right = banded.withColumnRenamed("_id", "id_b")
     pairs = (
         left.join(right, ["band", "bucket", "sub_bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter("id_a < id_b")
         .select("id_a", "id_b")
     )
     # Chain edges across a hot bucket's subs: sub-splitting compares
@@ -504,33 +500,30 @@ def minhash_lsh_candidates(
     # cap exists to bound, unjustifiable for a connectivity repair.
     # On a healthy corpus the hot dim is empty and every chain stage
     # is a no-op over zero rows.
-    from pyspark.sql import Window
-
     reps = (
         banded.join(F.broadcast(hot.select("band", "bucket")), ["band", "bucket"])
         .groupBy("band", "bucket", "sub_bucket")
         .agg(F.min("_id").alias("_lo"), F.max("_id").alias("_hi"))
     )
-    w = Window.partitionBy("band", "bucket").orderBy("sub_bucket")
+    # window-SQL form (r14): the lag/struct/explode Column assembly
+    # cost ~50 py4j round trips per build; three parsed projections
+    # build the same operators
+    lag_over = "OVER (PARTITION BY band, bucket ORDER BY sub_bucket ASC)"
     chain = (
-        reps.withColumn("_plo", F.lag("_lo").over(w))
-        .withColumn("_phi", F.lag("_hi").over(w))
-        .filter(F.col("_plo").isNotNull())
-        .select(
-            F.explode(
-                F.array(
-                    F.struct(F.col("_plo").alias("x"), F.col("_lo").alias("y")),
-                    F.struct(F.col("_plo").alias("x"), F.col("_hi").alias("y")),
-                    F.struct(F.col("_phi").alias("x"), F.col("_lo").alias("y")),
-                    F.struct(F.col("_phi").alias("x"), F.col("_hi").alias("y")),
-                )
-            ).alias("_e")
+        reps.selectExpr(
+            "_lo",
+            "_hi",
+            f"lag(_lo) {lag_over} AS _plo",
+            f"lag(_hi) {lag_over} AS _phi",
         )
-        .select(
-            F.least("_e.x", "_e.y").alias("id_a"),
-            F.greatest("_e.x", "_e.y").alias("id_b"),
+        .filter("_plo IS NOT NULL")
+        .selectExpr(
+            "inline(array("
+            "struct(_plo AS x, _lo AS y), struct(_plo AS x, _hi AS y), "
+            "struct(_phi AS x, _lo AS y), struct(_phi AS x, _hi AS y)))"
         )
-        .filter(F.col("id_a") != F.col("id_b"))
+        .selectExpr("least(x, y) AS id_a", "greatest(x, y) AS id_b")
+        .filter("id_a != id_b")
     )
     return pairs.unionByName(chain).distinct()
 
@@ -557,17 +550,24 @@ def hashed_shingle_sets(
     score) — they then reach pair verification for free through the
     joins ``jaccard_pairs`` performs anyway (``carry`` there), instead
     of costing a separate score-lookup scan later."""
-    return df.select(
-        F.col(id_col).alias("_sid"),
-        ws_tokens(text_col).alias("_toks"),
-        *carry,
-    ).select(
+    # parsed-SQL projections (r14): the shingle/transform lambda
+    # Column assembly cost ~25 py4j round trips per call; the strings
+    # parse to the same expressions (xxhash64 default seed 42 both
+    # ways, sequence/slice/concat_ws literal-for-literal)
+    shingles = (
+        f"array_distinct(transform(sequence(1, greatest(size(_toks) - "
+        f"{shingle_k - 1}, 1)), i -> concat_ws(' ', slice(_toks, i, "
+        f"{shingle_k}))))"
+    )
+    carry_sql = [f"`{c}`" for c in carry]
+    return df.selectExpr(
+        f"`{id_col}` AS _sid",
+        f"{_ws_tokens_sql(text_col)} AS _toks",
+        *carry_sql,
+    ).selectExpr(
         "_sid",
-        F.transform(
-            shingles_from_tokens(F.col("_toks"), shingle_k),
-            lambda s: F.xxhash64(s),
-        ).alias("_shingles"),
-        *carry,
+        f"transform({shingles}, s -> xxhash64(s)) AS _shingles",
+        *carry_sql,
     )
 
 
@@ -646,37 +646,34 @@ def jaccard_pairs(
         sets_df = sets
     if broadcast_sets:
         sets_df = F.broadcast(sets_df)
-    a = sets_df.select(
-        F.col("_sid").alias("id_a"),
-        F.col("_shingles").alias("_sa"),
-        F.size("_shingles").alias("_na"),
-        *[F.col(c).alias(f"{c}_a") for c in carry],
+    a = sets_df.selectExpr(
+        "_sid AS id_a",
+        "_shingles AS _sa",
+        "size(_shingles) AS _na",
+        *[f"`{c}` AS `{c}_a`" for c in carry],
     )
-    b = sets_df.select(
-        F.col("_sid").alias("id_b"),
-        F.col("_shingles").alias("_sb"),
-        F.size("_shingles").alias("_nb"),
-        *[F.col(c).alias(f"{c}_b") for c in carry],
+    b = sets_df.selectExpr(
+        "_sid AS id_b",
+        "_shingles AS _sb",
+        "size(_shingles) AS _nb",
+        *[f"`{c}` AS `{c}_b`" for c in carry],
     )
     joined = pairs.join(a, "id_a").join(b, "id_b")
     if min_jaccard is not None:
         joined = joined.filter(
-            F.least("_na", "_nb") >= min_jaccard * F.greatest("_na", "_nb")
+            f"least(_na, _nb) >= {float(min_jaccard)!r}D * greatest(_na, _nb)"
         )
-    inter = F.size(F.array_intersect("_sa", "_sb"))
-    carried = [f"{c}_{side}" for c in carry for side in ("a", "b")]
-    return joined.select(
+    carried = [f"`{c}_{side}`" for c in carry for side in ("a", "b")]
+    return joined.selectExpr(
         "id_a",
         "id_b",
-        (F.col("_na") + F.col("_nb")).alias("_sum"),
-        inter.alias("_inter"),
+        "_na + _nb AS _sum",
+        "size(array_intersect(_sa, _sb)) AS _inter",
         *carried,
-    ).select(
+    ).selectExpr(
         "id_a",
         "id_b",
-        F.round(F.col("_inter") / (F.col("_sum") - F.col("_inter")), 6).alias(
-            "jaccard"
-        ),
+        "round(_inter / (_sum - _inter), 6) AS jaccard",
         *carried,
     )
 
