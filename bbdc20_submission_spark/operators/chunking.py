@@ -21,7 +21,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from bbdc20_submission_spark.operators.text import ws_tokens
+from bbdc20_submission_spark.operators.text import (
+    _ws_tokens_sql,
+    sql_str_lit,
+    ws_tokens,
+)
 
 
 def chunk_by_tokens(
@@ -58,22 +62,21 @@ def chunk_by_tokens(
         f"/ {float(stride)!r}D), 1) - 1 AS BIGINT)), "
         f"i -> slice(`_toks`, CAST(i * {stride} + 1 AS INT), {chunk_tokens}))"
     )
-    base = df.select(
-        F.col(id_col),
-        *[F.col(c) for c in keep_cols],
-        ws_tokens(text_col).alias("_toks"),
+    keep = [f"`{c}`" for c in keep_cols]
+    base = df.selectExpr(
+        f"`{id_col}`", *keep, f"{_ws_tokens_sql(text_col)} AS _toks"
     )
-    out = base.select(
-        F.col(id_col),
-        *[F.col(c) for c in keep_cols],
-        F.posexplode(F.expr(chunks_sql)).alias("chunk_id", "_chunk"),
+    out = base.selectExpr(
+        f"`{id_col}`",
+        *keep,
+        f"posexplode({chunks_sql}) AS (chunk_id, _chunk)",
     )
-    return out.select(
-        id_col,
-        F.col("chunk_id").cast("long").alias("chunk_id"),
-        F.concat_ws(" ", F.col("_chunk")).alias("chunk_text"),
-        F.size(F.col("_chunk")).cast("long").alias("n_tokens"),
-        *keep_cols,
+    return out.selectExpr(
+        f"`{id_col}`",
+        "CAST(chunk_id AS BIGINT) AS chunk_id",
+        "concat_ws(' ', _chunk) AS chunk_text",
+        "CAST(size(_chunk) AS BIGINT) AS n_tokens",
+        *keep,
     )
 
 
@@ -104,29 +107,31 @@ def pack_sequences(
     assignment is oracle-checkable, and a given corpus packs
     identically run to run — which is what makes packed-sequence
     training reproducible."""
-    from bbdc20_submission_spark.operators.text import portable_md5_prefix64
-
-    bucket = F.pmod(
-        portable_md5_prefix64(F.col(id_col).cast("string")),
-        F.lit(n_buckets),
+    # parsed-SQL projections (r14): the bucket/window/arith Column
+    # assembly cost ~30 py4j round trips per call
+    bucket = (
+        "pmod(CAST(conv(substring(md5(CAST(`%s` AS STRING)), 1, 8), 16, 10)"
+        " AS BIGINT), %d) AS pack_bucket" % (id_col, n_buckets)
     )
-    out = chunks.withColumn("pack_bucket", bucket)
-    w = (
-        Window.partitionBy("pack_bucket")
-        .orderBy(id_col, chunk_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    start = (
+        f"sum(`{tokens_col}`) OVER (PARTITION BY pack_bucket "
+        f"ORDER BY `{id_col}` ASC, `{chunk_col}` ASC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+        f"- `{tokens_col}` AS _start"
     )
-    start = F.sum(F.col(tokens_col)).over(w) - F.col(tokens_col)
     return (
-        out.withColumn("_start", start)
-        .withColumn(
-            "seq_id", F.floor(F.col("_start") / F.lit(budget_tokens)).cast("long")
+        chunks.selectExpr("*", bucket)
+        .selectExpr("*", start)
+        .selectExpr(
+            "*",
+            f"CAST(floor(_start / {budget_tokens}) AS BIGINT) AS seq_id",
         )
-        .withColumn(
-            "seq_pos",
-            (F.col("_start") - F.col("seq_id") * F.lit(budget_tokens)).cast("long"),
+        .selectExpr(
+            *[f"`{c}`" for c in chunks.columns],
+            "pack_bucket",
+            "seq_id",
+            f"CAST(_start - seq_id * {budget_tokens} AS BIGINT) AS seq_pos",
         )
-        .drop("_start")
     )
 
 
@@ -287,30 +292,22 @@ def strip_boilerplate(
     if chunks is None:
         chunks = hashed_chunks(df, text_col, id_col, chunk_tokens)
     marked = chunks.join(
-        F.broadcast(flagged.select("chunk_hash").withColumn("_bp", F.lit(1))),
+        F.broadcast(flagged.selectExpr("chunk_hash", "1 AS _bp")),
         "chunk_hash",
         "left",
     )
-    return (
-        marked.groupBy(id_col)
-        .agg(
-            F.concat_ws(
-                " ",
-                F.array_compact(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                F.col("_bp").isNull(),
-                                F.struct("chunk_id", "chunk_text"),
-                            )
-                        )
-                    ).getField("chunk_text")
-                ),
-            ).alias(f"{text_col}_clean"),
-            F.sum(F.when(F.col("_bp").isNotNull(), 1).otherwise(0))
-            .cast("long")
-            .alias("n_chunks_removed"),
-        )
+    # parsed-SQL aggregate expressions (r14): the collect_list/when/
+    # struct Column assembly cost ~25 py4j round trips per call
+    return marked.groupBy(id_col).agg(
+        F.expr(
+            "concat_ws(' ', array_compact(array_sort(collect_list("
+            "CASE WHEN _bp IS NULL THEN struct(chunk_id, chunk_text) "
+            "END)).chunk_text))"
+        ).alias(f"{text_col}_clean"),
+        F.expr(
+            "CAST(sum(CASE WHEN _bp IS NOT NULL THEN 1 ELSE 0 END) "
+            "AS BIGINT)"
+        ).alias("n_chunks_removed"),
     )
 
 
@@ -328,10 +325,20 @@ def scrub_text(
 ) -> DataFrame:
     """PII/noise scrubbing as chained regexp_replace (single narrow
     projection; rules applied in SCRUB_RULES order)."""
-    expr = F.col(text_col)
+    expr = f"`{text_col}`"
     for pattern, repl in SCRUB_RULES:
-        expr = F.regexp_replace(expr, pattern, repl)
-    return df.withColumn(out_col, expr)
+        expr = (
+            f"regexp_replace({expr}, {sql_str_lit(pattern)}, "
+            f"{sql_str_lit(repl)})"
+        )
+    if out_col in df.columns:  # keep withColumn's replace semantics
+        return df.selectExpr(
+            *[
+                f"{expr} AS `{c}`" if c == out_col else f"`{c}`"
+                for c in df.columns
+            ]
+        )
+    return df.selectExpr("*", f"{expr} AS `{out_col}`")
 
 
 def connected_components(
