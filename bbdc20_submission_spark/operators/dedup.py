@@ -1527,7 +1527,7 @@ def duplicate_span_stats(
     L = int(span_tokens)
     if L < 2:
         raise ValueError(f"span_tokens must be >= 2, got {span_tokens}")
-    base = df.select(F.col(id_col), ws_tokens(F.col(text_col)).alias("_t"))
+    base = df.selectExpr(f"`{id_col}`", f"{_ws_tokens_sql(text_col)} AS _t")
     occ = _window_occurrences(base, id_col, L)
     dup = managed_persist(
         occ.groupBy("_h")
@@ -1566,17 +1566,13 @@ def _window_occurrences(base: DataFrame, id_col: str, L: int) -> DataFrame:
     explode, the shared front of the span-excision family."""
     gram_expr = (
         "filter(transform(sequence(1, size(_t)), i -> "
-        f"struct(i AS s, CASE WHEN i + {L} - 1 <= size(_t) "
+        f"struct(i AS _s, CASE WHEN i + {L} - 1 <= size(_t) "
         f"THEN xxhash64(slice(_t, i, {L})) "
-        "ELSE CAST(NULL AS BIGINT) END AS h)), x -> x.h IS NOT NULL)"
+        "ELSE CAST(NULL AS BIGINT) END AS _h)), x -> x._h IS NOT NULL)"
     )
-    return base.select(
-        F.col(id_col), F.explode(F.expr(gram_expr)).alias("_g")
-    ).select(
-        F.col(id_col),
-        F.col("_g.s").alias("_s"),
-        F.col("_g.h").alias("_h"),
-    )
+    # inline() explodes the struct array straight to (_s, _h) — one
+    # projection instead of explode + unpack (r14)
+    return base.selectExpr(f"`{id_col}`", f"inline({gram_expr})")
 
 
 def _excise_flagged(
@@ -1629,9 +1625,9 @@ def _excise_flagged(
         .agg(F.min("_s").alias("s"), F.max("_e").alias("e"))
     )
     per_doc = islands.groupBy(id_col).agg(
-        F.count("*").alias(n_col),
-        F.sum(F.col("e") - F.col("s") + 1).alias(removed_col),
-        F.collect_list(F.struct("s", "e")).alias("_spans"),
+        F.expr("count(*)").alias(n_col),
+        F.expr("sum(e - s + 1)").alias(removed_col),
+        F.expr("collect_list(struct(s, e))").alias("_spans"),
     )
     kept_expr = (
         "array_join(transform(filter(sequence(1, size(_t)), "
@@ -1639,14 +1635,11 @@ def _excise_flagged(
         "sp -> i >= sp.s AND i <= sp.e)), "
         "i -> element_at(_t, CAST(i AS INT))), ' ')"
     )
-    return (
-        base.join(F.broadcast(per_doc), id_col, "left")
-        .select(
-            F.col(id_col),
-            F.coalesce(n_col, F.lit(0)).cast("long").alias(n_col),
-            F.coalesce(removed_col, F.lit(0)).cast("long").alias(removed_col),
-            F.expr(kept_expr).alias("clean_text"),
-        )
+    return base.join(F.broadcast(per_doc), id_col, "left").selectExpr(
+        f"`{id_col}`",
+        f"CAST(coalesce(`{n_col}`, 0) AS BIGINT) AS `{n_col}`",
+        f"CAST(coalesce(`{removed_col}`, 0) AS BIGINT) AS `{removed_col}`",
+        f"{kept_expr} AS clean_text",
     )
 
 
@@ -1678,12 +1671,12 @@ def decontaminate_spans(
     L = int(k)
     if L < 2:
         raise ValueError(f"k must be >= 2, got {k}")
-    base = corpus.select(
-        F.col(id_col), ws_tokens(F.col(text_col)).alias("_t")
+    base = corpus.selectExpr(
+        f"`{id_col}`", f"{_ws_tokens_sql(text_col)} AS _t"
     )
-    eval_base = eval_set.select(ws_tokens(F.col(text_col)).alias("_t"))
+    eval_base = eval_set.selectExpr(f"{_ws_tokens_sql(text_col)} AS _t")
     eval_hashes = (
-        _window_occurrences(eval_base.withColumn("_eid", F.lit(0)), "_eid", L)
+        _window_occurrences(eval_base.selectExpr("*", "0 AS _eid"), "_eid", L)
         .select("_h")
         .distinct()
     )
