@@ -96,9 +96,9 @@ def _banded(index: DataFrame, num_hashes: int, bands: int) -> DataFrame:
         )
         for b in range(bands)
     )
-    return index.selectExpr(
-        "_id", f"explode(array({structs})) AS bb"
-    ).selectExpr("_id", "bb.band", "bb.bucket")
+    # inline() explodes the struct array straight to (band, bucket) —
+    # one projection instead of explode + unpack (r14)
+    return index.selectExpr("_id", f"inline(array({structs}))")
 
 
 def incremental_dedup(

@@ -150,6 +150,53 @@ def raw_text_stats(
     }
 
 
+def _stopword_hits_sql(tokens: str, vocabulary: Sequence[str]) -> str:
+    """SQL fragment of :func:`stopword_hits` over a SQL fragment."""
+    vocab_sql = "array(%s)" % ",".join(sql_str_lit(w) for w in vocabulary)
+    return f"size(filter({tokens}, x -> array_contains({vocab_sql}, x)))"
+
+
+def _raw_text_stats_sql(
+    text_col: str, toks: str, sw: str
+) -> dict[str, str]:
+    """SQL-fragment twin of :func:`raw_text_stats` over column NAMES
+    (``toks``/``sw`` already projected) — parses to the identical
+    expressions (same translate char classes, same guarded ratios,
+    D-suffixed double literals matching F.lit(0.0)); exists so
+    ``_stats_select`` can assemble its whole stat projection in one
+    parse instead of ~40 py4j round trips (r14)."""
+    t = f"`{text_col}`"
+    n_chars = f"length({t})"
+    n_tokens = f"size(`{toks}`)"
+    alpha = f"({n_chars} - length(translate({t}, {sql_str_lit(_ASCII_LETTERS)}, '')))"
+    digits = f"({n_chars} - length(translate({t}, '0123456789', '')))"
+    spaces = f"({n_chars} - length(translate({t}, ' ', '')))"
+    punct = f"({n_chars} - {alpha} - {digits} - {spaces})"
+
+    def _ratio(num: str, den: str) -> str:
+        return f"CASE WHEN {den} = 0 THEN 0.0D ELSE {num} / {den} END"
+
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "avg_token_len": _ratio(n_chars, n_tokens),
+        "punct_ratio": _ratio(punct, n_chars),
+        "digit_ratio": _ratio(digits, n_chars),
+        "stopword_ratio": _ratio(f"`{sw}`", n_tokens),
+    }
+
+
+def _quality_sql(raw: dict[str, str]) -> str:
+    """SQL-fragment twin of :func:`_quality_expr` — literal-for-literal
+    the same arithmetic (left-associative, D-suffixed doubles)."""
+    return (
+        f"least({raw['n_tokens']} / 32.0D, 1.0D) * 0.4D "
+        f"+ least({raw['stopword_ratio']} * 4.0D, 1.0D) * 0.3D "
+        f"+ (1.0D - least({raw['punct_ratio']} * 4.0D, 1.0D)) * 0.2D "
+        f"+ (1.0D - least({raw['digit_ratio']} * 4.0D, 1.0D)) * 0.1D"
+    )
+
+
 def _quality_expr(raw: dict[str, Column]) -> Column:
     """Composite [0,1] quality score from UNROUNDED ratio expressions
     (rounded once by the caller)."""
@@ -175,20 +222,22 @@ def _stats_select(
     translate() subtrees are subexpression-eliminated. Output
     expressions are unchanged — bit-identical stats/quality."""
     tk, swc = "__qs_toks", "__qs_sw"
-    s1 = df.select("*", F.expr(_ws_tokens_sql(text_col)).alias(tk))
-    s2 = s1.select("*", stopword_hits(f"`{tk}`", STOPWORDS["en"]).alias(swc))
-    raw = raw_text_stats(text_col, toks=F.col(tk), sw=F.col(swc))
-    out_cols = [F.col(c) for c in df.columns] + [
-        raw["n_chars"].cast("long").alias("stat_n_chars"),
-        raw["n_tokens"].cast("long").alias("stat_n_tokens"),
-        F.round(raw["avg_token_len"], 6).alias("stat_avg_token_len"),
-        F.round(raw["punct_ratio"], 6).alias("stat_punct_ratio"),
-        F.round(raw["digit_ratio"], 6).alias("stat_digit_ratio"),
-        F.round(raw["stopword_ratio"], 6).alias("stat_stopword_ratio"),
+    s1 = df.selectExpr("*", f"{_ws_tokens_sql(text_col)} AS `{tk}`")
+    s2 = s1.selectExpr(
+        "*", f"{_stopword_hits_sql(f'`{tk}`', STOPWORDS['en'])} AS `{swc}`"
+    )
+    raw = _raw_text_stats_sql(text_col, toks=tk, sw=swc)
+    out_exprs = [f"`{c}`" for c in df.columns] + [
+        f"CAST({raw['n_chars']} AS BIGINT) AS stat_n_chars",
+        f"CAST({raw['n_tokens']} AS BIGINT) AS stat_n_tokens",
+        f"round({raw['avg_token_len']}, 6) AS stat_avg_token_len",
+        f"round({raw['punct_ratio']}, 6) AS stat_punct_ratio",
+        f"round({raw['digit_ratio']}, 6) AS stat_digit_ratio",
+        f"round({raw['stopword_ratio']}, 6) AS stat_stopword_ratio",
     ]
     if with_quality:
-        out_cols.append(F.round(_quality_expr(raw), 6).alias("quality"))
-    return s2.select(*out_cols)
+        out_exprs.append(f"round({_quality_sql(raw)}, 6) AS quality")
+    return s2.selectExpr(*out_exprs)
 
 
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
