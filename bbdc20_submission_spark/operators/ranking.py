@@ -43,11 +43,14 @@ def _exploded_tokens(
     raw text and re-evaluated size(split(text)) in the Project above
     it — once per TOKEN row, O(tokens^2) character work per document
     with no plan-level shuffle tell."""
+    # _dl derives from the PROJECTED array (size of a materialized
+    # array is O(1)), so the tokenizer truly runs once per document —
+    # the previous lower projection evaluated split(text) twice per
+    # doc (once under size(), once for the alias; advice item r14)
     return docs.select(
         F.col(id_col).alias("_id"),
-        F.size(ws_tokens(text_col)).alias("_dl"),
         ws_tokens(text_col).alias("_tk"),
-    ).select("_id", "_dl", F.explode("_tk").alias("_tok"))
+    ).select("_id", F.size("_tk").alias("_dl"), F.explode("_tk").alias("_tok"))
 
 
 def _doc_terms(

@@ -1986,35 +1986,28 @@ def r_ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tfidf").alias("score"),
     )
 
-    qd = spark.createDataFrame(
-        [
-            (1, ["data", "fast", "query", "spark"]),
-            (2, ["table", "row", "scan"]),
-            (3, ["merge", "sort", "hash", "batch", "window"]),
-        ],
-        "query_id int, tokens array<string>",
-    )
+    qlists = [
+        (1, ["data", "fast", "query", "spark"]),
+        (2, ["table", "row", "scan"]),
+        (3, ["merge", "sort", "hash", "batch", "window"]),
+    ]
+    qd = spark.createDataFrame(qlists, "query_id int, tokens array<string>")
     runs = bm25_score_multi(
         d,
         qd,
         corpus_stats=stats,
         # literal query dim -> the union token set is known here;
-        # passing it skips the distinct+collect plan-time job (r13)
-        union_tokens=[
-            "data", "fast", "query", "spark", "table", "row", "scan",
-            "merge", "sort", "hash", "batch", "window",
-        ],
+        # passing it skips the distinct+collect plan-time job (r13).
+        # Derived from the SAME literal list qd is built from (r14,
+        # advice item), so the union can never silently drift from
+        # the dim.
+        union_tokens=sorted({t for _, toks in qlists for t in toks}),
     )
     # graded qrels as a ZERO-shuffle narrow map: for a fixed query dim
     # the per-query intersect size is a literal array_intersect per
     # query, stacked — no explode, no join, no aggregation (the shape
     # to prefer over explode+groupBy whenever |queries| is small).
     td = F.array_distinct(ws_tokens("text"))
-    qlists = [
-        (1, ["data", "fast", "query", "spark"]),
-        (2, ["table", "row", "scan"]),
-        (3, ["merge", "sort", "hash", "batch", "window"]),
-    ]
     qrels = (
         d.select(
             "doc_id",

@@ -60,9 +60,13 @@ def get_spark(app_name: str = "bbdc20_submission_spark") -> SparkSession:
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # let the planner pick shuffled-hash join when its size checks
         # pass (guide-recommended baseline; sort-merge remains the
-        # fallback). A/B'd on the full 50-query bench this round —
+        # fallback). A/B'd on the full 50-query bench in r13 —
         # see OPTIMIZATION_r13.md; env knob so either side of the A/B
-        # is reproducible.
+        # is reproducible. Tradeoff (advice r13): SHJ's build side
+        # cannot spill the hash map, so a badly under-estimated build
+        # side can OOM an executor where SMJ would have streamed —
+        # Spark's canBuildLocalHashMap size check is the guard; set
+        # SPARK_GRAFT_PREFER_SMJ=true to restore sort-merge wholesale.
         .config(
             "spark.sql.join.preferSortMergeJoin",
             os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
