@@ -1121,12 +1121,10 @@ def hamming_near_pairs(
             for b, (o, w) in enumerate(slices)
             for flip in _flip_masks(w, probe_flips)
         )
-        index = fp.select(
-            "_id", "_fp", F.explode(F.expr(idx_sql)).alias("bb")
-        ).select("_id", "_fp", "bb.band", "bb.slice")
-        probe = fp.select(
-            "_id", "_fp", F.explode(F.expr(probe_sql)).alias("bb")
-        ).select("_id", "_fp", "bb.band", "bb.slice")
+        # inline() explodes straight to (band, slice) — one projection
+        # instead of explode + unpack per side (r14)
+        index = fp.selectExpr("_id", "_fp", f"inline({idx_sql})")
+        probe = fp.selectExpr("_id", "_fp", f"inline({probe_sql})")
         hot = _hot_buckets(index, ["band", "slice"], bucket_cap)
         if exact_hot_buckets is None:
             # AUTO guard: COLLECT the hot dim (bounded: a bucket is
