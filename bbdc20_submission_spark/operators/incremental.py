@@ -186,10 +186,8 @@ def _dedup_batch(
         # one row per batch doc, a few dozen bytes each; consumed by
         # the exact filter, the banding, the estimate join, AND the
         # appended slice — materialize once instead of re-running the
-        # signature aggregation per consumer. Lazy (r14): the first
-        # consumer action (the edge collect) computes it as one of its
-        # own stages instead of a dedicated blocking job.
-        batch_index = batch_index.localCheckpoint(eager=False)
+        # signature aggregation per consumer
+        batch_index = batch_index.localCheckpoint()
 
     # 1. exact vs index (hash-only anti-join)
     fresh = batch_index.join(
@@ -248,13 +246,8 @@ def _dedup_batch(
     # re-derives the keep/anti join chain above, and under AQE every
     # re-derived exchange is its own stage job — the flow's cost is
     # driver round-trips, not data (63 jobs / ~7.8 s at sf0.1 before,
-    # ~2/3 of it planning gaps). LAZY (r14): eager=False keeps the
-    # lineage cut but defers materialization into the first consumer
-    # action — the within-batch edge collect below, which computes
-    # every fresh partition anyway (its candidate self-join shuffles
-    # all of fresh) — removing one dedicated blocking job from every
-    # batch's build.
-    fresh = fresh.localCheckpoint(eager=False)
+    # ~2/3 of it planning gaps)
+    fresh = fresh.localCheckpoint()
 
     # 4. near-dup within the batch: exact-verified path on the text.
     # Candidates come from banding the BATCH INDEX signatures the

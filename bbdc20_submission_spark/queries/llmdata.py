@@ -413,16 +413,26 @@ def d7_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the computed index frame feeds three consumers inside the flow
     # (exact anti-join, banding, estimate join) — checkpoint so the
     # history signature build runs once, as it would when the index
-    # is read from storage (the production shape). LAZY checkpoints
-    # (r14, guide §5): eager=False returns the lineage-truncating
-    # RDD-backed frame immediately with NO job; both index builds
-    # materialize as independent (concurrently scheduled) stages of
-    # the first downstream action — the edge collect inside
-    # incremental_dedup — instead of two dedicated blocking jobs
-    # before plan assembly can even continue. Identical frames: the
-    # checkpointed RDD is the same computation either way.
-    idx = build_dedup_index(hist, portable=True).localCheckpoint(eager=False)
-    bidx = build_dedup_index(batch, portable=True).localCheckpoint(eager=False)
+    # is read from storage (the production shape). The history and
+    # batch index builds are INDEPENDENT, so their materializations
+    # run as two concurrent driver-submitted jobs (guide §2.6: each
+    # build's straggler tail back-fills with the other's tasks) —
+    # serially they were the two largest barriers of the d7 build
+    # chain. Identical frames either way. (r14 note: lazy
+    # eager=False checkpoints were A/B'd as the alternative — they
+    # merge all three materializations into the edge-collect job —
+    # and measured no better than this driver-validated overlap form
+    # across five interleaved solo pairs, so the r13 shape stands.)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as ex:
+        f_idx = ex.submit(
+            lambda: build_dedup_index(hist, portable=True).localCheckpoint()
+        )
+        f_bidx = ex.submit(
+            lambda: build_dedup_index(batch, portable=True).localCheckpoint()
+        )
+        idx, bidx = f_idx.result(), f_bidx.result()
     kept, updated = incremental_dedup(
         batch, idx, portable=True, batch_index=bidx
     )
