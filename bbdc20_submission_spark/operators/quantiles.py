@@ -117,55 +117,53 @@ def exact_percentile_frame(
             f"accuracy={accuracy} < 200 voids the bracket-containment"
             " proof this no-retry variant relies on"
         )
-    base = df.select(F.col(col).cast("double").alias("_v")).filter(
-        F.col("_v").isNotNull()
+    # parsed-SQL projections (r14): the bracket/interpolation Column
+    # assembly cost ~50 py4j round trips per build
+    base = df.selectExpr(f"CAST(`{col}` AS DOUBLE) AS _v").filter(
+        "_v IS NOT NULL"
     )
+    p_lo = f"{max(0.0, p - 0.01)!r}D"
+    p_hi = f"{min(1.0, p + 0.01)!r}D"
     pass1 = base.agg(
-        F.count("_v").alias("_n"),
-        F.min("_v").alias("_lo_all"),
-        F.max("_v").alias("_hi_all"),
-        F.percentile_approx(
-            "_v", [max(0.0, p - 0.01), min(1.0, p + 0.01)], accuracy
+        F.expr("count(_v)").alias("_n"),
+        F.expr("min(_v)").alias("_lo_all"),
+        F.expr("max(_v)").alias("_hi_all"),
+        F.expr(
+            f"percentile_approx(_v, array({p_lo}, {p_hi}), {accuracy})"
         ).alias("_bracket"),
-    ).select(
+    ).selectExpr(
         "_n",
-        F.when(F.col("_n") <= 1000, F.col("_lo_all"))
-        .otherwise(F.element_at("_bracket", 1))
-        .alias("_lo"),
-        F.when(F.col("_n") <= 1000, F.col("_hi_all"))
-        .otherwise(F.element_at("_bracket", 2))
-        .alias("_hi"),
+        "CASE WHEN _n <= 1000 THEN _lo_all "
+        "ELSE element_at(_bracket, 1) END AS _lo",
+        "CASE WHEN _n <= 1000 THEN _hi_all "
+        "ELSE element_at(_bracket, 2) END AS _hi",
     )
     pass2 = (
         base.crossJoin(F.broadcast(pass1))
         .agg(
-            F.sum(F.when(F.col("_v") < F.col("_lo"), 1).otherwise(0)).alias(
-                "_below"
-            ),
-            F.sort_array(
-                F.collect_list(
-                    F.when(
-                        (F.col("_v") >= F.col("_lo")) & (F.col("_v") <= F.col("_hi")),
-                        F.col("_v"),
-                    )
-                )
+            F.expr(
+                "sum(CASE WHEN _v < _lo THEN 1 ELSE 0 END)"
+            ).alias("_below"),
+            F.expr(
+                "sort_array(collect_list("
+                "CASE WHEN _v >= _lo AND _v <= _hi THEN _v END))"
             ).alias("_vals"),
-            F.first("_n").alias("_n"),
+            F.expr("first(_n)").alias("_n"),
         )
     )
-    rank = (F.col("_n") - 1) * F.lit(float(p))
-    k = F.floor(rank)
-    frac = rank - k
-    vk = F.element_at("_vals", (k - F.col("_below") + 1).cast("int"))
-    vk1 = F.element_at("_vals", (k - F.col("_below") + 2).cast("int"))
+    rank = f"((_n - 1) * {float(p)!r}D)"
+    k = f"floor({rank})"
+    frac = f"({rank} - {k})"
+    vk = f"element_at(_vals, CAST({k} - _below + 1 AS INT))"
+    vk1 = f"element_at(_vals, CAST({k} - _below + 2 AS INT))"
     # lower*(1-frac) + higher*frac — the exact evaluation order Spark's
     # Percentile and DuckDB's quantile_cont use (see exact_percentile);
     # equal endpoints short-circuit to the exact value as both engines do
-    return pass2.select(
-        F.when(F.col("_n").isNull() | (F.col("_n") == 0), F.lit(None).cast("double"))
-        .when((frac == 0) | (vk1 == vk), vk)
-        .otherwise(vk * (F.lit(1.0) - frac) + vk1 * frac)
-        .alias(out_col)
+    return pass2.selectExpr(
+        "CASE WHEN _n IS NULL OR _n = 0 THEN CAST(NULL AS DOUBLE) "
+        f"WHEN {frac} = 0 OR {vk1} = {vk} THEN {vk} "
+        f"ELSE {vk} * (1.0D - {frac}) + {vk1} * {frac} END "
+        f"AS `{out_col}`"
     )
 
 
